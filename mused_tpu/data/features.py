@@ -1,0 +1,117 @@
+"""Host-side featurization: raw modality records -> fixed-width device tensors.
+
+The reference feeds raw object arrays (strings, tag lists, NaN floats) into
+per-window sklearn calls (reference matrix_operations.py:55-110).  XLA needs
+static shapes, so strings are hashed on the host into fixed-width integer /
+multi-hot tensors once per window:
+
+  username -> stable int32 id (equality is all that matters, ref :55-72)
+  tags     -> (n, H_tags) multi-hot over hashed tag tokens  (Jaccard, ref :84-89)
+  text     -> (n, H_text) token-count vector over hashed words (TF-IDF, ref :102-108)
+
+Hashing-trick collisions perturb neighbor rankings slightly; parity is at the
+metric level (SURVEY.md §7.3).  A C++ fast path for the token hashing lives in
+mused_tpu/native (falls back to this pure-Python implementation).
+"""
+from __future__ import annotations
+
+import re
+import zlib
+from typing import NamedTuple, Sequence
+
+import numpy as np
+
+from mused_tpu.utils.config import FeatureConfig
+
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+
+def stable_hash(token: str) -> int:
+    """Process-stable 32-bit hash (Python's builtin hash is salted)."""
+    return zlib.crc32(token.encode("utf-8", "ignore"))
+
+
+def hash_usernames(usernames: Sequence[str]) -> np.ndarray:
+    """(n,) int32 ids; -1 marks empty usernames (invalid, ref :59)."""
+    out = np.empty(len(usernames), np.int32)
+    seen: dict[str, int] = {}
+    for i, u in enumerate(usernames):
+        u = u if isinstance(u, str) else ""
+        if u == "":
+            out[i] = -1
+        else:
+            out[i] = seen.setdefault(u, len(seen))
+    return out
+
+
+def multihot_tags(tag_lists: Sequence, dim: int) -> np.ndarray:
+    """(n, dim) float32 0/1 incidence of hashed tag tokens.
+
+    A row with no tags is all-zero => invalid (ref :79).  Duplicate tags
+    collapse (sets in the reference, ref :84).
+    """
+    out = np.zeros((len(tag_lists), dim), np.float32)
+    for i, tags in enumerate(tag_lists):
+        if tags is None:
+            continue
+        if isinstance(tags, str):
+            tags = [tags] if tags else []
+        for t in tags:
+            if t:
+                out[i, stable_hash(str(t)) % dim] = 1.0
+    return out
+
+
+def hash_text_counts(texts: Sequence[str], dim: int) -> np.ndarray:
+    """(n, dim) float32 token counts of hashed lowercase word tokens.
+
+    Mirrors TfidfVectorizer's default token_pattern on the reference's
+    pre-cleaned text (clean_text already lowercases and strips punctuation,
+    ref data_loader.py:180-185); single-char tokens are dropped like
+    sklearn's ``(?u)\\b\\w\\w+\\b``.
+    """
+    out = np.zeros((len(texts), dim), np.float32)
+    for i, text in enumerate(texts):
+        if not isinstance(text, str) or not text:
+            continue
+        for tok in _TOKEN_RE.findall(text.lower()):
+            if len(tok) >= 2:
+                out[i, stable_hash(tok) % dim] += 1.0
+    return out
+
+
+class WindowFeatures(NamedTuple):
+    """Device-ready tensors for one window of n records."""
+
+    location: np.ndarray    # (n, 2) float32, NaN = invalid
+    times: np.ndarray       # (n, 2) float32, 0 = invalid
+    user_ids: np.ndarray    # (n,)  int32, -1 = invalid
+    tags: np.ndarray        # (n, H_tags) float32 multi-hot
+    text: np.ndarray        # (n, H_text) float32 counts
+
+
+def featurize_window(location: np.ndarray, times: np.ndarray,
+                     usernames: np.ndarray, tag_lists: np.ndarray,
+                     texts: np.ndarray, cfg: FeatureConfig) -> WindowFeatures:
+    """Featurize the raw per-modality object arrays of one window.
+
+    Argument layout matches the reference's modality arrays from
+    prepare_modalities (ref data_loader.py:86-113): location (n,2) float,
+    times (n,2) float, usernames (n,1) object, tag_lists (n,1) object,
+    texts (n,2) object [title, description].
+    """
+    n = len(location)
+    title_desc = []
+    for i in range(n):
+        t = texts[i, 0] if isinstance(texts[i, 0], str) else ""
+        d = texts[i, 1] if isinstance(texts[i, 1], str) else ""
+        # reference joins title and description with a space (ref :102)
+        joined = (t + " " + d).strip()
+        title_desc.append(joined)
+    return WindowFeatures(
+        location=np.asarray(location, np.float32),
+        times=np.asarray(times, np.float32),
+        user_ids=hash_usernames([u[0] for u in usernames]),
+        tags=multihot_tags([t[0] for t in tag_lists], cfg.tags_hash_dim),
+        text=hash_text_counts(title_desc, cfg.text_hash_dim),
+    )

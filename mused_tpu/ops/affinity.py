@@ -1,0 +1,198 @@
+"""Per-modality directed kNN affinity graphs as batched XLA ops.
+
+Reference behavior being reproduced (reference matrix_operations.py:14-132):
+one dense n x n 0/1 adjacency per modality, edges i->j for j among i's k
+nearest neighbors under a modality-specific similarity, self-edges skipped,
+invalid rows (NaN coords, zero timestamps, empty strings) excluded entirely.
+
+TPU-native design: instead of sklearn NearestNeighbors / Python O(n^2) loops,
+every modality becomes (masked dense similarity matrix) -> ``lax.top_k`` ->
+scatter, i.e. MXU matmuls + a vectorized select.  Validity is a mask, never a
+dynamic shape.  Per-modality k conventions (SURVEY.md §2.4):
+
+  location  k_basis   neighbors (ref :24 uses k_basis+1 incl. self)
+  time      3*k_basis neighbors (ref :34 uses 3*k_basis+1 incl. self)
+  username  ALL rows sharing the username (k ignored, ref :55-72)
+  tags      k_basis   neighbors, self sim forced below any real sim (ref :88)
+  text      k_basis   neighbors (ref :93 uses k_basis+1 incl. self)
+  default   k_basis-1 neighbors (ref :113 k_basis incl. self)
+
+Note the reference keeps zero-similarity "neighbors" (argsort takes exactly k
+entries), so edges are NOT thresholded on similarity — only on column
+validity.  That quirk is preserved.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+NEG = -1e30  # "invalid" similarity sentinel; any real similarity is larger
+
+
+def knn_adjacency(sim: jax.Array, valid: jax.Array, k: int,
+                  exclude_self: bool = True) -> jax.Array:
+    """Directed kNN adjacency from a similarity matrix (higher = closer).
+
+    sim: (n, n) float32; valid: (n,) bool.  Invalid rows emit no edges and
+    receive none.  Returns (n, n) float32 in {0, 1} with zero diagonal.
+    """
+    n = sim.shape[0]
+    k = max(0, min(k, n - 1 if exclude_self else n))
+    if k == 0:
+        return jnp.zeros((n, n), jnp.float32)
+    col_mask = valid[None, :]
+    sim = jnp.where(col_mask, sim, NEG)
+    if exclude_self:
+        sim = jnp.where(jnp.eye(n, dtype=bool), NEG, sim)
+    vals, idx = jax.lax.top_k(sim, k)                      # (n, k)
+    edge = (vals > NEG / 2) & valid[:, None]               # drop invalid picks
+    rows = jnp.broadcast_to(jnp.arange(n)[:, None], (n, k))
+    adj = jnp.zeros((n, n), jnp.float32)
+    # top_k indices are distinct within a row -> no write conflicts
+    adj = adj.at[rows, idx].max(edge.astype(jnp.float32))
+    return adj
+
+
+# ---------------------------------------------------------------------------
+# modality similarity kernels
+# ---------------------------------------------------------------------------
+
+def haversine_matrix(latlon: jax.Array) -> jax.Array:
+    """Pairwise great-circle distance (km) from (n, 2) [lat, lon] degrees.
+
+    Vectorized form of the reference's per-pair callable metric (reference
+    matrix_operations.py:250-263) — one fused VPU expression instead of n^2
+    Python calls.
+    """
+    rad = jnp.deg2rad(latlon)
+    lat, lon = rad[:, 0], rad[:, 1]
+    dlat = lat[:, None] - lat[None, :]
+    dlon = lon[:, None] - lon[None, :]
+    a = jnp.sin(dlat / 2) ** 2 + jnp.cos(lat)[:, None] * jnp.cos(lat)[None, :] * jnp.sin(dlon / 2) ** 2
+    a = jnp.clip(a, 0.0, 1.0)
+    return 2.0 * 6371.0 * jnp.arcsin(jnp.sqrt(a))
+
+
+def location_adjacency(latlon: jax.Array, k_basis: int) -> jax.Array:
+    """kNN under haversine distance; NaN coordinates are invalid (ref :23-30)."""
+    valid = jnp.all(jnp.isfinite(latlon), axis=1)
+    safe = jnp.where(valid[:, None], latlon, 0.0)
+    sim = -haversine_matrix(safe)
+    return knn_adjacency(sim, valid, k_basis)
+
+
+def time_adjacency(times: jax.Array, k_basis: int) -> jax.Array:
+    """kNN under |dt_taken| + |dt_upload|; zero timestamps invalid (ref :32-53)."""
+    valid = (times[:, 0] != 0.0) & (times[:, 1] != 0.0)
+    taken = jnp.abs(times[:, 0][:, None] - times[:, 0][None, :])
+    upload = jnp.abs(times[:, 1][:, None] - times[:, 1][None, :])
+    sim = -(taken + upload)
+    return knn_adjacency(sim, valid, 3 * k_basis)
+
+
+def username_adjacency(user_ids: jax.Array) -> jax.Array:
+    """Connect all rows sharing a username; k is ignored (ref :55-72).
+
+    user_ids: (n,) int32 (host-hashed); negative = empty/invalid.
+    """
+    n = user_ids.shape[0]
+    valid = user_ids >= 0
+    same = (user_ids[:, None] == user_ids[None, :]) & valid[:, None] & valid[None, :]
+    same = same & ~jnp.eye(n, dtype=bool)
+    return same.astype(jnp.float32)
+
+
+def jaccard_matrix(multihot: jax.Array) -> jax.Array:
+    """Pairwise Jaccard over (n, H) 0/1 multi-hot tag incidence.
+
+    intersection = M M^T (one MXU matmul); union = |i| + |j| - intersection.
+    Replaces the reference's O(n^2) Python set loop (ref :84-89).
+    """
+    m = multihot.astype(jnp.float32)
+    inter = jnp.dot(m, m.T, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+    sizes = jnp.sum(m, axis=1)
+    union = sizes[:, None] + sizes[None, :] - inter
+    return jnp.where(union > 0, inter / jnp.maximum(union, 1e-9), 0.0)
+
+
+def tags_adjacency(tags_multihot: jax.Array, k_basis: int) -> jax.Array:
+    """Top-k Jaccard neighbors; empty tag sets invalid (ref :74-89).
+
+    The reference forces self-similarity to -1 (below every real Jaccard) and
+    keeps zero-similarity picks; ``knn_adjacency`` reproduces both.
+    """
+    valid = jnp.sum(tags_multihot, axis=1) > 0
+    sim = jaccard_matrix(tags_multihot)
+    return knn_adjacency(sim, valid, k_basis)
+
+
+def tfidf_cosine_matrix(counts: jax.Array) -> jax.Array:
+    """Pairwise cosine over sklearn-convention TF-IDF of hashed token counts.
+
+    tf = raw count; idf = ln((1+n)/(1+df)) + 1 (smooth_idf, like the
+    reference's TfidfVectorizer at ref :104-106); rows L2-normalized; cosine =
+    one MXU matmul.  n counts only valid (nonzero) documents, matching the
+    reference fitting the vectorizer on valid rows only.
+    """
+    valid = jnp.sum(counts, axis=1) > 0
+    n_docs = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+    df = jnp.sum((counts > 0) & valid[:, None], axis=0).astype(jnp.float32)
+    idf = jnp.log((1.0 + n_docs) / (1.0 + df)) + 1.0
+    x = counts.astype(jnp.float32) * idf[None, :]
+    norm = jnp.linalg.norm(x, axis=1, keepdims=True)
+    x = x / jnp.maximum(norm, 1e-12)
+    return jnp.dot(x, x.T, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
+def text_adjacency(text_counts: jax.Array, k_basis: int) -> jax.Array:
+    """Top-k TF-IDF-cosine neighbors; blank text invalid (ref :91-110)."""
+    valid = jnp.sum(text_counts, axis=1) > 0
+    sim = tfidf_cosine_matrix(text_counts)
+    return knn_adjacency(sim, valid, k_basis)
+
+
+def euclidean_adjacency(data: jax.Array, k_basis: int) -> jax.Array:
+    """Default modality: Euclidean kNN, non-finite rows invalid (ref :112-119).
+
+    The reference's NearestNeighbors(k_basis) includes each point as its own
+    neighbor and then skips the self-edge, leaving k_basis-1 real edges.
+    """
+    valid = jnp.all(jnp.isfinite(data), axis=1)
+    safe = jnp.where(valid[:, None], data, 0.0)
+    sq = jnp.sum(safe * safe, axis=1)
+    d2 = sq[:, None] + sq[None, :] - 2.0 * jnp.dot(
+        safe, safe.T, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    sim = -jnp.maximum(d2, 0.0)
+    return knn_adjacency(sim, valid, max(1, k_basis) - 1)
+
+
+def fuse(adjacency_matrices: list[jax.Array]) -> jax.Array:
+    """Element-wise logical OR of modality graphs (ref matrix_operations.py:134-141)."""
+    fused = adjacency_matrices[0]
+    for m in adjacency_matrices[1:]:
+        fused = jnp.maximum(fused, m)
+    return fused
+
+
+@functools.partial(jax.jit, static_argnames=("k_basis",))
+def multimodal_fused_adjacency(location: jax.Array, times: jax.Array,
+                               user_ids: jax.Array, tags_multihot: jax.Array,
+                               text_counts: jax.Array, *, k_basis: int) -> jax.Array:
+    """All five modality graphs + OR-fusion in one jitted graph.
+
+    XLA fuses the masking/scatter chains; the five similarity matrices are
+    independent so the compiler is free to overlap their MXU work.
+    """
+    mats = [
+        location_adjacency(location, k_basis),
+        time_adjacency(times, k_basis),
+        username_adjacency(user_ids),
+        tags_adjacency(tags_multihot, k_basis),
+        text_adjacency(text_counts, k_basis),
+    ]
+    return fuse(mats)

@@ -1,0 +1,62 @@
+"""Dimensionality reduction: jitted truncated SVD (randomized range finder).
+
+Replaces sklearn's ``TruncatedSVD(n_components, random_state).fit_transform``
+(reference matrix_operations.py:143-147) — which is itself Halko-style
+randomized SVD — with a pure-JAX implementation whose heavy ops (matmul, QR of
+a tall-skinny block, small SVD) all map onto the MXU.
+
+``reduced = X @ V_r`` (equivalently ``U_r @ diag(s_r)``), matching sklearn's
+fit_transform output up to the usual sign/rotation ambiguity (comparisons in
+tests are subspace- and spectrum-level; the pipeline only needs geometry, see
+SURVEY.md §7.3 'Numerical parity').
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("rank", "n_iter", "oversample"))
+def randomized_svd(x: jax.Array, rank: int, key: jax.Array,
+                   *, n_iter: int = 4, oversample: int = 10):
+    """Top-``rank`` SVD of (n, d) x.  Returns (u (n,r), s (r,), vt (r, d)).
+
+    Halko/Martinsson/Tropp randomized range finder with ``n_iter`` power
+    iterations (QR-stabilized), like sklearn's `randomized_svd` defaults.
+    """
+    n, d = x.shape
+    k = min(rank + oversample, min(n, d))
+    omega = jax.random.normal(key, (d, k), x.dtype)
+    y = x @ omega                                  # (n, k)
+    q, _ = jnp.linalg.qr(y)
+
+    def power_step(q, _):
+        z, _ = jnp.linalg.qr(x.T @ q)              # (d, k)
+        q, _ = jnp.linalg.qr(x @ z)                # (n, k)
+        return q, None
+
+    q, _ = jax.lax.scan(power_step, q, None, length=n_iter)
+    b = q.T @ x                                    # (k, d) small
+    ub, s, vt = jnp.linalg.svd(b, full_matrices=False)
+    u = q @ ub
+    return u[:, :rank], s[:rank], vt[:rank]
+
+
+@functools.partial(jax.jit, static_argnames=("reduced_dim",))
+def svd_reduce(matrix: jax.Array, reduced_dim: int, key: jax.Array) -> jax.Array:
+    """TruncatedSVD.fit_transform equivalent (reference matrix_operations.py:143-147).
+
+    Clamps components to ``min(reduced_dim, d - 1)`` exactly like the
+    reference, then pads back to ``reduced_dim`` columns with zeros so the
+    output shape stays static for downstream jit consumers.
+    """
+    d = matrix.shape[1]
+    r = min(reduced_dim, d - 1)
+    u, s, _ = randomized_svd(matrix, r, key)
+    out = u * s[None, :]
+    if r < reduced_dim:
+        pad = jnp.zeros((matrix.shape[0], reduced_dim - r), matrix.dtype)
+        out = jnp.concatenate([out, pad], axis=1)
+    return out

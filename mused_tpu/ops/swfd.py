@@ -1,0 +1,191 @@
+"""Sliding-window Frequent Directions (SWFD) — sequence-based variant.
+
+Re-implements, TPU-native and from the literature, the contract of the
+reference's missing ``swfd`` git submodule (``SeqBasedSWFD``; call sites at
+reference main.py:10, 58-76: constructor ``SeqBasedSWFD(N, R, d, sketch_dim)``,
+per-row ``.fit(row)``, query ``.get() -> (B, ...)`` with B of shape
+(sketch_dim, d)).  See SURVEY.md §2.8 for the reconstructed contract.
+
+Design (block/ring variant of "Matrix Sketching over Sliding Windows"):
+  * the stream is cut into fixed-size *blocks* of ``block_rows`` rows;
+  * the active block is absorbed into a per-block FD sketch (ops.fd);
+  * a sealed block's (ell, d) sketch enters a ring buffer of ``num_slots``
+    slots together with its end row index;
+  * a query stacks the sketches of every live block (end > count - N) plus the
+    active sketch — dead/empty slots contribute zero rows, an FD no-op — and
+    FD-shrinks the stack to ``sketch_dim`` rows.
+
+All state is a pytree of fixed-shape arrays, so update and query jit cleanly
+and the state can be checkpointed, donated, or sharded.
+
+Error: each live block sketch carries FD error <= ||A_blk||_F^2 / ell and the
+final shrink adds its own delta; for window-aligned queries (the tumbling
+window regime of the reference, main.py:32 with step_window_ratio=1) the live
+blocks tile the window exactly, so coverage is exact and only FD shrink error
+remains.  Mergeability of FD sketches (stack-then-shrink) is also what the
+multi-chip path exploits (parallel/sketch_merge.py).
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import fd
+
+
+class SWFDState(NamedTuple):
+    """Sliding-window FD sketch state (fixed-shape pytree)."""
+
+    blocks: jax.Array       # (num_slots, ell, d) sealed per-block sketches
+    block_end: jax.Array    # (num_slots,) int32 — global row index one past block end; -1 = empty
+    block_sqfro: jax.Array  # (num_slots,) float32 — ||block rows||_F^2 (error accounting)
+    active: fd.FDState      # FD sketch of the open block
+    count: jax.Array        # () int32 — rows seen so far
+    seal_cursor: jax.Array  # () int32 — next ring slot to overwrite
+
+    @property
+    def ell(self) -> int:
+        return self.blocks.shape[1]
+
+    @property
+    def d(self) -> int:
+        return self.blocks.shape[2]
+
+    @property
+    def num_slots(self) -> int:
+        return self.blocks.shape[0]
+
+
+def choose_block_rows(window: int, ell: int, target_blocks: int = 8) -> int:
+    """Pick a block size that divides ``window`` (exact tumbling-window coverage)
+    and is a multiple of the FD chunk size where possible."""
+    if window <= target_blocks:
+        return 1
+    # divisors of `window`, closest to window/target_blocks from above
+    want = max(1, window // target_blocks)
+    best = window
+    for b in range(want, window + 1):
+        if window % b == 0:
+            best = b
+            break
+    return best
+
+
+def init(window: int, d: int, ell: int, *, block_rows: int | None = None,
+         dtype=jnp.float32) -> SWFDState:
+    block_rows = block_rows or choose_block_rows(window, ell)
+    # enough slots to cover the window plus one partially-expired block
+    num_slots = -(-window // block_rows) + 1
+    return SWFDState(
+        blocks=jnp.zeros((num_slots, ell, d), dtype),
+        block_end=jnp.full((num_slots,), -1, jnp.int32),
+        block_sqfro=jnp.zeros((num_slots,), dtype),
+        active=fd.init(ell, d, dtype),
+        count=jnp.zeros((), jnp.int32),
+        seal_cursor=jnp.zeros((), jnp.int32),
+    )
+
+
+def _seal(state: SWFDState) -> SWFDState:
+    """Move the active block's sketch into the ring and reset the active FD."""
+    slot = state.seal_cursor % state.num_slots
+    return SWFDState(
+        blocks=state.blocks.at[slot].set(state.active.sketch),
+        block_end=state.block_end.at[slot].set(state.count),
+        block_sqfro=state.block_sqfro.at[slot].set(state.active.sq_frobenius),
+        active=fd.init(state.ell, state.d, state.blocks.dtype),
+        count=state.count,
+        seal_cursor=state.seal_cursor + 1,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("window", "block_rows"))
+def update(state: SWFDState, rows: jax.Array, *, window: int, block_rows: int) -> SWFDState:
+    """Absorb (m, d) stream rows.  m need not be a multiple of block_rows; the
+    active block persists across calls and seals exactly every ``block_rows``
+    rows.  Compiles to a single lax.scan over FD chunk updates."""
+    m, d = rows.shape
+    ell = state.ell
+    # FD chunk size: largest divisor of block_rows that is <= ell, so that
+    # block boundaries always land on chunk boundaries.
+    chunk = block_rows if block_rows <= ell else max(
+        c for c in range(1, ell + 1) if block_rows % c == 0)
+    n_chunks = -(-m // chunk)
+    pad = n_chunks * chunk - m
+    if pad:
+        rows = jnp.concatenate([rows, jnp.zeros((pad, d), rows.dtype)], axis=0)
+    chunks = rows.reshape(n_chunks, chunk, d)
+    idx = jnp.arange(n_chunks * chunk).reshape(n_chunks, chunk)
+    valid = idx < m
+
+    def body(st: SWFDState, xs):
+        rows_c, valid_c = xs
+        active = fd.update_block(st.active, rows_c, valid_c)
+        st = st._replace(active=active, count=st.count + jnp.sum(valid_c.astype(jnp.int32)))
+        rows_in_block = st.active.count  # rows absorbed into the open block
+        st = jax.lax.cond(rows_in_block >= block_rows, _seal, lambda s: s, st)
+        return st, None
+
+    state, _ = jax.lax.scan(body, state, (chunks, valid))
+    return state
+
+
+@functools.partial(jax.jit, static_argnames=("window", "sketch_dim"))
+def query(state: SWFDState, *, window: int, sketch_dim: int):
+    """Sketch of (approximately) the last ``window`` rows.
+
+    Returns ``(sketch (sketch_dim, d), err_bound, sq_frobenius_live, n_live_rows)``
+    mirroring the 4-tuple of the reference submodule's ``.get()`` (reference
+    main.py:70 uses only the first element; the tail is diagnostics).
+    """
+    # live sealed blocks: contain at least one row newer than count - window
+    live = (state.block_end > state.count - window) & (state.block_end >= 0)
+    masked = jnp.where(live[:, None, None], state.blocks, 0.0)
+    stacked = jnp.concatenate(
+        [masked.reshape(-1, state.d), state.active.sketch], axis=0)
+    sketch, delta = fd.shrink(stacked, sketch_dim)
+    sq_fro = jnp.sum(jnp.where(live, state.block_sqfro, 0.0)) + state.active.sq_frobenius
+    err = delta + sq_fro / state.ell  # loose: per-block FD error + final shrink
+    return sketch, err, sq_fro, state.count
+
+
+class SeqBasedSWFD:
+    """Host-facing wrapper matching the reference submodule's API.
+
+    ``SeqBasedSWFD(N, R, d, sketch_dim)`` / ``.fit(row)`` / ``.get()``
+    (call-site contract: reference main.py:60-76).  ``R`` (max squared row
+    norm) sized the level structure in the original algorithm; here it only
+    enters the error diagnostics, since the block ring is sized by ``N`` alone.
+
+    ``fit`` accepts a single (1, d) row for drop-in parity but also any (m, d)
+    block — feed blocks for TPU throughput.
+    """
+
+    def __init__(self, N: int, R: float, d: int, sketch_dim: int,
+                 block_rows: int | None = None, dtype=jnp.float32):
+        self.N = int(N)
+        self.R = float(R)
+        self.d = int(d)
+        self.sketch_dim = int(sketch_dim)
+        # internal rank: a little headroom above the query rank improves accuracy
+        self.ell = int(sketch_dim)
+        self.block_rows = block_rows or choose_block_rows(self.N, self.ell)
+        self.state = init(self.N, self.d, self.ell,
+                          block_rows=self.block_rows, dtype=dtype)
+
+    def fit(self, rows) -> "SeqBasedSWFD":
+        rows = jnp.asarray(rows, self.state.blocks.dtype)
+        if rows.ndim == 1:
+            rows = rows[None, :]
+        self.state = update(self.state, rows, window=self.N,
+                            block_rows=self.block_rows)
+        return self
+
+    def get(self):
+        sketch, err, sq_fro, count = query(
+            self.state, window=self.N, sketch_dim=self.sketch_dim)
+        return sketch, err, sq_fro, count

@@ -1,0 +1,102 @@
+"""Typed configuration layer.
+
+The reference hard-codes every knob in module-level dicts (reference
+main.py:262-313: ``experiments``, ``approaches``, ``default_params``; DBSCAN
+constants at main.py:200).  Here those become frozen dataclasses so configs
+hash, print, and feed `jax.jit` static arguments cleanly.  Defaults reproduce
+the reference's ``default_params`` exactly.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+# Approach identifiers — the reference's "model zoo" (reference main.py:290-301;
+# dispatch semantics at main.py:58-97, 105-112, 149-154). See SURVEY.md §2.2.
+APPROACHES: Tuple[str, ...] = (
+    "SVDMC_batch",
+    "SWFDMC",
+    "sSVDMC",
+    "sSVDMC_hung",
+    "sSVDMC_pot",
+    "sSVDMC_mini",
+    "DBSCAN_batch",
+    "HDBSCAN_batch",
+    "DBSCAN_incr",
+    "DBSCAN_centr",
+)
+
+MODALITIES: Tuple[str, ...] = ("location", "time", "username", "tags", "text")
+
+
+@dataclasses.dataclass(frozen=True)
+class FeatureConfig:
+    """Static featurization widths (host hashing → fixed-width device tensors).
+
+    The reference fits a per-window ``TfidfVectorizer`` with a data-dependent
+    vocabulary (reference matrix_operations.py:104-105) — a dynamic shape XLA
+    can't compile.  We use the hashing trick at fixed width instead; parity is
+    at the metric level (F1 ±0.5), see SURVEY.md §7.3.
+    """
+
+    tags_hash_dim: int = 2048
+    text_hash_dim: int = 4096
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """One experiment point.  Field defaults == reference ``default_params``
+    (reference main.py:303-313) + clustering constants (main.py:198-200)."""
+
+    seed: int = 0
+    subset_size: int = 150_000
+    noise_rate: float = 0.95
+    label_mode: str = "binary"          # binary | types | all
+    sorting: bool = False
+    window_size: int = 2000
+    reduced_dim: int = 50
+    k_basis: int = 50
+    step_window_ratio: int = 1
+    approach: str = "sSVDMC"
+
+    # clustering constants (reference main.py:200)
+    eps: float = 1.5
+    min_samples: int = 2
+    min_cluster_size: int = 3
+
+    # device-side knobs (new in the TPU build)
+    features: FeatureConfig = dataclasses.field(default_factory=FeatureConfig)
+    kmeans_iters: int = 100
+    sinkhorn_reg: float = 0.1
+    sinkhorn_iters: int = 200
+    swfd_target_blocks: int = 8
+
+    @property
+    def n_clusters_total(self) -> int:
+        # reference main.py:198
+        return {"binary": 2, "types": 4}.get(self.label_mode, 150)
+
+    @property
+    def is_batch(self) -> bool:
+        return self.approach.endswith("_batch")
+
+    def replace(self, **kw) -> "PipelineConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class SweepConfig:
+    """Experiment sweep (reference main.py:262-287)."""
+
+    experiment_type: str = "subset_size"
+    variable_values: tuple = (100_000, 110_000, 120_000, 130_000, 140_000, 150_000)
+    approaches: Tuple[str, ...] = APPROACHES[:6]
+    base: PipelineConfig = dataclasses.field(default_factory=PipelineConfig)
+
+
+def demo_config(approach: str = "sSVDMC") -> PipelineConfig:
+    """The reference's tiny smoke-test configuration (reference main.py:318-324)."""
+    return PipelineConfig(
+        subset_size=100, window_size=8, noise_rate=0.4, reduced_dim=2,
+        k_basis=1, approach=approach,
+    )

@@ -1,0 +1,95 @@
+"""FD core invariants (SURVEY.md §4: unit tier, FD error bound + NumPy oracle)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mused_tpu.ops import fd
+
+
+def numpy_fd_oracle(a: np.ndarray, ell: int) -> np.ndarray:
+    """Classic row-at-a-time FD (Ghashami et al.) as an independent oracle."""
+    d = a.shape[1]
+    b = np.zeros((2 * ell, d))
+    fill = 0
+    for row in a:
+        if fill == 2 * ell:
+            u, s, vt = np.linalg.svd(b, full_matrices=False)
+            delta = s[ell] ** 2
+            s2 = np.sqrt(np.maximum(s**2 - delta, 0.0))
+            b = (s2[:, None] * vt)
+            fill = int(np.sum(s2 > 0))
+            b[fill:] = 0
+        b[fill] = row
+        fill += 1
+    return b
+
+
+@pytest.mark.parametrize("m,d,ell", [(200, 64, 16), (500, 100, 25), (64, 32, 8)])
+def test_fd_error_bound(rng, m, d, ell):
+    a = rng.normal(size=(m, d)).astype(np.float32)
+    st = fd.init(ell, d)
+    st = fd.update_stream(st, jnp.asarray(a))
+    err = float(fd.covariance_error(jnp.asarray(a), st.sketch))
+    bound = float(np.linalg.norm(a, "fro") ** 2) / ell
+    assert err <= bound * 1.01, f"FD bound violated: {err} > {bound}"
+    assert int(st.count) == m
+
+
+def test_fd_tracked_bound_dominates_true_error(rng):
+    a = rng.normal(size=(300, 50)).astype(np.float32)
+    st = fd.update_stream(fd.init(20, 50), jnp.asarray(a))
+    err = float(fd.covariance_error(jnp.asarray(a), st.sketch))
+    assert err <= float(fd.error_bound(st)) * 1.01
+
+
+def test_fd_low_rank_exact(rng):
+    """Rank-r input with r < ell is sketched exactly (delta stays 0)."""
+    r, d, ell = 5, 64, 16
+    base = rng.normal(size=(r, d)).astype(np.float32)
+    coef = rng.normal(size=(200, r)).astype(np.float32)
+    a = coef @ base
+    st = fd.update_stream(fd.init(ell, d), jnp.asarray(a))
+    err = float(fd.covariance_error(jnp.asarray(a), st.sketch))
+    scale = float(np.linalg.norm(a.T @ a, 2))
+    # f32 Gram+eigh costs ~1% relative accuracy here; the structural claim is
+    # that the error is tiny relative to the spectrum, not FD-bound-sized.
+    assert err <= 3e-2 * scale
+    assert float(st.shrink_loss) <= 3e-2 * scale
+
+
+def test_fd_matches_oracle_quality(rng):
+    """Our block FD should be at least as accurate as the row-wise oracle's bound."""
+    a = rng.normal(size=(400, 80)).astype(np.float32)
+    ell = 20
+    ours = fd.update_stream(fd.init(ell, 80), jnp.asarray(a))
+    oracle = numpy_fd_oracle(a.astype(np.float64), ell)
+    err_ours = float(fd.covariance_error(jnp.asarray(a), ours.sketch))
+    err_oracle = float(np.linalg.norm(a.T @ a - oracle.T @ oracle, 2))
+    bound = np.linalg.norm(a, "fro") ** 2 / ell
+    assert err_ours <= bound
+    assert err_oracle <= bound
+    # same ballpark (not a strict ordering — different shrink cadence)
+    assert err_ours <= 2.5 * err_oracle + 1e-6
+
+
+def test_fd_zero_rows_are_noops(rng):
+    a = rng.normal(size=(100, 32)).astype(np.float32)
+    padded = np.concatenate([a, np.zeros((60, 32), np.float32)], axis=0)
+    s1 = fd.update_stream(fd.init(8, 32), jnp.asarray(a))
+    s2 = fd.update_stream(fd.init(8, 32), jnp.asarray(padded))
+    g1 = np.asarray(s1.sketch.T @ s1.sketch)
+    g2 = np.asarray(s2.sketch.T @ s2.sketch)
+    np.testing.assert_allclose(g1, g2, rtol=2e-3, atol=2e-3)
+
+
+def test_fd_incremental_equals_bulk(rng):
+    a = rng.normal(size=(300, 40)).astype(np.float32)
+    bulk = fd.update_stream(fd.init(10, 40), jnp.asarray(a))
+    inc = fd.init(10, 40)
+    for piece in np.array_split(a, 7):
+        inc = fd.update_stream(inc, jnp.asarray(piece))
+    # Not bitwise equal (different chunk boundaries) but same guarantee
+    for st in (bulk, inc):
+        err = float(fd.covariance_error(jnp.asarray(a), st.sketch))
+        assert err <= np.linalg.norm(a, "fro") ** 2 / 10
+    assert int(inc.count) == 300

@@ -1,0 +1,96 @@
+"""Cluster matching vs scipy/POT-oracle behavior (reference matrix_operations.py:155-233)."""
+import numpy as np
+import pytest
+
+from mused_tpu.ops import matching
+
+
+def test_cost_matrix_and_feasibility():
+    prev = np.array([0, 0, 0, 1, 1, 1, 2])
+    new = np.array([5, 5, 5, 6, 6, 6, 7])
+    cost, up, un = matching.overlap_cost_matrix(prev, new, min_overlap=3)
+    assert list(up) == [0, 1, 2]
+    assert list(un) == [5, 6, 7]
+    assert cost[0, 0] == -3 and cost[1, 1] == -3
+    assert np.isinf(cost[2, 2])  # overlap 1 < min_overlap
+    assert not matching.is_feasible(np.full((2, 2), np.inf))
+    assert matching.is_feasible(cost) is False  # row 2 all-inf (ref :229)
+
+
+def test_hungarian_remaps_labels():
+    prev = np.array([0] * 5 + [1] * 5)
+    new = np.array([7] * 5 + [9] * 5)
+    out = matching.match_clusters(prev, new, method="hungarian", min_overlap=3)
+    np.testing.assert_array_equal(out, prev)
+
+
+def test_hungarian_crossed_overlap():
+    prev = np.array([0] * 4 + [1] * 6)
+    new = np.array([9] * 6 + [7] * 4)  # new 9 overlaps prev0(4)+prev1(2); new 7 overlaps prev1(4)
+    out = matching.match_clusters(prev, new, method="hungarian", min_overlap=3)
+    # optimal: 9->0 (4) and 7->1 (4)
+    np.testing.assert_array_equal(out, np.array([0] * 6 + [1] * 4))
+
+
+def test_first_window_passthrough():
+    new = np.array([1, 2, 3])
+    assert matching.match_clusters(None, new) is new
+    assert matching.match_clusters(np.array([]), new) is new
+
+
+def test_infeasible_returns_unmatched():
+    prev = np.array([0, 1, 2])
+    new = np.array([5, 6, 7])  # all overlaps 1 < min_overlap 3
+    out = matching.match_clusters(prev, new, min_overlap=3)
+    np.testing.assert_array_equal(out, new)
+
+
+def test_all_inf_column_is_infeasible_quirk():
+    """A new cluster with no >=min_overlap counterpart makes the whole match
+    infeasible in the reference (all-inf column screen, ref :230-232) — even
+    though a partial assignment exists.  Quirk preserved."""
+    prev = np.array([0] * 5 + [1] * 5)
+    new = np.array([7] * 5 + [8] * 3 + [9] * 2)
+    out = matching.match_clusters(prev, new, method="hungarian", min_overlap=3)
+    np.testing.assert_array_equal(out, new)
+
+
+def test_unmatched_new_labels_keep_identity():
+    """With equal cluster counts but an extra sub-threshold pairing, matched
+    ids remap and the assignment keeps mapping.get(c, c) semantics (ref :221)."""
+    prev = np.array([0] * 5 + [1] * 5)
+    new = np.array([7] * 5 + [8] * 5)
+    out = matching.match_clusters(prev, new, method="hungarian", min_overlap=3)
+    assert list(out[:5]) == [0] * 5
+    assert list(out[5:]) == [1] * 5
+
+
+def test_sinkhorn_matches_pot_plan():
+    """Our jitted Sinkhorn vs the POT library if available, else the analytic
+    doubly-stochastic property."""
+    rng = np.random.default_rng(0)
+    cost = rng.random((4, 5))
+    a = np.ones(4) / 4
+    b = np.ones(5) / 5
+    plan = np.asarray(matching.sinkhorn(a, b, cost, reg=0.1, n_iters=500))
+    np.testing.assert_allclose(plan.sum(axis=1), a, atol=1e-4)
+    np.testing.assert_allclose(plan.sum(axis=0), b, atol=1e-4)
+    try:
+        import ot  # POT, used by the reference (matrix_operations.py:198)
+    except ImportError:
+        return
+    want = ot.sinkhorn(a, b, cost, reg=0.1)
+    np.testing.assert_allclose(plan, want, atol=1e-4)
+
+
+def test_pot_matching_end_to_end():
+    prev = np.array([0] * 10 + [1] * 10)
+    new = np.array([5] * 10 + [6] * 10)
+    out = matching.match_clusters(prev, new, method="pot", min_overlap=3)
+    np.testing.assert_array_equal(out, prev)
+
+
+def test_invalid_method_raises():
+    with pytest.raises(ValueError):
+        matching.match_clusters(np.array([0, 0, 0]), np.array([1, 1, 1]),
+                                method="nope", min_overlap=1)

@@ -1,0 +1,53 @@
+"""Randomized truncated SVD vs exact SVD (subspace/spectrum-level parity —
+sign/rotation ambiguity makes elementwise comparison meaningless, SURVEY.md §7.3)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mused_tpu.ops import reduction
+
+
+def decaying(rng, n, d, power=1.0):
+    """Matrix with a polynomially decaying spectrum (adjacency-like regime —
+    flat-spectrum Gaussians are the known worst case for any randomized SVD)."""
+    u, _ = np.linalg.qr(rng.normal(size=(n, min(n, d))))
+    v, _ = np.linalg.qr(rng.normal(size=(d, min(n, d))))
+    s = (np.arange(1, min(n, d) + 1, dtype=np.float64)) ** (-power) * 20
+    return (u * s[None, :]) @ v.T
+
+
+def test_spectrum_matches_exact(rng):
+    x = decaying(rng, 120, 80).astype(np.float32)
+    u, s, vt = reduction.randomized_svd(jnp.asarray(x), 10, jax.random.key(0))
+    s_exact = np.linalg.svd(x, compute_uv=False)[:10]
+    np.testing.assert_allclose(np.asarray(s), s_exact, rtol=1e-3)
+
+
+def test_low_rank_reconstruction(rng):
+    base = rng.normal(size=(6, 64)).astype(np.float32)
+    x = (rng.normal(size=(100, 6)).astype(np.float32) @ base)
+    u, s, vt = reduction.randomized_svd(jnp.asarray(x), 6, jax.random.key(1))
+    recon = np.asarray(u * s[None, :]) @ np.asarray(vt)
+    np.testing.assert_allclose(recon, x, atol=1e-2 * np.abs(x).max())
+
+
+def test_svd_reduce_matches_sklearn_geometry(rng):
+    """fit_transform outputs agree with sklearn up to orthogonal transform:
+    compare pairwise distance matrices of the embeddings."""
+    from sklearn.decomposition import TruncatedSVD
+    x = decaying(rng, 60, 40).astype(np.float32)
+    ours = np.asarray(reduction.svd_reduce(jnp.asarray(x), 5, jax.random.key(2)))
+    skl = TruncatedSVD(n_components=5, random_state=0).fit_transform(x)
+    def pdist(a):
+        return np.linalg.norm(a[:, None, :] - a[None, :, :], axis=-1)
+    np.testing.assert_allclose(pdist(ours), pdist(skl), rtol=2e-2, atol=2e-2)
+
+
+def test_svd_reduce_dim_clamp(rng):
+    """reduced_dim > d-1 clamps like the reference (matrix_operations.py:145)
+    but pads the output back to a static width."""
+    x = rng.normal(size=(20, 4)).astype(np.float32)
+    out = np.asarray(reduction.svd_reduce(jnp.asarray(x), 8, jax.random.key(0)))
+    assert out.shape == (20, 8)
+    assert np.all(out[:, 3:] == 0)  # only min(8, 4-1)=3 live components

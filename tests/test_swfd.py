@@ -1,0 +1,81 @@
+"""Sliding-window FD: window coverage, expiry, and the reference .fit/.get contract."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mused_tpu.ops import fd, swfd
+
+
+def window_cov_error(stream: np.ndarray, sketch, window: int) -> float:
+    w = stream[-window:] if len(stream) > window else stream
+    b = np.asarray(sketch, np.float64)
+    return float(np.linalg.norm(w.T @ w - b.T @ b, 2))
+
+
+def test_tumbling_window_coverage(rng):
+    """At window-aligned query points, live blocks tile the window exactly, so
+    the sketch obeys the plain FD bound w.r.t. the *window* rows only."""
+    n, d, ell, n_windows = 64, 48, 16, 5
+    st = swfd.init(n, d, ell)
+    block_rows = swfd.choose_block_rows(n, ell)
+    seen = []
+    for w in range(n_windows):
+        rows = rng.normal(size=(n, d)).astype(np.float32) * (w + 1)
+        seen.append(rows)
+        st = swfd.update(st, jnp.asarray(rows), window=n, block_rows=block_rows)
+        sketch, err, sq_fro, count = swfd.query(st, window=n, sketch_dim=ell)
+        assert int(count) == n * (w + 1)
+        window_rows = np.concatenate(seen)[-n:]
+        bound = np.linalg.norm(window_rows, "fro") ** 2 / ell * 2.0  # block + final shrink
+        assert window_cov_error(np.concatenate(seen), sketch, n) <= bound
+
+
+def test_old_rows_expire(rng):
+    """After many windows of huge rows followed by windows of small rows, the
+    sketch must track the small regime — old mass must be gone."""
+    n, d, ell = 32, 32, 8
+    st = swfd.init(n, d, ell)
+    br = swfd.choose_block_rows(n, ell)
+    big = rng.normal(size=(3 * n, d)).astype(np.float32) * 1e3
+    small = rng.normal(size=(n, d)).astype(np.float32)
+    st = swfd.update(st, jnp.asarray(big), window=n, block_rows=br)
+    st = swfd.update(st, jnp.asarray(small), window=n, block_rows=br)
+    sketch, *_ = swfd.query(st, window=n, sketch_dim=ell)
+    # sketch energy must be on the order of the small window, not the big past
+    sketch_fro = float(jnp.sum(sketch * sketch))
+    small_fro = float(np.linalg.norm(small, "fro") ** 2)
+    assert sketch_fro <= small_fro * 1.05
+
+
+def test_seq_based_swfd_reference_contract(rng):
+    """Drop-in contract of reference main.py:60-76: constructor, row-wise fit,
+    4-tuple get with (sketch_dim, d) first element."""
+    n, d, ell = 16, 24, 4
+    fused = rng.integers(0, 2, size=(n, d)).astype(np.float32)
+    max_norm = float(np.max(np.linalg.norm(fused, axis=1) ** 2))
+    sk = swfd.SeqBasedSWFD(N=n, R=max_norm, d=d, sketch_dim=ell)
+    for i in range(n):
+        sk.fit(fused[i, :].reshape(1, -1))
+    out = sk.get()
+    assert len(out) == 4
+    b = np.asarray(out[0])
+    assert b.shape == (ell, d)
+    assert np.isfinite(b).all()
+    # sanity: sketch approximates the fed rows
+    err = window_cov_error(fused, b, n)
+    assert err <= np.linalg.norm(fused, "fro") ** 2 / ell * 2.0
+
+
+def test_block_fit_equivalent_accuracy(rng):
+    n, d, ell = 64, 32, 8
+    rows = rng.normal(size=(4 * n, d)).astype(np.float32)
+    sk = swfd.SeqBasedSWFD(N=n, R=1.0, d=d, sketch_dim=ell)
+    sk.fit(rows)  # blocked
+    err = window_cov_error(rows, sk.get()[0], n)
+    assert err <= np.linalg.norm(rows[-n:], "fro") ** 2 / ell * 2.0
+
+
+def test_choose_block_rows_divides_window():
+    for n in (8, 100, 2000, 500, 7):
+        b = swfd.choose_block_rows(n, 50)
+        assert n % b == 0
