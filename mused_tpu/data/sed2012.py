@@ -1,0 +1,181 @@
+"""SED2012 dataset ingest (MediaEval Social Event Detection 2012).
+
+Re-implements reference data_loader.py:9-188 with a TPU-serving-minded ingest:
+the reference DOM-parses the full ~400MB metadata XML into memory (reference
+data_loader.py:131, its slowest I/O per SURVEY.md §3.1); here we stream with
+``xml.etree.ElementTree.iterparse`` and clear elements as we go, so peak host
+memory is one photo record.
+
+Output schema and label semantics match the reference exactly:
+columns [id, datetaken, dateupload, latitude, longitude, title, description,
+tags, username, event_id, is_event, event_type]; timestamps converted with the
+same '0000-00-00 ...' sentinel replacement; text cleaned with the same regex
+pipeline.
+"""
+from __future__ import annotations
+
+import datetime
+import os
+import re
+import time
+import xml.etree.ElementTree as ET
+
+import numpy as np
+import pandas as pd
+
+DATASET_DIR = "dataset/sed2012"
+
+
+def clean_text(text: str) -> str:
+    """Reference text normalization (data_loader.py:180-185)."""
+    text = text.strip()
+    text = re.sub(r"<.*?>", " ", text)
+    text = re.sub(r"[^a-zA-Z0-9\s]", " ", text)
+    text = re.sub(r"\s+", " ", text)
+    return text.strip().lower()
+
+
+def convert_to_timestamp(x: str) -> float:
+    """Reference timestamp conversion (data_loader.py:187-188)."""
+    return time.mktime(
+        datetime.datetime.strptime(x, "%Y-%m-%d %H:%M:%S.%f").timetuple())
+
+
+def parse_ground_truth(lines, ground_truth: dict, class_counter: int = 1) -> int:
+    """One ground-truth txt: each line lists a comma-separated photo-id group
+    forming one event class (reference data_loader.py:115-128).  Returns the
+    next unused class id."""
+    counter = class_counter
+    for line in lines:
+        ids = [tok.strip() for tok in line.strip().split(",") if tok.strip()]
+        if not ids:
+            continue
+        for pid in ids:
+            ground_truth[pid] = counter
+        counter += 1
+    return counter
+
+
+def load_sed2012_dataset(dataset_dir: str = DATASET_DIR) -> pd.DataFrame:
+    """Full reference loader (data_loader.py:9-50): 3 ground-truth files ->
+    photoID->eventID map; streamed XML metadata parse; derived is_event /
+    event_type labels; timestamp conversion."""
+    metadata_file = os.path.join(dataset_dir, "sed2012_metadata.xml")
+    ground_truth: dict[str, int] = {}
+    ranges = {}
+    lo = 1
+    for name, fname in (("technical", "technical_events.txt"),
+                        ("soccer", "soccer_events.txt"),
+                        ("indignados", "indignados_events.txt")):
+        with open(os.path.join(dataset_dir, fname)) as f:
+            nxt = parse_ground_truth(f.readlines(), ground_truth,
+                                     class_counter=lo)
+        ranges[name] = (lo, nxt - 1)
+        lo = nxt
+
+    df = parse_metadata(metadata_file, ground_truth)
+
+    min_tech, max_tech = ranges["technical"]
+    _, max_ind = ranges["indignados"]
+    min_soc, max_soc = ranges["soccer"]
+    min_ind = ranges["indignados"][0]
+
+    eid = df["event_id"].to_numpy()
+    df["is_event"] = np.where((eid >= min_tech) & (eid <= max_ind), 1, 0)
+    df["event_type"] = np.select(
+        [(eid >= min_tech) & (eid <= max_tech),
+         (eid >= min_soc) & (eid <= max_soc),
+         (eid >= min_ind) & (eid <= max_ind)],
+        [1, 2, 3], default=0)
+
+    for col in ("datetaken", "dateupload"):
+        df[col] = (df[col]
+                   .replace(["0000-00-00 00:00:00"], "1970-01-01 00:00:00")
+                   .apply(convert_to_timestamp))
+    return df
+
+
+def parse_metadata(metadata_path: str, ground_truth: dict) -> pd.DataFrame:
+    """Streaming equivalent of reference get_modalities (data_loader.py:130-178)."""
+    rows = []
+    context = ET.iterparse(metadata_path, events=("end",))
+    for _, elem in context:
+        if elem.tag != "photo":
+            continue
+        pid = elem.get("id", "")
+        event_id = ground_truth.get(pid, 0)
+        datetaken = (elem.get("dateTaken") or "").strip()
+        dateupload = (elem.get("dateUploaded") or "").strip()
+        username = (elem.get("username") or "").strip()
+        loc = elem.find("location")
+        try:
+            latitude = float(loc.get("latitude"))
+            longitude = float(loc.get("longitude"))
+        except (AttributeError, TypeError, ValueError):
+            latitude, longitude = np.nan, np.nan
+        tags = [clean_text(t.text) for t in elem.findall(".//tag")
+                if t.text is not None]
+        title_el = elem.find("title")
+        title = clean_text(title_el.text) if (title_el is not None and title_el.text) else ""
+        desc_el = elem.find("description")
+        description = clean_text(desc_el.text) if (desc_el is not None and desc_el.text) else ""
+        rows.append([pid, datetaken, dateupload, latitude, longitude,
+                     title, description, tags, username, event_id])
+        elem.clear()
+
+    df = pd.DataFrame(rows, columns=["id", "datetaken", "dateupload", "latitude",
+                                     "longitude", "title", "description", "tags",
+                                     "username", "event_id"])
+    df["id"] = df["id"].astype(int)
+    return df
+
+
+def prepare_modalities(df: pd.DataFrame, subset_size: int = 10000,
+                       sort_by_uploaded: bool = True, event_types: bool = False,
+                       binary: bool = False, noise_rate: float = 0.95,
+                       seed: int = 0):
+    """Label-mode selection + seeded noise/event subsampling + modality split
+    (reference data_loader.py:52-113, replicated exactly: same RNG stream,
+    same sampling arithmetic, same output layout)."""
+    if binary:
+        labels = df["is_event"].to_numpy()
+    elif event_types:
+        labels = df["event_type"].to_numpy()
+    else:
+        labels = df["event_id"].to_numpy()
+
+    subset_size = min(subset_size, len(df))
+    rng = np.random.default_rng(seed=seed)
+
+    if 0 <= noise_rate < 1.0:
+        noise_indices = np.where(labels == 0)[0]
+        event_indices = np.where(labels > 0)[0]
+        num_events = min(int((1 - noise_rate) * subset_size), len(event_indices))
+        num_noise = subset_size - num_events
+        sampled_noise = rng.choice(noise_indices, num_noise, replace=False)
+        sampled_events = rng.choice(event_indices, num_events, replace=False)
+        sampled = np.sort(np.concatenate([sampled_noise, sampled_events]))
+        df = df.iloc[sampled]
+
+    if sort_by_uploaded:
+        df = df.sort_values(by="dateupload")
+
+    time_modality = df[["datetaken", "dateupload"]].to_numpy()
+    location_modality = df[["latitude", "longitude"]].to_numpy()
+    username_modality = df[["username"]].to_numpy()
+    tags_modality = df[["tags"]].to_numpy()
+    text_modality = df[["title", "description"]].to_numpy()
+
+    if binary:
+        labels = df["is_event"].to_numpy()
+    elif event_types:
+        labels = df["event_type"].to_numpy()
+    else:
+        labels = df["event_id"].to_numpy()
+
+    assert (time_modality.shape[0] == location_modality.shape[0]
+            == text_modality.shape[0] == labels.shape[0])
+
+    return ([location_modality, time_modality, username_modality,
+             tags_modality, text_modality],
+            ["location", "time", "username", "tags", "text"], labels)

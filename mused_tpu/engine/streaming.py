@@ -1,0 +1,234 @@
+"""Streaming engine: the tumbling/sliding-window pipeline.
+
+Reproduces reference main.py:13-130 (process_streaming_data) as a host loop
+around ONE jitted device graph per window:
+
+    featurize (host) ->
+      [adjacency x5 -> OR-fuse -> (SWFD update+query | randomized SVD)
+       -> (KMeans | MiniBatchKMeans)]  (single jit, state donated) ->
+    cluster matching (host, tiny) -> metric accumulation (host)
+
+vs the reference's per-window sequence of sklearn calls and a per-row Python
+``swfd.fit`` loop.  DBSCAN-family approaches split the graph: the device step
+returns the reduced matrix and the density clustering runs via the device
+DBSCAN propagation kernel under host glue (ops/dbscan.py).
+
+Window semantics preserved exactly (SURVEY.md §2.4): trigger at
+``len(window)==window_size and (i+1)*step_window_ratio % window_size == 0``;
+per-window n_clusters = unique ground-truth labels in the window (quirk);
+SWFD sketch state persists across the whole stream; SWFDMC's reduced matrix
+is the transposed sketch; clustering-failure fallback assigns all-noise.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mused_tpu.data import features as feat
+from mused_tpu.ops import affinity, dbscan, kmeans, matching, reduction, swfd
+from mused_tpu.utils import metrics as metrics_mod
+from mused_tpu.utils.config import PipelineConfig
+
+
+class StreamState(NamedTuple):
+    """Cross-window device state."""
+
+    swfd: swfd.SWFDState
+    minibatch: kmeans.MiniBatchState
+
+
+def _fuse_standard(location, times, user_ids, tags, text, k_basis: int):
+    return affinity.multimodal_fused_adjacency(
+        location, times, user_ids, tags, text, k_basis=k_basis)
+
+
+@functools.partial(jax.jit, static_argnames=("k_basis",))
+def _fuse_generic(mats: tuple, *, k_basis: int):
+    """Default-modality path (numeric arrays, e.g. the synthetic stream):
+    Euclidean kNN adjacency per modality + OR fusion (ref matrix_operations.py:112-119)."""
+    return affinity.fuse([affinity.euclidean_adjacency(m, k_basis) for m in mats])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("approach", "k_basis", "reduced_dim", "k_max", "window",
+                     "block_rows"),
+    donate_argnames=("state",),
+)
+def _window_step(state: StreamState, fused: jax.Array, n_clusters: jax.Array,
+                 key: jax.Array, *, approach: str, k_basis: int,
+                 reduced_dim: int, k_max: int, window: int, block_rows: int):
+    """Device portion of one window given the fused adjacency matrix.
+
+    Returns (new_state, reduced (n, reduced_dim or sketch row space), labels
+    (n,) or zeros for host-clustered approaches).
+    """
+    n = fused.shape[0]
+
+    if approach == "SWFDMC":
+        new_swfd = swfd.update(state.swfd, fused, window=window,
+                               block_rows=block_rows)
+        sketch, _, _, _ = swfd.query(new_swfd, window=window,
+                                     sketch_dim=reduced_dim)
+        # sketch is (reduced_dim, d=n): transpose so rows index datapoints
+        # (the reference's transpose workaround, main.py:73-76)
+        reduced = sketch.T
+        state = state._replace(swfd=new_swfd)
+    else:
+        reduced = reduction.svd_reduce(fused, reduced_dim, key)
+
+    if approach == "sSVDMC_mini":
+        new_mbk, labels = kmeans.minibatch_step(state.minibatch, reduced, key)
+        state = state._replace(minibatch=new_mbk)
+    elif approach in ("DBSCAN_incr", "DBSCAN_centr"):
+        labels = jnp.zeros((n,), jnp.int32)   # clustered by host glue
+    else:
+        labels, _ = kmeans.kmeans(reduced, n_clusters, key, k_max=k_max)
+    return state, reduced, labels
+
+
+class StreamingEngine:
+    """Host orchestration of the streaming pipeline for one approach."""
+
+    def __init__(self, cfg: PipelineConfig, d_per_modality: Sequence[int] | None = None):
+        self.cfg = cfg
+        n = cfg.window_size
+        ell = min(cfg.reduced_dim, n)
+        self.block_rows = swfd.choose_block_rows(n, ell, cfg.swfd_target_blocks)
+        self.k_max = max(cfg.n_clusters_total, 2)
+        # SWFD state is O(slots * ell * n); only pay for it when used
+        swfd_state = (swfd.init(n, n, ell, block_rows=self.block_rows)
+                      if cfg.approach == "SWFDMC"
+                      else swfd.init(1, 1, 1, block_rows=1))
+        self.state = StreamState(
+            swfd=swfd_state,
+            minibatch=kmeans.minibatch_init(self.k_max, cfg.reduced_dim),
+        )
+        self.incr_clusterer: dbscan.IncrementalDBSCAN | None = None
+        self.prev_centroids = None
+        self.prev_centroid_labels = None
+        self.swfd_R: float | None = None   # recorded like reference main.py:61
+
+    # ------------------------------------------------------------------
+    def fused_adjacency(self, window_modalities, modality_types):
+        """Host featurize + device adjacency/fusion for one window."""
+        cfg = self.cfg
+        if list(modality_types) == list(("location", "time", "username",
+                                         "tags", "text")):
+            loc, tim, user, tags, text = window_modalities
+            wf = feat.featurize_window(loc, tim, user, tags, text, cfg.features)
+            return _fuse_standard(wf.location, wf.times, wf.user_ids, wf.tags,
+                                  wf.text, cfg.k_basis)
+        mats = tuple(jnp.asarray(np.asarray(m, np.float32))
+                     for m in window_modalities)
+        return _fuse_generic(mats, k_basis=cfg.k_basis)
+
+    # ------------------------------------------------------------------
+    def process_window(self, window_modalities, modality_types,
+                       window_true_labels, window_index: int,
+                       prev_clusters) -> np.ndarray:
+        """One full window: device step + host clustering glue + matching."""
+        cfg = self.cfg
+        fused = self.fused_adjacency(window_modalities, modality_types)
+
+        if cfg.approach == "SWFDMC" and self.swfd_R is None:
+            # reference sizes the sketch with the first window's max squared
+            # row norm (main.py:61); our block ring doesn't need it, but we
+            # record it for parity/diagnostics
+            self.swfd_R = float(jnp.max(jnp.sum(fused * fused, axis=1)))
+
+        n_clusters = int(len(np.unique(window_true_labels)))
+        key = jax.random.fold_in(jax.random.key(cfg.seed), window_index)
+        self.state, reduced, labels = _window_step(
+            self.state, fused, jnp.int32(n_clusters), key,
+            approach=cfg.approach, k_basis=cfg.k_basis,
+            reduced_dim=cfg.reduced_dim, k_max=self.k_max,
+            window=cfg.window_size, block_rows=self.block_rows)
+
+        if cfg.approach == "DBSCAN_incr":
+            if self.incr_clusterer is None:
+                self.incr_clusterer = dbscan.IncrementalDBSCAN(
+                    eps=cfg.eps, min_pts=cfg.min_samples)
+            reduced_np = np.asarray(reduced)
+            clusters = self.incr_clusterer.insert(reduced_np) \
+                .get_cluster_labels(reduced_np)
+        elif cfg.approach == "DBSCAN_centr":
+            clusters, self.prev_centroids, self.prev_centroid_labels = \
+                dbscan.dbscan_centroid_incremental(
+                    np.asarray(reduced), self.prev_centroids,
+                    self.prev_centroid_labels, eps=cfg.eps,
+                    min_samples=cfg.min_samples)
+        else:
+            clusters = np.asarray(labels)
+
+        # cross-window matching (reference main.py:105-112, min_overlap=3)
+        method = "pot" if cfg.approach == "sSVDMC_pot" else "hungarian"
+        if cfg.approach != "DBSCAN_centr":   # centr does its own matching
+            clusters = matching.match_clusters(
+                prev_clusters, clusters, method=method, min_overlap=3,
+                sinkhorn_reg=cfg.sinkhorn_reg,
+                sinkhorn_iters=cfg.sinkhorn_iters)
+
+        if clusters is None or len(clusters) == 0:
+            # clustering-failure fallback: all-noise window (main.py:114-116)
+            clusters = np.full(cfg.window_size, 0)
+        return np.asarray(clusters)
+
+
+def process_streaming_data(results, data_modalities, modality_types,
+                           window_size, reduced_dim, k_basis, n_clusters_total,
+                           seed, approach, complete_true_labels,
+                           step_window_ratio, noise_rate, label_mode, sorting,
+                           eps, min_samples, cfg: PipelineConfig | None = None):
+    """Drop-in equivalent of reference main.py:13-130."""
+    total_start = metrics_mod.now_ns()
+
+    subset_size = len(data_modalities[0])
+    label_mode_for_k = {2: "binary", 4: "types"}.get(n_clusters_total, "all")
+    if cfg is None:
+        cfg = PipelineConfig(
+            seed=seed, subset_size=subset_size, noise_rate=noise_rate,
+            label_mode=label_mode_for_k, sorting=sorting,
+            window_size=window_size, reduced_dim=reduced_dim, k_basis=k_basis,
+            step_window_ratio=step_window_ratio, approach=approach,
+            eps=eps, min_samples=min_samples)
+
+    engine = StreamingEngine(cfg)
+    all_clusters: list[np.ndarray] = []
+    all_true_labels: list[np.ndarray] = []
+    prev_clusters = None
+    complete_true_labels = np.asarray(complete_true_labels)
+
+    windows = window_triggers(subset_size, window_size, step_window_ratio)
+    for w_idx, i in enumerate(windows):
+        lo, hi = i - window_size + 1, i + 1
+        window_modalities = [m[lo:hi] for m in data_modalities]
+        true_labels = complete_true_labels[lo:hi]
+        all_true_labels.append(true_labels)
+
+        clusters = engine.process_window(window_modalities, modality_types,
+                                         true_labels, w_idx, prev_clusters)
+        prev_clusters = clusters
+        all_clusters.append(clusters)
+
+    total_end = metrics_mod.now_ns()
+    all_true = np.concatenate(all_true_labels) if all_true_labels else np.empty(0, int)
+    all_clus = np.concatenate(all_clusters) if all_clusters else np.empty(0, int)
+    return metrics_mod.compute_all_metrics(
+        results, subset_size, noise_rate, label_mode, sorting, reduced_dim,
+        k_basis, window_size, all_clus, all_true, total_end, total_start)
+
+
+def window_triggers(subset_size: int, window_size: int,
+                    step_window_ratio: int) -> list[int]:
+    """Stream indices i at which a window fires (reference main.py:32):
+    full window and (i+1)*step_window_ratio % window_size == 0."""
+    out = []
+    for i in range(subset_size):
+        if i + 1 >= window_size and ((i + 1) * step_window_ratio) % window_size == 0:
+            out.append(i)
+    return out

@@ -1,0 +1,337 @@
+"""Density clustering family: DBSCAN / HDBSCAN / incremental variants.
+
+Replaces the reference's sklearn DBSCAN, hdbscan.HDBSCAN, incdbscan
+IncrementalDBSCAN, and the centroid-matched incremental DBSCAN (reference
+matrix_operations.py:235-243, 265-298; main.py:87-91).
+
+TPU-native split:
+  * all O(n^2) geometry (distance matrices, eps-graphs, core-point degrees,
+    mutual-reachability) runs on device as masked matmuls;
+  * DBSCAN's connected components run on device as a min-label propagation
+    ``lax.while_loop`` (label lattice converges in graph-diameter steps);
+  * HDBSCAN's MST + condensed-tree extraction is irreducibly sequential
+    union-find — that stays on host over the device-computed mutual
+    reachability matrix (one (n, n) readback per batch call).
+
+Label ids follow first-occurrence order like sklearn; noise is -1.  Border
+point ties may resolve differently than sklearn's insertion order (documented
+deviation — downstream metrics are permutation-invariant or matched,
+SURVEY.md §2.4).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .kmeans import _sq_dists
+
+
+def _first_occurrence_compaction(roots: jax.Array, is_clustered: jax.Array) -> jax.Array:
+    """Relabel root row-ids to consecutive ints by first occurrence; -1 noise."""
+    n = roots.shape[0]
+    arange = jnp.arange(n)
+    safe_roots = jnp.where(is_clustered, roots, 0)
+    first = jnp.full((n,), n, jnp.int32).at[safe_roots].min(
+        jnp.where(is_clustered, arange, n).astype(jnp.int32))
+    first_of = first[safe_roots]                      # first row index of my cluster
+    is_rep = is_clustered & (arange == first_of)
+    rank = jnp.cumsum(is_rep.astype(jnp.int32)) - 1   # rank of rep at its own row
+    new = rank[first_of]
+    return jnp.where(is_clustered, new, -1).astype(jnp.int32)
+
+
+@jax.jit
+def dbscan_labels(x: jax.Array, eps: jax.Array, min_samples: jax.Array) -> jax.Array:
+    """DBSCAN on (n, d) points -> (n,) int32 labels, noise = -1.
+
+    Device algorithm: eps-graph + core mask, then min-label propagation over
+    the core-core subgraph (connected components), then border attachment to
+    the minimum-labeled core neighbor.
+    """
+    n = x.shape[0]
+    d2 = _sq_dists(x.astype(jnp.float32), x.astype(jnp.float32))
+    within = d2 <= (eps * eps)                       # includes self
+    core = jnp.sum(within, axis=1) >= min_samples
+    core_edge = within & core[:, None] & core[None, :]
+
+    labels0 = jnp.where(core, jnp.arange(n), n).astype(jnp.int32)
+
+    def body(state):
+        labels, _ = state
+        neigh_min = jnp.min(jnp.where(core_edge, labels[None, :], n), axis=1)
+        new = jnp.minimum(labels, neigh_min.astype(jnp.int32))
+        return new, jnp.any(new != labels)
+
+    labels, _ = jax.lax.while_loop(lambda s: s[1], body, (labels0, jnp.asarray(True)))
+
+    # border points: non-core within eps of a core point -> that root's label
+    border_min = jnp.min(jnp.where(within & core[None, :], labels[None, :], n), axis=1)
+    is_border = (~core) & (border_min < n)
+    roots = jnp.where(core, labels, jnp.where(is_border, border_min, 0)).astype(jnp.int32)
+    clustered = core | is_border
+    return _first_occurrence_compaction(roots, clustered)
+
+
+def dbscan(data, eps: float = 0.5, min_samples: int = 5) -> np.ndarray:
+    """Host-facing DBSCAN (reference matrix_operations.py:235-238)."""
+    x = jnp.asarray(np.asarray(data, np.float32))
+    return np.asarray(dbscan_labels(x, jnp.float32(eps), jnp.int32(min_samples)))
+
+
+# ---------------------------------------------------------------------------
+# HDBSCAN (batch): device mutual-reachability, host MST + eom extraction
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def mutual_reachability(x: jax.Array, min_samples: jax.Array) -> jax.Array:
+    """(n, n) mutual reachability: max(core_i, core_j, d_ij); core_k(i) is the
+    distance to the min_samples-th nearest neighbor (self counts, as in the
+    hdbscan library the reference wraps)."""
+    n = x.shape[0]
+    d = jnp.sqrt(_sq_dists(x.astype(jnp.float32), x.astype(jnp.float32)))
+    dsort = jnp.sort(d, axis=1)
+    k = jnp.clip(min_samples - 1, 0, n - 1)
+    core = dsort[:, k]
+    return jnp.maximum(jnp.maximum(core[:, None], core[None, :]), d)
+
+
+class _UnionFind:
+    def __init__(self, n):
+        self.parent = list(range(n))
+
+    def find(self, a):
+        while self.parent[a] != a:
+            self.parent[a] = self.parent[self.parent[a]]
+            a = self.parent[a]
+        return a
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.parent[rb] = ra
+        return ra
+
+
+def hdbscan(data, min_cluster_size: int = 5, min_samples: int = 2) -> np.ndarray:
+    """HDBSCAN with excess-of-mass extraction (reference matrix_operations.py:240-243).
+
+    Device mutual-reachability -> host MST -> single-linkage merge tree ->
+    condensed tree (min_cluster_size) -> eom selection -> labels.  Validated
+    against sklearn.cluster.HDBSCAN in tests/test_dbscan.py.
+    """
+    from scipy.sparse.csgraph import minimum_spanning_tree
+
+    x = np.asarray(data, np.float32)
+    n = len(x)
+    if n == 0:
+        return np.empty(0, np.int64)
+    if n == 1:
+        return np.array([-1], np.int64)
+    mreach = np.asarray(mutual_reachability(jnp.asarray(x), jnp.int32(min_samples)),
+                        np.float64)
+    mst = minimum_spanning_tree(mreach).tocoo()
+    edges = sorted(zip(mst.data, mst.row, mst.col))
+
+    # single-linkage merge tree; internal nodes get ids >= n
+    uf = _UnionFind(2 * n - 1)
+    node_of_root = list(range(n))
+    size = [1] * n + [0] * (n - 1)
+    children: list[tuple | None] = [None] * (2 * n - 1)
+    next_node = n
+    for dist, a, b in edges:
+        ra, rb = uf.find(int(a)), uf.find(int(b))
+        na, nb = node_of_root[ra], node_of_root[rb]
+        r = uf.union(ra, rb)
+        node_of_root[r] = next_node
+        size[next_node] = size[na] + size[nb]
+        children[next_node] = (na, nb, dist)
+        next_node += 1
+    root = next_node - 1
+
+    def subtree_points(node):
+        out, stack = [], [node]
+        while stack:
+            m = stack.pop()
+            if m < n:
+                out.append(m)
+            else:
+                a, b, _ = children[m]
+                stack.extend((a, b))
+        return out
+
+    # Condensed tree walk.  For each cluster c we record:
+    #   point_out[p] = (c, lambda) for points that fall out of c directly
+    #   cluster_parent/child links and birth lambdas for true splits
+    lam_birth = {root: 0.0}
+    cluster_parent: dict[int, int] = {}
+    child_clusters: dict[int, list[int]] = {root: []}
+    point_parent: dict[int, int] = {}
+    point_out_lambda = np.zeros(n)
+
+    stack = [root]
+    while stack:
+        c = stack.pop()
+        child_clusters.setdefault(c, [])
+        node_stack = [c]
+        while node_stack:
+            m = node_stack.pop()
+            if m < n:
+                # leaf point directly inside c (only when min_cluster_size==1
+                # or c itself is tiny); falls out "never" -> lambda inf capped later
+                point_parent[m] = c
+                point_out_lambda[m] = np.inf
+                continue
+            a, b, dist = children[m]
+            lam = 1.0 / dist if dist > 0 else np.inf
+            big_a = size[a] >= min_cluster_size
+            big_b = size[b] >= min_cluster_size
+            if big_a and big_b:
+                # true split: both sides become child clusters of c
+                for ch in (a, b):
+                    lam_birth[ch] = lam
+                    cluster_parent[ch] = c
+                    child_clusters[c].append(ch)
+                    stack.append(ch)
+            else:
+                for side, big in ((a, big_a), (b, big_b)):
+                    if big:
+                        node_stack.append(side)
+                    else:
+                        for p in subtree_points(side):
+                            point_parent[p] = c
+                            point_out_lambda[p] = lam
+
+    # cap inf lambdas at the max finite out-lambda within each cluster
+    finite = point_out_lambda[np.isfinite(point_out_lambda)]
+    cap = finite.max() if len(finite) else 1.0
+    point_out_lambda = np.where(np.isfinite(point_out_lambda), point_out_lambda, cap)
+
+    # stability(c) = sum_points (lambda_out - birth) + sum_children (birth_child - birth)*size_subtree(child)
+    stability: dict[int, float] = {c: 0.0 for c in child_clusters}
+    for p, c in point_parent.items():
+        stability[c] += max(point_out_lambda[p] - lam_birth[c], 0.0)
+    for ch, par in cluster_parent.items():
+        stability[par] += max(lam_birth[ch] - lam_birth[par], 0.0) * _subtree_size(ch, children, n)
+
+    # excess-of-mass: bottom-up, a cluster wins if its stability beats the sum
+    # of its children's winning stabilities (root never selected)
+    selected: set[int] = set()
+
+    def select(c) -> float:
+        kids = child_clusters.get(c, [])
+        if not kids:
+            if c != root:
+                selected.add(c)
+            return stability[c]
+        kid_sum = sum(select(k) for k in kids)
+        if c != root and stability[c] >= kid_sum:
+            # unselect all descendants
+            drop = []
+            for k in selected:
+                if _is_descendant(k, c, child_clusters):
+                    drop.append(k)
+            for k in drop:
+                selected.discard(k)
+            selected.add(c)
+            return stability[c]
+        return kid_sum
+
+    select(root)
+
+    # labeling: walk each point's condensed parent chain up to the nearest
+    # selected cluster (hdbscan do_labelling semantics); root -> noise
+    labels = np.full(n, -1, np.int64)
+    for p in range(n):
+        c = point_parent.get(p, root)
+        while c != root and c not in selected:
+            c = cluster_parent[c]
+        if c in selected:
+            labels[p] = c
+
+    out = np.full(n, -1, np.int64)
+    mapping: dict[int, int] = {}
+    for i in range(n):
+        if labels[i] >= 0:
+            out[i] = mapping.setdefault(labels[i], len(mapping))
+    return out
+
+
+def _subtree_size(node, children, n) -> int:
+    total, stack = 0, [node]
+    while stack:
+        m = stack.pop()
+        if m < n:
+            total += 1
+        else:
+            a, b, _ = children[m]
+            stack.extend((a, b))
+    return total
+
+
+def _is_descendant(k, c, tree):
+    stack = list(tree.get(c, []))
+    while stack:
+        m = stack.pop()
+        if m == k:
+            return True
+        stack.extend(tree.get(m, []))
+    return False
+
+
+# ---------------------------------------------------------------------------
+# incremental variants
+# ---------------------------------------------------------------------------
+
+class IncrementalDBSCAN:
+    """insert/get_cluster_labels contract of the incdbscan library used at
+    reference main.py:87-91, rebuilt as re-clustering over a bounded buffer.
+
+    DBSCAN is deterministic given its input set, so re-running on the buffer
+    is result-equivalent to incremental insertion (modulo border-point ties);
+    the buffer cap bounds the O(n^2) device work per window.
+    """
+
+    def __init__(self, eps: float, min_pts: int, max_buffer: int = 8192):
+        self.eps = float(eps)
+        self.min_pts = int(min_pts)
+        self.max_buffer = int(max_buffer)
+        self._buf: np.ndarray | None = None
+        self._labels: np.ndarray | None = None
+
+    def insert(self, points) -> "IncrementalDBSCAN":
+        pts = np.asarray(points, np.float32)
+        self._buf = pts if self._buf is None else np.concatenate([self._buf, pts])
+        if len(self._buf) > self.max_buffer:
+            self._buf = self._buf[-self.max_buffer:]
+        self._labels = dbscan(self._buf, eps=self.eps, min_samples=self.min_pts)
+        return self
+
+    def get_cluster_labels(self, points) -> np.ndarray:
+        k = len(points)
+        return np.asarray(self._labels[-k:])
+
+
+def dbscan_centroid_incremental(data, previous_centroids, previous_labels,
+                                eps: float = 0.5, min_samples: int = 5):
+    """Per-window DBSCAN + centroid matching to the previous window
+    (reference matrix_operations.py:265-298): each new cluster centroid maps
+    to the nearest previous centroid and inherits its label."""
+    data = np.asarray(data, np.float32)
+    if data.ndim != 2:
+        return None, previous_centroids, previous_labels
+    labels = dbscan(data, eps=eps, min_samples=min_samples)
+    unique_clusters = [c for c in np.unique(labels) if c != -1]
+    new_centroids = np.array([data[labels == c].mean(axis=0) for c in unique_clusters]) \
+        if unique_clusters else np.empty((0, data.shape[1]), np.float32)
+
+    if previous_centroids is not None and len(previous_centroids) > 0 and len(new_centroids) > 0:
+        diff = new_centroids[:, None, :] - np.asarray(previous_centroids)[None, :, :]
+        matches = np.argmin(np.linalg.norm(diff, axis=-1), axis=1)
+        prev_labels = np.asarray(previous_labels)
+        mapping = {new: (prev_labels[old] if old < len(prev_labels) else -1)
+                   for new, old in enumerate(matches)}
+        labels = np.array([mapping[l] if l in mapping else l for l in labels])
+    return labels, new_centroids, np.unique(labels)

@@ -60,6 +60,8 @@ def mutual_information(a: np.ndarray, b: np.ndarray) -> float:
 def nmi(a: np.ndarray, b: np.ndarray) -> float:
     """Arithmetic-mean-normalized mutual information (sklearn default)."""
     a, b = np.asarray(a), np.asarray(b)
+    if len(a) == 0:
+        return 0.0  # empty stream: no windows ever fired
     ha, hb = _entropy(np.bincount(np.unique(a, return_inverse=True)[1])), \
         _entropy(np.bincount(np.unique(b, return_inverse=True)[1]))
     if ha == 0.0 and hb == 0.0:

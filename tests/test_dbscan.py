@@ -1,0 +1,79 @@
+"""DBSCAN family vs sklearn oracles (the reference wraps sklearn/hdbscan/incdbscan,
+reference matrix_operations.py:235-243, 265-298; main.py:87-91)."""
+import numpy as np
+import pytest
+from sklearn.cluster import DBSCAN as SkDBSCAN, HDBSCAN as SkHDBSCAN
+from sklearn.metrics import adjusted_rand_score
+
+from mused_tpu.ops import dbscan as dbs
+
+
+def blobs(rng, k=3, n_per=40, d=4, spread=0.08, with_noise=8):
+    centers = rng.normal(size=(k, d)) * 6
+    pts = np.concatenate([c + rng.normal(size=(n_per, d)) * spread for c in centers])
+    if with_noise:
+        pts = np.concatenate([pts, rng.uniform(-12, 12, size=(with_noise, d))])
+    return pts.astype(np.float32)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_dbscan_matches_sklearn_partition(seed):
+    rng = np.random.default_rng(seed)
+    x = blobs(rng)
+    ours = dbs.dbscan(x, eps=1.0, min_samples=3)
+    want = SkDBSCAN(eps=1.0, min_samples=3).fit_predict(x)
+    # identical noise mask and identical partition (labels may permute)
+    np.testing.assert_array_equal(ours == -1, want == -1)
+    mask = want != -1
+    assert adjusted_rand_score(want[mask], ours[mask]) == 1.0
+
+
+def test_dbscan_chain_connectivity():
+    """A straight chain of points within eps forms ONE cluster (propagation
+    must cross many hops)."""
+    x = np.stack([np.arange(50, dtype=np.float32) * 0.9,
+                  np.zeros(50, np.float32)], axis=1)
+    labels = dbs.dbscan(x, eps=1.0, min_samples=2)
+    assert (labels == 0).all()
+
+
+def test_dbscan_all_noise():
+    x = np.array([[0.0, 0], [10, 0], [0, 10]], np.float32)
+    labels = dbs.dbscan(x, eps=1.0, min_samples=2)
+    assert (labels == -1).all()
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_hdbscan_recovers_blobs_like_sklearn(seed):
+    rng = np.random.default_rng(seed)
+    x = blobs(rng, k=3, n_per=50, with_noise=6)
+    ours = dbs.hdbscan(x, min_cluster_size=5, min_samples=3)
+    want = SkHDBSCAN(min_cluster_size=5, min_samples=3).fit_predict(x)
+    assert adjusted_rand_score(want, ours) > 0.95
+    # same number of real clusters on clean blobs
+    assert len(set(ours) - {-1}) == len(set(want) - {-1}) == 3
+
+
+def test_incremental_dbscan_contract(rng):
+    x = blobs(rng, k=2, n_per=30, with_noise=4)
+    inc = dbs.IncrementalDBSCAN(eps=1.0, min_pts=3)
+    labels = inc.insert(x[:40]).get_cluster_labels(x[:40])
+    assert len(labels) == 40
+    labels2 = inc.insert(x[40:]).get_cluster_labels(x[40:])
+    assert len(labels2) == len(x) - 40
+    # equivalent to batch DBSCAN over everything inserted
+    batch = dbs.dbscan(x, eps=1.0, min_samples=3)
+    np.testing.assert_array_equal(labels2, batch[40:])
+
+
+def test_centroid_incremental_label_consistency(rng):
+    base = rng.normal(size=(2, 4)) * 6
+    w1 = np.concatenate([base[0] + rng.normal(size=(20, 4)) * 0.05,
+                         base[1] + rng.normal(size=(20, 4)) * 0.05]).astype(np.float32)
+    w2 = np.concatenate([base[1] + rng.normal(size=(20, 4)) * 0.05,
+                         base[0] + rng.normal(size=(20, 4)) * 0.05]).astype(np.float32)
+    l1, c1, u1 = dbs.dbscan_centroid_incremental(w1, None, None, eps=1.0, min_samples=3)
+    l2, c2, u2 = dbs.dbscan_centroid_incremental(w2, c1, u1, eps=1.0, min_samples=3)
+    # window-2 clusters land on the geometrically matching window-1 labels
+    assert l2[0] == l1[20]   # base[1] cluster keeps its id
+    assert l2[20] == l1[0]   # base[0] cluster keeps its id

@@ -1,0 +1,145 @@
+"""End-to-end pipeline tests on the synthetic SED-like fixture
+(the demo-config smoke tier the reference lacked, SURVEY.md §4)."""
+import numpy as np
+import pytest
+
+from mused_tpu import api
+from mused_tpu.data.synthetic import synthetic_events_dataframe, load_synthetic_dataset
+from mused_tpu.data.sed2012 import prepare_modalities
+
+
+@pytest.fixture(scope="module")
+def df():
+    return synthetic_events_dataframe(n_rows=420, n_events=4, noise_rate=0.5,
+                                      seed=0)
+
+
+@pytest.fixture(scope="module")
+def modalities(df):
+    return prepare_modalities(df, subset_size=256, sort_by_uploaded=True,
+                              binary=True, noise_rate=0.5, seed=0)
+
+
+STREAMING_APPROACHES = ["SWFDMC", "sSVDMC", "sSVDMC_hung", "sSVDMC_pot",
+                        "sSVDMC_mini", "DBSCAN_incr", "DBSCAN_centr"]
+
+
+@pytest.mark.parametrize("approach", STREAMING_APPROACHES)
+def test_streaming_approaches_run(modalities, approach):
+    mods, mtypes, labels = modalities
+    results, _ = api.get_initial_results()
+    results = api.process_streaming_data(
+        results=results, data_modalities=mods, modality_types=mtypes,
+        window_size=64, reduced_dim=8, k_basis=3, n_clusters_total=2,
+        seed=0, approach=approach, complete_true_labels=labels,
+        step_window_ratio=1, noise_rate=0.5, label_mode="binary",
+        sorting=True, eps=1.5, min_samples=2)
+    assert len(results["f1_score"]) == 1
+    assert 0.0 <= results["f1_score"][0] <= 1.0
+    assert results["processing_time"][0] > 0
+    # windows: 256 rows, window 64 -> 4 tumbling windows -> 256 labels scored
+    assert results["nmi_score"][0] >= 0.0
+
+
+@pytest.mark.parametrize("approach", ["SVDMC_batch", "DBSCAN_batch", "HDBSCAN_batch"])
+def test_batch_approaches_run(modalities, approach):
+    mods, mtypes, labels = modalities
+    results, _ = api.get_initial_results()
+    results = api.process_batch_data(
+        results=results, data_modalities=mods, modality_types=mtypes,
+        reduced_dim=8, k_basis=3, n_clusters=2, seed=0, approach=approach,
+        complete_true_labels=labels, noise_rate=0.5, label_mode="binary",
+        sorting=True, eps=1.5, min_samples=2, min_cluster_size=3,
+        window_size=64)
+    assert len(results["f1_score"]) == 1
+
+
+def test_streaming_detects_planted_events():
+    """On clean planted events with little noise, the full pipeline must beat
+    chance decisively (binary event detection NMI)."""
+    df = synthetic_events_dataframe(n_rows=380, n_events=3, noise_rate=0.4,
+                                    seed=1)
+    mods, mtypes, labels = prepare_modalities(df, subset_size=256,
+                                              sort_by_uploaded=True,
+                                              binary=False, event_types=True,
+                                              noise_rate=0.3, seed=1)
+    results, _ = api.get_initial_results()
+    results = api.process_streaming_data(
+        results=results, data_modalities=mods, modality_types=mtypes,
+        window_size=128, reduced_dim=8, k_basis=4, n_clusters_total=4,
+        seed=0, approach="sSVDMC", complete_true_labels=labels,
+        step_window_ratio=1, noise_rate=0.3, label_mode="types",
+        sorting=True, eps=1.5, min_samples=2)
+    assert results["nmi_score"][0] > 0.15
+
+
+def test_swfd_vs_svd_comparable_quality():
+    """SWFDMC's sketch-based reduction should land in the same quality
+    ballpark as exact SVD reduction on the same stream."""
+    df = synthetic_events_dataframe(n_rows=380, n_events=3, noise_rate=0.4,
+                                    seed=2)
+    mods, mtypes, labels = prepare_modalities(df, subset_size=256,
+                                              sort_by_uploaded=True,
+                                              binary=True, noise_rate=0.3,
+                                              seed=2)
+    scores = {}
+    for approach in ("sSVDMC", "SWFDMC"):
+        results, _ = api.get_initial_results()
+        results = api.process_streaming_data(
+            results=results, data_modalities=mods, modality_types=mtypes,
+            window_size=128, reduced_dim=8, k_basis=4, n_clusters_total=2,
+            seed=0, approach=approach, complete_true_labels=labels,
+            step_window_ratio=1, noise_rate=0.3, label_mode="binary",
+            sorting=True, eps=1.5, min_samples=2)
+        scores[approach] = results["nmi_score"][0]
+    assert scores["SWFDMC"] >= scores["sSVDMC"] - 0.25
+
+
+def test_default_modality_synthetic_stream():
+    """Single default-modality numeric stream (the synthetic .mat regime,
+    reference data_loader.py:190-195)."""
+    data = load_synthetic_dataset(subset_size=192, d=32)
+    labels = np.zeros(192, int)
+    labels[::3] = 1
+    results, _ = api.get_initial_results()
+    results = api.process_streaming_data(
+        results=results, data_modalities=data, modality_types=["default"],
+        window_size=64, reduced_dim=4, k_basis=3, n_clusters_total=2,
+        seed=0, approach="SWFDMC", complete_true_labels=labels,
+        step_window_ratio=1, noise_rate=0.0, label_mode="binary",
+        sorting=False, eps=1.5, min_samples=2)
+    assert len(results["f1_score"]) == 1
+
+
+def test_sliding_window_mode(modalities):
+    """step_window_ratio=2 fires twice per window span (overlapping windows)."""
+    from mused_tpu.engine.streaming import window_triggers
+    trig = window_triggers(subset_size=256, window_size=64, step_window_ratio=2)
+    # reference trigger: (i+1)*2 % 64 == 0 and i+1 >= 64 -> every 32 rows
+    assert trig == [i - 1 for i in range(64, 257, 32)]
+    mods, mtypes, labels = modalities
+    results, _ = api.get_initial_results()
+    results = api.process_streaming_data(
+        results=results, data_modalities=mods, modality_types=mtypes,
+        window_size=64, reduced_dim=8, k_basis=3, n_clusters_total=2,
+        seed=0, approach="sSVDMC", complete_true_labels=labels,
+        step_window_ratio=2, noise_rate=0.5, label_mode="binary",
+        sorting=True, eps=1.5, min_samples=2)
+    assert len(results["f1_score"]) == 1
+
+
+def test_reference_opslevel_api(modalities):
+    """The matrix_operations-level API surface also works standalone."""
+    mods, mtypes, _ = modalities
+    n = 48
+    adjs = [api.create_adjacency_matrix(m[:n], t, k_basis=3)
+            for m, t in zip(mods, mtypes)]
+    for a in adjs:
+        assert a.shape == (n, n)
+        assert set(np.unique(a)) <= {0.0, 1.0}
+    fused = api.fuse_matrices(adjs)
+    assert fused.shape == (n, n)
+    red = api.perform_svd_reduction(fused, 4, seed=0)
+    assert red.shape == (n, 4)
+    clusters = api.perform_clustering(red, 2, seed=0)
+    assert set(np.unique(clusters)) <= {0, 1}
