@@ -1,0 +1,99 @@
+"""Benchmark: SWFD sketch update throughput, device vs reference-style CPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Headline metric (BASELINE.md config #1 regime): streaming sliding-window
+Frequent-Directions updates/sec at d=1024, ell=64, window=2048 — the engine's
+actual sketch path (fd.hierarchical_sketch batched-lane FD + swfd ring absorb
++ per-window query).  Baseline: the reference's consumption pattern — a
+per-row Python ``swfd.fit(row)`` loop over a NumPy FD implementation
+(reference main.py:65-67) — measured on this host's CPU.
+
+Timing note: results are materialized with np.asarray, not
+block_until_ready — under the axon remote backend block_until_ready returns
+before execution completes.  Per-window sketches are consumed on-device; only
+the final state is pulled to host, so the stream is pipelined like the real
+engine's async dispatch.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def numpy_rowwise_fd(rows: np.ndarray, ell: int) -> float:
+    """Reference-style baseline: per-row Python FD updates (SVD shrink when
+    the 2*ell buffer fills).  Returns wall seconds."""
+    d = rows.shape[1]
+    buf = np.zeros((2 * ell, d), np.float32)
+    fill = 0
+    t0 = time.perf_counter()
+    for i in range(rows.shape[0]):
+        row = rows[i, :].reshape(1, -1)     # the reference's per-row reshape
+        if fill == 2 * ell:
+            _, s, vt = np.linalg.svd(buf, full_matrices=False)
+            delta = s[ell] ** 2
+            s2 = np.sqrt(np.maximum(s * s - delta, 0.0))
+            buf = s2[:, None] * vt
+            fill = ell
+        buf[fill] = row[0]
+        fill += 1
+    return time.perf_counter() - t0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    try:
+        jax.devices()
+    except RuntimeError:
+        # TPU tunnel unavailable: fall back to CPU so the bench still reports
+        jax.config.update("jax_platforms", "cpu")
+
+    from mused_tpu.ops import fd, swfd
+
+    d, ell, window = 1024, 64, 2048
+    n_windows = 32
+    n_bench = window * n_windows
+    rng = np.random.default_rng(0)
+    rows = rng.normal(size=(n_bench, d)).astype(np.float32)
+    windows = jnp.asarray(rows.reshape(n_windows, window, d))
+
+    @jax.jit
+    def stream_step(state, w):
+        blk, sq_fro, _ = fd.hierarchical_sketch(w, ell=ell, lanes=16)
+        state = swfd.absorb_summary(state, blk, jnp.int32(window), sq_fro)
+        sketch, _, _, _ = swfd.query(state, window=window, sketch_dim=ell)
+        return state, sketch
+
+    @jax.jit
+    def run(ws):
+        state = swfd.init(window, d, ell, block_rows=window)
+        state, sketches = jax.lax.scan(stream_step, state, ws)
+        return sketches
+
+    np.asarray(run(windows)[-1])                # compile + warm
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        np.asarray(run(windows)[-1])
+    device_sec = (time.perf_counter() - t0) / reps
+    device_rate = n_bench / device_sec
+
+    # --- baseline: reference-style per-row loop on a smaller slice ---
+    n_base = 8_192
+    base_sec = numpy_rowwise_fd(rows[:n_base], ell)
+    base_rate = n_base / base_sec
+
+    print(json.dumps({
+        "metric": "swfd_sketch_updates_per_sec",
+        "value": round(device_rate, 1),
+        "unit": "rows/s (d=1024, ell=64, window=2048)",
+        "vs_baseline": round(device_rate / base_rate, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from mused_tpu.data import features as feat
-from mused_tpu.ops import affinity, dbscan, kmeans, matching, reduction, swfd
+from mused_tpu.ops import affinity, dbscan, fd, kmeans, matching, reduction, swfd
 from mused_tpu.utils import metrics as metrics_mod
 from mused_tpu.utils.config import PipelineConfig
 
@@ -39,6 +39,16 @@ class StreamState(NamedTuple):
 
     swfd: swfd.SWFDState
     minibatch: kmeans.MiniBatchState
+
+
+def _choose_lanes(n: int, ell: int) -> int:
+    """Largest power-of-two lane count with >= ~2*ell rows per lane (so each
+    lane amortizes at least one full shrink), capped at 16."""
+    want = max(1, n // max(2 * ell, 1))
+    lanes = 1
+    while lanes * 2 <= min(want, 16):
+        lanes *= 2
+    return lanes
 
 
 def _fuse_standard(location, times, user_ids, tags, text, k_basis: int):
@@ -70,8 +80,14 @@ def _window_step(state: StreamState, fused: jax.Array, n_clusters: jax.Array,
     n = fused.shape[0]
 
     if approach == "SWFDMC":
-        new_swfd = swfd.update(state.swfd, fused, window=window,
-                               block_rows=block_rows)
+        # TPU fast path: batched-lane FD over the window's rows (one summary
+        # block, few sequential eighs) sealed into the sliding-window ring —
+        # replaces the reference's n sequential swfd.fit(row) calls
+        # (main.py:65-67) with a depth-log reduction (see fd.hierarchical_sketch)
+        ell = state.swfd.ell
+        lanes = _choose_lanes(n, ell)
+        blk, sq_fro, _ = fd.hierarchical_sketch(fused, ell=ell, lanes=lanes)
+        new_swfd = swfd.absorb_summary(state.swfd, blk, jnp.int32(n), sq_fro)
         sketch, _, _, _ = swfd.query(new_swfd, window=window,
                                      sketch_dim=reduced_dim)
         # sketch is (reduced_dim, d=n): transpose so rows index datapoints
@@ -101,7 +117,8 @@ class StreamingEngine:
         self.block_rows = swfd.choose_block_rows(n, ell, cfg.swfd_target_blocks)
         self.k_max = max(cfg.n_clusters_total, 2)
         # SWFD state is O(slots * ell * n); only pay for it when used
-        swfd_state = (swfd.init(n, n, ell, block_rows=self.block_rows)
+        # summary blocks are whole windows -> block_rows = n (2 ring slots)
+        swfd_state = (swfd.init(n, n, ell, block_rows=n)
                       if cfg.approach == "SWFDMC"
                       else swfd.init(1, 1, 1, block_rows=1))
         self.state = StreamState(

@@ -148,6 +148,48 @@ def update_stream(state: FDState, rows: jax.Array, *, block_rows: int | None = N
     return state
 
 
+@functools.partial(jax.jit, static_argnames=("ell", "lanes"))
+def hierarchical_sketch(rows: jax.Array, *, ell: int, lanes: int = 8):
+    """FD sketch of (m, d) rows via parallel lanes + tree merge.
+
+    TPU rationale: the sequential block-FD scan is latency-bound — each
+    (Gram, eigh(2*ell), reconstruct) step is ~1ms of launch/solver latency for
+    microseconds of MXU work.  Splitting the rows into ``lanes`` independent
+    FD sketches batches the eighs via vmap ((lanes, 2l, 2l) batched solver),
+    then a log2(lanes)-level pairwise merge (also batched) combines them:
+    sequential eigh DEPTH drops from m/ell to m/(ell*lanes) + log2(lanes).
+
+    Error (FD mergeability, SURVEY.md §2.8): sum of lane bounds
+    (<= ||A||_F^2/ell total) plus one delta per merge level — the same
+    additive-merge argument as the multi-chip ICI path, applied intra-chip.
+
+    Returns (sketch (ell, d), sq_frobenius, shrink_loss_upper).
+    """
+    m, d = rows.shape
+    assert lanes & (lanes - 1) == 0, "lanes must be a power of two"
+    per = -(-m // lanes)
+    pad = per * lanes - m
+    if pad:
+        rows = jnp.concatenate([rows, jnp.zeros((pad, d), rows.dtype)], axis=0)
+    lane_rows = rows.reshape(lanes, per, d)
+
+    def lane_update(r):
+        st = update_stream(init(ell, d), r)
+        return st.sketch, st.shrink_loss
+
+    sketches, losses = jax.vmap(lane_update)(lane_rows)   # (lanes, ell, d)
+    loss = jnp.sum(losses)
+
+    while sketches.shape[0] > 1:
+        k = sketches.shape[0] // 2
+        pairs = sketches.reshape(k, 2 * ell, d)
+        sketches, deltas = jax.vmap(lambda s: shrink(s, ell))(pairs)
+        loss = loss + jnp.sum(deltas)
+
+    sq_fro = jnp.sum(rows * rows)
+    return sketches[0], sq_fro, loss
+
+
 def error_bound(state: FDState) -> jax.Array:
     """Current upper bound on ||A^T A - B^T B||_2 (the tighter of the two)."""
     return jnp.minimum(state.shrink_loss, state.sq_frobenius / state.ell)

@@ -134,6 +134,31 @@ def update(state: SWFDState, rows: jax.Array, *, window: int, block_rows: int) -
     return state
 
 
+@jax.jit
+def absorb_summary(state: SWFDState, sketch: jax.Array, n_rows: jax.Array,
+                   sq_fro: jax.Array) -> SWFDState:
+    """Seal a pre-sketched row block (e.g. one whole window sketched by
+    ``fd.hierarchical_sketch``) directly into the ring as one block.
+
+    This is the engine's TPU fast path: instead of scanning n/ell sequential
+    shrinks through the active FD, the window's rows are sketched with
+    batched-lane FD and enter the sliding window as a single summary block.
+    Valid by FD mergeability; expiry granularity becomes the block ( = window
+    when used per-window, which is exactly the tumbling-query regime).
+    ``sketch`` must be (ell, d) like the ring slots.
+    """
+    count = state.count + n_rows
+    slot = state.seal_cursor % state.num_slots
+    return SWFDState(
+        blocks=state.blocks.at[slot].set(sketch.astype(state.blocks.dtype)),
+        block_end=state.block_end.at[slot].set(count),
+        block_sqfro=state.block_sqfro.at[slot].set(sq_fro),
+        active=state.active,
+        count=count,
+        seal_cursor=state.seal_cursor + 1,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("window", "sketch_dim"))
 def query(state: SWFDState, *, window: int, sketch_dim: int):
     """Sketch of (approximately) the last ``window`` rows.

@@ -1,0 +1,121 @@
+"""Multi-chip paths on the 8-virtual-device CPU mesh (SURVEY.md §4c)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+import pytest
+
+from mused_tpu.ops import fd, affinity
+from mused_tpu.parallel import mesh as mesh_mod, sketch_merge, sharded
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    return mesh_mod.make_mesh(n_data=8)
+
+
+@pytest.fixture(scope="module")
+def mesh4x2():
+    return mesh_mod.make_mesh(n_data=4, n_model=2)
+
+
+def test_merge_stacked_error_bound(rng):
+    """Merged sketch of two shards obeys the additive FD merge bound."""
+    d, ell = 64, 16
+    a1 = rng.normal(size=(200, d)).astype(np.float32)
+    a2 = rng.normal(size=(200, d)).astype(np.float32)
+    s1 = fd.update_stream(fd.init(ell, d), jnp.asarray(a1)).sketch
+    s2 = fd.update_stream(fd.init(ell, d), jnp.asarray(a2)).sketch
+    merged, _ = sketch_merge.merge_stacked(jnp.stack([s1, s2]), ell)
+    a = np.concatenate([a1, a2])
+    err = float(fd.covariance_error(jnp.asarray(a), merged))
+    bound = 2.0 * np.linalg.norm(a, "fro") ** 2 / ell
+    assert err <= bound
+
+
+@pytest.mark.parametrize("topology", ["allgather", "ring"])
+def test_distributed_fd_over_mesh(rng, mesh8, topology):
+    """Row-sharded FD over 8 devices: collective merge obeys the global bound."""
+    n, d, ell = 512, 48, 16
+    a = rng.normal(size=(n, d)).astype(np.float32)
+    merged = sketch_merge.distributed_fd(jnp.asarray(a), ell=ell, mesh=mesh8,
+                                         topology=topology)
+    merged = np.asarray(merged)
+    assert merged.shape == (ell, d)
+    err = float(fd.covariance_error(jnp.asarray(a), jnp.asarray(merged)))
+    # p local bounds + merge shrink: stay within a small multiple of ||A||_F^2/ell
+    bound = 3.0 * np.linalg.norm(a, "fro") ** 2 / ell
+    assert err <= bound
+
+
+def test_distributed_matches_single_chip_quality(rng, mesh8):
+    n, d, ell = 256, 32, 8
+    a = rng.normal(size=(n, d)).astype(np.float32)
+    single = fd.update_stream(fd.init(ell, d), jnp.asarray(a)).sketch
+    multi = sketch_merge.distributed_fd(jnp.asarray(a), ell=ell, mesh=mesh8)
+    e1 = float(fd.covariance_error(jnp.asarray(a), single))
+    e2 = float(fd.covariance_error(jnp.asarray(a), multi))
+    bound = np.linalg.norm(a, "fro") ** 2 / ell
+    assert e2 <= 2.5 * bound and e1 <= bound
+
+
+def test_global_max_row_norm(rng, mesh8):
+    rows = rng.normal(size=(64, 16)).astype(np.float32)
+    want = float(np.max(np.linalg.norm(rows, axis=1) ** 2))
+
+    def body(shard):
+        return sketch_merge.global_max_row_norm(shard)[None]
+
+    got = jax.shard_map(body, mesh=mesh8, in_specs=P("data", None),
+                        out_specs=P("data"), check_vma=False)(jnp.asarray(rows))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6)
+
+
+def test_sharded_fused_adjacency_matches_single_chip(rng, mesh8):
+    """The explicitly-collective row-sharded adjacency must equal the
+    single-device fused adjacency bit-for-bit (same masks, same top-k)."""
+    n = 64
+    loc = rng.uniform(-50, 50, size=(n, 2)).astype(np.float32)
+    loc[5] = np.nan
+    times = rng.uniform(1e9, 1.1e9, size=(n, 2)).astype(np.float32)
+    times[9] = 0.0
+    uids = rng.integers(-1, 6, size=n).astype(np.int32)
+    tags = (rng.random((n, 64)) < 0.15).astype(np.float32)
+    tags[3] = 0
+    text = rng.poisson(0.1, size=(n, 128)).astype(np.float32)
+    text[7] = 0
+
+    single = affinity.multimodal_fused_adjacency(
+        jnp.asarray(loc), jnp.asarray(times), jnp.asarray(uids),
+        jnp.asarray(tags), jnp.asarray(text), k_basis=4)
+
+    def body(l, t, u, g, x):
+        return sharded._row_shard_fused_adjacency(l, t, u, g, x, 4)
+
+    shard_fused = jax.shard_map(
+        body, mesh=mesh8,
+        in_specs=(P("data", None), P("data", None), P("data"),
+                  P("data", None), P("data", None)),
+        out_specs=P("data", None), check_vma=False,
+    )(jnp.asarray(loc), jnp.asarray(times), jnp.asarray(uids),
+      jnp.asarray(tags), jnp.asarray(text))
+
+    np.testing.assert_array_equal(np.asarray(shard_fused), np.asarray(single))
+
+
+def test_sharded_window_step_end_to_end(rng, mesh8):
+    n = 64
+    loc = rng.uniform(-50, 50, size=(n, 2)).astype(np.float32)
+    times = rng.uniform(1e9, 1.1e9, size=(n, 2)).astype(np.float32)
+    uids = rng.integers(0, 6, size=n).astype(np.int32)
+    tags = (rng.random((n, 64)) < 0.15).astype(np.float32)
+    text = rng.poisson(0.1, size=(n, 128)).astype(np.float32)
+    labels, reduced = sharded.sharded_window_step(
+        jnp.asarray(loc), jnp.asarray(times), jnp.asarray(uids),
+        jnp.asarray(tags), jnp.asarray(text), jnp.int32(3),
+        jax.random.key(0), k_basis=4, reduced_dim=8, k_max=4, mesh=mesh8)
+    labels = np.asarray(labels)
+    assert labels.shape == (n,)
+    assert labels.max() < 3
+    assert np.asarray(reduced).shape == (n, 8)
