@@ -131,6 +131,30 @@ class StreamingEngine:
         self.swfd_R: float | None = None   # recorded like reference main.py:61
 
     # ------------------------------------------------------------------
+    def host_snapshot(self) -> dict:
+        """Picklable host-side cross-window state (for checkpointing)."""
+        inc = self.incr_clusterer
+        return {
+            "swfd_R": self.swfd_R,
+            "prev_centroids": self.prev_centroids,
+            "prev_centroid_labels": self.prev_centroid_labels,
+            "incr_buf": None if inc is None else inc._buf,
+            "incr_labels": None if inc is None else inc._labels,
+        }
+
+    def restore(self, device_state: StreamState, host: dict) -> None:
+        """Inverse of (state, host_snapshot()) — resume from a checkpoint."""
+        self.state = device_state
+        self.swfd_R = host.get("swfd_R")
+        self.prev_centroids = host.get("prev_centroids")
+        self.prev_centroid_labels = host.get("prev_centroid_labels")
+        if host.get("incr_buf") is not None:
+            self.incr_clusterer = dbscan.IncrementalDBSCAN(
+                eps=self.cfg.eps, min_pts=self.cfg.min_samples)
+            self.incr_clusterer._buf = host["incr_buf"]
+            self.incr_clusterer._labels = host["incr_labels"]
+
+    # ------------------------------------------------------------------
     def fused_adjacency(self, window_modalities, modality_types):
         """Host featurize + device adjacency/fusion for one window."""
         cfg = self.cfg
@@ -200,8 +224,15 @@ def process_streaming_data(results, data_modalities, modality_types,
                            window_size, reduced_dim, k_basis, n_clusters_total,
                            seed, approach, complete_true_labels,
                            step_window_ratio, noise_rate, label_mode, sorting,
-                           eps, min_samples, cfg: PipelineConfig | None = None):
-    """Drop-in equivalent of reference main.py:13-130."""
+                           eps, min_samples, cfg: PipelineConfig | None = None,
+                           checkpoint_dir: str | None = None,
+                           checkpoint_every: int = 1):
+    """Drop-in equivalent of reference main.py:13-130.
+
+    New over the reference: pass ``checkpoint_dir`` to checkpoint the full
+    stream state every ``checkpoint_every`` windows and auto-resume from the
+    latest checkpoint found there (window-boundary recovery, SURVEY.md §5.4).
+    """
     total_start = metrics_mod.now_ns()
 
     subset_size = len(data_modalities[0])
@@ -219,9 +250,24 @@ def process_streaming_data(results, data_modalities, modality_types,
     all_true_labels: list[np.ndarray] = []
     prev_clusters = None
     complete_true_labels = np.asarray(complete_true_labels)
+    start_w = 0
+
+    if checkpoint_dir:
+        from mused_tpu.utils import checkpoint as ckpt
+        latest = ckpt.latest_checkpoint(checkpoint_dir)
+        if latest is not None:
+            device_state, host = ckpt.load_checkpoint(latest)
+            engine.restore(device_state, host)
+            start_w = host["next_window"]
+            all_clusters = [np.asarray(c) for c in host["all_clusters"]]
+            all_true_labels = [np.asarray(t) for t in host["all_true_labels"]]
+            prev_clusters = host["prev_clusters"]
+            print(f"resumed from {latest} at window {start_w}")
 
     windows = window_triggers(subset_size, window_size, step_window_ratio)
     for w_idx, i in enumerate(windows):
+        if w_idx < start_w:
+            continue
         lo, hi = i - window_size + 1, i + 1
         window_modalities = [m[lo:hi] for m in data_modalities]
         true_labels = complete_true_labels[lo:hi]
@@ -231,6 +277,17 @@ def process_streaming_data(results, data_modalities, modality_types,
                                          true_labels, w_idx, prev_clusters)
         prev_clusters = clusters
         all_clusters.append(clusters)
+
+        if checkpoint_dir and (w_idx + 1) % max(checkpoint_every, 1) == 0:
+            from mused_tpu.utils import checkpoint as ckpt
+            ckpt.save_checkpoint(
+                ckpt.checkpoint_name(checkpoint_dir, w_idx + 1),
+                engine.state,
+                {"next_window": w_idx + 1,
+                 "prev_clusters": prev_clusters,
+                 "all_clusters": list(all_clusters),
+                 "all_true_labels": list(all_true_labels),
+                 **engine.host_snapshot()})
 
     total_end = metrics_mod.now_ns()
     all_true = np.concatenate(all_true_labels) if all_true_labels else np.empty(0, int)

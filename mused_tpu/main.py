@@ -1,0 +1,225 @@
+"""Experiment sweep driver + CLI.
+
+Rebuilds the reference's L5 layer (main.py:169-365): ``run_experiment`` sweeps
+one variable across approaches, accumulating the results schema, logging and
+plotting per sweep; ``__main__`` iterates experiment types.  Upgrades over the
+reference (which hard-codes everything and has no CLI, SURVEY.md §5.6):
+
+  * argparse CLI with every reference default reproduced
+    (``python -m mused_tpu.main --help``)
+  * ``--dataset synthetic`` runs without the SED2012 download
+  * per-experiment tee logging with proper restore
+  * preserved quirks: the measured noise rate overwrites the requested one
+    and mutates params across sweep values (reference main.py:196);
+    eps/min_samples/min_cluster_size constants (main.py:200).
+"""
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+from mused_tpu.data import sed2012, synthetic
+from mused_tpu.engine.batch import process_batch_data
+from mused_tpu.engine.streaming import process_streaming_data
+from mused_tpu.utils import metrics as metrics_mod, output, tee
+from mused_tpu.utils.config import APPROACHES
+
+EXPERIMENT_DEFAULTS = {
+    # reference main.py:262-269
+    "subset_size": [100000, 110000, 120000, 130000, 140000, 150000],
+    "label_mode": ["binary", "types", "all"],
+    "noise_rate": [0.05, 0.25, 0.50, 0.75, 0.95],
+    "sorting": [False, True],
+    "window_size": [500, 1000, 2000, 4000],
+    "reduced_dim": [10, 20, 30, 40, 50, 60, 70, 80, 90, 100],
+    "k_basis": [10, 20, 30, 40, 50, 60, 70, 80, 90, 100],
+}
+
+DEFAULT_PARAMS = {
+    # reference main.py:303-313
+    "seed": 0,
+    "subset_size": 150000,
+    "noise_rate": 0.95,
+    "label_mode": "binary",
+    "sorting": False,
+    "window_size": 2000,
+    "reduced_dim": 50,
+    "k_basis": 50,
+    "step_window_ratio": 1,
+}
+
+
+def run_experiment(df, experiment_type, variable_values, approaches,
+                   fixed_params, count, log_dir="logs/", plot_dir="plots/"):
+    """One sweep: variable x approaches (reference main.py:169-256)."""
+    print(f"Running {experiment_type} experiment.")
+    print(f"Fixed params: {fixed_params}")
+    start_ns = time.time_ns()
+    params = fixed_params.copy()
+    metrics: dict = {}
+
+    for approach in approaches:
+        results, independent_variables = metrics_mod.get_initial_results()
+        approach_start = time.time_ns()
+
+        for var_value in variable_values:
+            params[experiment_type] = var_value
+            print(f"Running experiment with {experiment_type} = {var_value} "
+                  f"for {approach} approach")
+            print(f"Params: {params}")
+
+            modalities, modality_types, truth_labels = sed2012.prepare_modalities(
+                df=df,
+                subset_size=params["subset_size"],
+                binary=(params["label_mode"] == "binary"),
+                event_types=(params["label_mode"] != "all"),
+                sort_by_uploaded=params["sorting"],
+                noise_rate=params["noise_rate"],
+                seed=params["seed"],
+            )
+
+            # quirk preserved: measured noise rate overwrites the request and
+            # persists across sweep values (reference main.py:196)
+            params["noise_rate"] = float(np.sum(truth_labels == 0) / len(truth_labels))
+
+            n_clusters = (2 if params["label_mode"] == "binary"
+                          else 4 if params["label_mode"] == "types" else 150)
+            eps, min_samples, min_cluster_size = 1.5, 2, 3   # main.py:200
+
+            if approach.endswith("_batch"):
+                results = process_batch_data(
+                    results=results, data_modalities=modalities,
+                    modality_types=modality_types,
+                    reduced_dim=params["reduced_dim"],
+                    k_basis=params["k_basis"], n_clusters=n_clusters,
+                    seed=params["seed"], approach=approach,
+                    complete_true_labels=truth_labels,
+                    noise_rate=params["noise_rate"],
+                    label_mode=params["label_mode"], sorting=params["sorting"],
+                    eps=eps, min_samples=min_samples,
+                    min_cluster_size=min_cluster_size,
+                    window_size=params["window_size"])
+            else:
+                results = process_streaming_data(
+                    results=results, data_modalities=modalities,
+                    modality_types=modality_types,
+                    window_size=params["window_size"],
+                    reduced_dim=params["reduced_dim"],
+                    k_basis=params["k_basis"], n_clusters_total=n_clusters,
+                    seed=params["seed"], approach=approach,
+                    complete_true_labels=truth_labels,
+                    step_window_ratio=params["step_window_ratio"],
+                    noise_rate=params["noise_rate"],
+                    label_mode=params["label_mode"], sorting=params["sorting"],
+                    eps=eps, min_samples=min_samples)
+
+        approach_sec = (time.time_ns() - approach_start) / 1e9
+        print(f"Processed with {approach} approach for {approach_sec} seconds")
+        metrics[approach] = results
+
+    details = (f'mode={params["label_mode"]},sorted={params["sorting"]},'
+               f'noise={params["noise_rate"]},window={params["window_size"]},'
+               f'subset={params["subset_size"]},dim={params["reduced_dim"]},'
+               f'k={params["k_basis"]}')
+    output.log_metrics(metrics=metrics, independent_variable=experiment_type,
+                       string_to_add=details, save_path=log_dir)
+    output.visualize_results(metrics=metrics, independent_variable=experiment_type,
+                             independent_variables=independent_variables,
+                             string_to_add=details, save_path=plot_dir)
+
+    minutes = (time.time_ns() - start_ns) / 1e9 / 60
+    print(f"Finished exp={experiment_type},{details} after {minutes} minutes")
+    return count + 1
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="mused-tpu",
+        description="TPU-native multimodal unsupervised streaming event detection")
+    p.add_argument("--dataset", choices=["sed2012", "synthetic", "demo"],
+                   default="sed2012",
+                   help="sed2012 needs dataset/sed2012/ (see setup_datasets.sh); "
+                        "synthetic/demo generate data")
+    p.add_argument("--dataset-dir", default=sed2012.DATASET_DIR)
+    p.add_argument("--experiments", nargs="+",
+                   default=["subset_size", "label_mode", "noise_rate", "sorting"],
+                   choices=list(EXPERIMENT_DEFAULTS))
+    p.add_argument("--approaches", nargs="+", default=list(APPROACHES[:6]),
+                   choices=list(APPROACHES))
+    for k, v in DEFAULT_PARAMS.items():
+        flag = "--" + k.replace("_", "-")
+        if isinstance(v, bool):
+            p.add_argument(flag, type=lambda s: s.lower() in ("1", "true"),
+                           default=v)
+        elif isinstance(v, float):
+            p.add_argument(flag, type=float, default=v)
+        elif isinstance(v, str):
+            p.add_argument(flag, type=str, default=v)
+        else:
+            p.add_argument(flag, type=int, default=v)
+    p.add_argument("--second-pass-label-mode", default="types",
+                   help="reference runs the full sweep twice, second pass with "
+                        "this label mode (main.py:340-358); 'none' disables")
+    p.add_argument("--log-dir", default="logs/")
+    p.add_argument("--plot-dir", default="plots/")
+    p.add_argument("--no-tee", action="store_true")
+    return p
+
+
+def load_dataframe(args):
+    if args.dataset == "sed2012":
+        return sed2012.load_sed2012_dataset(args.dataset_dir)
+    n = min(args.subset_size * 2, 20000) if args.dataset == "synthetic" else 400
+    return synthetic.synthetic_events_dataframe(
+        n_rows=max(n, 200), n_events=6, noise_rate=0.5, seed=args.seed)
+
+
+def cli(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    start_ns = time.time_ns()
+    np.random.seed(args.seed)
+
+    if args.dataset == "demo":
+        # the reference's demo smoke config (main.py:318-324)
+        args.subset_size, args.window_size = 100, 8
+        args.noise_rate, args.reduced_dim, args.k_basis = 0.4, 2, 1
+        args.experiments = ["label_mode"]
+        experiments = {"label_mode": ["binary", "types"]}
+    else:
+        experiments = {e: EXPERIMENT_DEFAULTS[e] for e in args.experiments}
+
+    df = load_dataframe(args)
+    default_params = {k: getattr(args, k) for k in DEFAULT_PARAMS}
+    count = 0
+
+    passes = [default_params["label_mode"]]
+    if args.second_pass_label_mode not in ("none", default_params["label_mode"]) \
+            and args.dataset != "demo":
+        passes.append(args.second_pass_label_mode)
+
+    for label_mode in passes:
+        for experiment_type, variable_values in experiments.items():
+            fixed = default_params.copy()
+            fixed["label_mode"] = label_mode
+            log_file = None if args.no_tee else tee.setup_logging(args.log_dir)
+            try:
+                count = run_experiment(df, experiment_type, variable_values,
+                                       args.approaches, fixed, count,
+                                       log_dir=args.log_dir,
+                                       plot_dir=args.plot_dir)
+            finally:
+                if log_file is not None:
+                    tee.teardown_logging(log_file)
+
+    minutes = (time.time_ns() - start_ns) / 1e9 / 60
+    print(f"Finished running {count} experiments")
+    print(f"Total processing time: {minutes} minutes")
+    if count:
+        print(f"Average per experiment: {minutes / count} minutes")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(cli())

@@ -1,0 +1,83 @@
+"""Checkpoint/resume: interrupted stream == uninterrupted stream."""
+import os
+
+import numpy as np
+import pytest
+
+from mused_tpu import api
+from mused_tpu.data.synthetic import synthetic_events_dataframe
+from mused_tpu.utils import checkpoint as ckpt
+
+
+def run_stream(mods, mtypes, labels, approach, checkpoint_dir=None, stop_after=None):
+    """Run the streaming pipeline, optionally aborting after N windows."""
+    from mused_tpu.engine import streaming
+    results, _ = api.get_initial_results()
+    if stop_after is not None:
+        # simulate a crash: monkey-patch the engine loop via a truncated stream
+        orig = streaming.StreamingEngine.process_window
+        calls = {"n": 0}
+
+        def bomb(self, *a, **k):
+            if calls["n"] >= stop_after:
+                raise KeyboardInterrupt("simulated crash")
+            calls["n"] += 1
+            return orig(self, *a, **k)
+
+        streaming.StreamingEngine.process_window = bomb
+        try:
+            with pytest.raises(KeyboardInterrupt):
+                api.process_streaming_data(
+                    results=results, data_modalities=mods, modality_types=mtypes,
+                    window_size=64, reduced_dim=8, k_basis=3, n_clusters_total=2,
+                    seed=0, approach=approach, complete_true_labels=labels,
+                    step_window_ratio=1, noise_rate=0.5, label_mode="binary",
+                    sorting=True, eps=1.5, min_samples=2,
+                    checkpoint_dir=checkpoint_dir)
+        finally:
+            streaming.StreamingEngine.process_window = orig
+        return None
+    return api.process_streaming_data(
+        results=results, data_modalities=mods, modality_types=mtypes,
+        window_size=64, reduced_dim=8, k_basis=3, n_clusters_total=2,
+        seed=0, approach=approach, complete_true_labels=labels,
+        step_window_ratio=1, noise_rate=0.5, label_mode="binary",
+        sorting=True, eps=1.5, min_samples=2, checkpoint_dir=checkpoint_dir)
+
+
+@pytest.fixture(scope="module")
+def stream_fixture():
+    df = synthetic_events_dataframe(n_rows=420, n_events=4, noise_rate=0.5, seed=0)
+    return api.prepare_modalities(df, subset_size=256, sort_by_uploaded=True,
+                                  binary=True, noise_rate=0.5, seed=0)
+
+
+@pytest.mark.parametrize("approach", ["SWFDMC", "sSVDMC_mini"])
+def test_crash_resume_matches_uninterrupted(tmp_path, stream_fixture, approach):
+    mods, mtypes, labels = stream_fixture
+    straight = run_stream(mods, mtypes, labels, approach)
+
+    ckdir = str(tmp_path / approach)
+    run_stream(mods, mtypes, labels, approach, checkpoint_dir=ckdir,
+               stop_after=2)              # crash after 2 of 4 windows
+    assert ckpt.latest_checkpoint(ckdir) is not None
+    resumed = run_stream(mods, mtypes, labels, approach, checkpoint_dir=ckdir)
+
+    # identical metrics after resume (deterministic per-window keys)
+    assert resumed["f1_score"][0] == pytest.approx(straight["f1_score"][0], abs=1e-6)
+    assert resumed["nmi_score"][0] == pytest.approx(straight["nmi_score"][0], abs=1e-6)
+
+
+def test_checkpoint_roundtrip_pytree(tmp_path):
+    from mused_tpu.ops import swfd
+    st = swfd.init(64, 64, 8, block_rows=64)
+    host = {"next_window": 3, "prev_clusters": np.array([1, 2, 3]),
+            "all_clusters": [np.zeros(4)], "all_true_labels": [np.ones(4)],
+            "swfd_R": 2.5, "prev_centroids": None, "prev_centroid_labels": None,
+            "incr_buf": None, "incr_labels": None}
+    path = ckpt.save_checkpoint(str(tmp_path / "stream_00000003.npz"), st, host)
+    dev2, host2 = ckpt.load_checkpoint(path)
+    assert host2["next_window"] == 3
+    np.testing.assert_array_equal(host2["prev_clusters"], [1, 2, 3])
+    np.testing.assert_array_equal(np.asarray(dev2.blocks), np.asarray(st.blocks))
+    assert ckpt.latest_checkpoint(str(tmp_path)) == path

@@ -1,0 +1,95 @@
+"""Sweep driver, CLI, output generation, tee (L5/L1 layers)."""
+import os
+
+import numpy as np
+import pytest
+
+from mused_tpu.utils import output, tee
+
+
+@pytest.fixture
+def fake_metrics():
+    return {
+        "sSVDMC": {"noise_rate": [0.1, 0.5], "f1_score": [0.8, 0.6],
+                   "processing_time": [1.0, 2.0]},
+        "SWFDMC": {"noise_rate": [0.1, 0.5], "f1_score": [0.7, 0.65],
+                   "processing_time": [0.5, 0.9]},
+    }
+
+
+def test_log_metrics_layout(tmp_path, fake_metrics):
+    path = output.log_metrics(fake_metrics, "noise_rate", "mode=binary",
+                              save_path=str(tmp_path) + "/")
+    assert os.path.basename(path) == "exp=noise_rate,mode=binary.txt"
+    body = open(path).read()
+    assert "sSVDMC" in body and "SWFDMC" in body
+
+
+def test_visualize_results_writes_pngs(tmp_path, fake_metrics):
+    written = output.visualize_results(
+        fake_metrics, "noise_rate", ["noise_rate"], "mode=binary",
+        save_path=str(tmp_path) + "/")
+    assert len(written) == 2  # f1_score + processing_time
+    for w in written:
+        assert os.path.exists(w) and w.endswith(".png")
+        assert "noise_rate" in w
+
+
+def test_log_averages_works(tmp_path, fake_metrics):
+    """The reference's version is dead code that would crash; ours must work."""
+    path = output.log_averages(fake_metrics, "noise_rate", "",
+                               save_path=str(tmp_path) + "/")
+    body = open(path).read()
+    assert "F1 score" in body or "F1 score".capitalize() in body or "F1" in body
+    assert "0.7" in body  # mean of [0.8, 0.6]
+
+
+def test_generate_table(tmp_path, fake_metrics):
+    path = output.generate_table(fake_metrics, "f1_score", "noise_rate",
+                                 save_path=str(tmp_path) + "/")
+    body = open(path).read()
+    assert "\\begin{table}" in body and "0.8000" in body and "N/A" not in body
+
+
+def test_visualize_clusters(tmp_path, rng):
+    x = rng.normal(size=(40, 8)).astype(np.float32)
+    out = output.visualize_clusters(x, rng.integers(0, 3, 40),
+                                    save_path=str(tmp_path) + "/")
+    assert out is None or os.path.exists(out)
+
+
+def test_tee_roundtrip(tmp_path, capsys):
+    import sys
+    log = tee.setup_logging(str(tmp_path))
+    try:
+        print("hello-tee")
+    finally:
+        tee.teardown_logging(log)
+    files = os.listdir(tmp_path)
+    assert len(files) == 1
+    assert "hello-tee" in open(os.path.join(tmp_path, files[0])).read()
+    assert sys.stdout is sys.__stdout__
+
+
+def test_cli_demo_sweep(tmp_path, monkeypatch):
+    """python -m mused_tpu.main --dataset demo runs the reference's demo
+    config end-to-end (2 label modes x approaches) and writes logs+plots."""
+    monkeypatch.chdir(tmp_path)
+    from mused_tpu.main import cli
+    rc = cli(["--dataset", "demo", "--approaches", "sSVDMC", "SWFDMC",
+              "--no-tee", "--second-pass-label-mode", "none"])
+    assert rc == 0
+    logs = os.listdir(tmp_path / "logs")
+    assert any(l.startswith("exp=label_mode") for l in logs)
+    assert os.path.isdir(tmp_path / "plots" / "label_mode")
+
+
+def test_cli_parser_defaults():
+    from mused_tpu.main import build_parser
+    args = build_parser().parse_args([])
+    # reference default_params (main.py:303-313)
+    assert args.subset_size == 150000
+    assert args.noise_rate == 0.95
+    assert args.window_size == 2000
+    assert args.reduced_dim == 50 and args.k_basis == 50
+    assert args.label_mode == "binary" and args.sorting is False
