@@ -43,6 +43,37 @@ def load_synthetic_dataset(subset_size: int | None = None, d: int = 300,
     return [synthetic_stream(n=n, d=d, seed=seed).astype(np.float64)]
 
 
+def crisis_embedding_stream(n_rows: int = 2048, n_events: int = 8,
+                            noise_rate: float = 0.4, d_text: int = 512,
+                            d_image: int = 512, seed: int = 0):
+    """Two-modality text+image embedding stream (CrisisMMD-style; BASELINE.md
+    config #2): each event is a pair of (text, image) embedding centroids;
+    noise rows are isotropic.  Returns (modalities, modality_types, labels)
+    in the engine's generic-numeric format.
+    """
+    rng = np.random.default_rng(seed)
+    txt_centers = rng.normal(size=(n_events, d_text)).astype(np.float32)
+    img_centers = rng.normal(size=(n_events, d_image)).astype(np.float32)
+    txt_centers /= np.linalg.norm(txt_centers, axis=1, keepdims=True)
+    img_centers /= np.linalg.norm(img_centers, axis=1, keepdims=True)
+
+    labels = np.zeros(n_rows, np.int64)
+    text = np.empty((n_rows, d_text), np.float32)
+    image = np.empty((n_rows, d_image), np.float32)
+    for i in range(n_rows):
+        if rng.random() >= noise_rate:
+            ev = int(rng.integers(n_events))
+            labels[i] = ev + 1
+            text[i] = txt_centers[ev] + rng.normal(size=d_text) * 0.15
+            image[i] = img_centers[ev] + rng.normal(size=d_image) * 0.15
+        else:
+            text[i] = rng.normal(size=d_text)
+            image[i] = rng.normal(size=d_image)
+    text /= np.maximum(np.linalg.norm(text, axis=1, keepdims=True), 1e-9)
+    image /= np.maximum(np.linalg.norm(image, axis=1, keepdims=True), 1e-9)
+    return [text, image], ["embedding", "embedding"], labels
+
+
 _WORDS = ("festival concert goal match stadium protest plaza camp strike rally "
           "music crowd street fireworks banner speech square kickoff referee "
           "anthem drums tent march police flags").split()

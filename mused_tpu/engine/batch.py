@@ -13,7 +13,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from mused_tpu.ops import dbscan, kmeans, reduction
+from mused_tpu.ops import dbscan, kmeans, reduction, spectral
 from mused_tpu.utils import metrics as metrics_mod
 from mused_tpu.utils.config import PipelineConfig
 from mused_tpu.engine.streaming import StreamingEngine
@@ -48,7 +48,11 @@ def process_batch_data(results, data_modalities, modality_types, reduced_dim,
     key = jax.random.key(seed)
     reduced = reduction.svd_reduce(fused, reduced_dim, key)
 
-    if approach == "HDBSCAN_batch":
+    if approach == "Spectral_batch":
+        labels = spectral.spectral_clustering(fused, jnp.int32(n_clusters), key,
+                                              k_max=max(int(n_clusters), 2))
+        all_clusters = np.asarray(labels)
+    elif approach == "HDBSCAN_batch":
         all_clusters = dbscan.hdbscan(np.asarray(reduced),
                                       min_cluster_size=min_cluster_size,
                                       min_samples=min_samples)

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from mused_tpu.data import features as feat
-from mused_tpu.ops import affinity, dbscan, fd, kmeans, matching, reduction, swfd
+from mused_tpu.ops import affinity, dbscan, fd, kmeans, matching, reduction, spectral, swfd
 from mused_tpu.utils import metrics as metrics_mod
 from mused_tpu.utils.config import PipelineConfig
 
@@ -56,11 +56,17 @@ def _fuse_standard(location, times, user_ids, tags, text, k_basis: int):
         location, times, user_ids, tags, text, k_basis=k_basis)
 
 
-@functools.partial(jax.jit, static_argnames=("k_basis",))
-def _fuse_generic(mats: tuple, *, k_basis: int):
-    """Default-modality path (numeric arrays, e.g. the synthetic stream):
-    Euclidean kNN adjacency per modality + OR fusion (ref matrix_operations.py:112-119)."""
-    return affinity.fuse([affinity.euclidean_adjacency(m, k_basis) for m in mats])
+@functools.partial(jax.jit, static_argnames=("k_basis", "types"))
+def _fuse_generic(mats: tuple, *, k_basis: int, types: tuple):
+    """Numeric-modality path (synthetic streams, dense embeddings): per-type
+    kNN adjacency + OR fusion.  "embedding" = cosine kNN (BASELINE.md #2/#4);
+    anything else = Euclidean kNN (ref matrix_operations.py:112-119)."""
+    mk = {"embedding": affinity.embedding_adjacency,
+          "location": affinity.location_adjacency,
+          "time": affinity.time_adjacency}
+    return affinity.fuse([
+        mk.get(t, affinity.euclidean_adjacency)(m, k_basis)
+        for m, t in zip(mats, types)])
 
 
 @functools.partial(
@@ -97,7 +103,11 @@ def _window_step(state: StreamState, fused: jax.Array, n_clusters: jax.Array,
     else:
         reduced = reduction.svd_reduce(fused, reduced_dim, key)
 
-    if approach == "sSVDMC_mini":
+    if approach == "sSpectral":
+        # spectral clustering works on the affinity graph itself
+        labels = spectral.spectral_clustering(fused, n_clusters, key,
+                                              k_max=k_max)
+    elif approach == "sSVDMC_mini":
         new_mbk, labels = kmeans.minibatch_step(state.minibatch, reduced, key)
         state = state._replace(minibatch=new_mbk)
     elif approach in ("DBSCAN_incr", "DBSCAN_centr"):
@@ -166,7 +176,8 @@ class StreamingEngine:
                                   wf.text, cfg.k_basis)
         mats = tuple(jnp.asarray(np.asarray(m, np.float32))
                      for m in window_modalities)
-        return _fuse_generic(mats, k_basis=cfg.k_basis)
+        return _fuse_generic(mats, k_basis=cfg.k_basis,
+                             types=tuple(modality_types))
 
     # ------------------------------------------------------------------
     def process_window(self, window_modalities, modality_types,
@@ -243,7 +254,8 @@ def process_streaming_data(results, data_modalities, modality_types,
             label_mode=label_mode_for_k, sorting=sorting,
             window_size=window_size, reduced_dim=reduced_dim, k_basis=k_basis,
             step_window_ratio=step_window_ratio, approach=approach,
-            eps=eps, min_samples=min_samples)
+            eps=eps, min_samples=min_samples,
+            n_clusters_override=int(n_clusters_total))
 
     engine = StreamingEngine(cfg)
     all_clusters: list[np.ndarray] = []

@@ -171,6 +171,23 @@ def euclidean_adjacency(data: jax.Array, k_basis: int) -> jax.Array:
     return knn_adjacency(sim, valid, max(1, k_basis) - 1)
 
 
+def embedding_adjacency(emb: jax.Array, k_basis: int) -> jax.Array:
+    """Dense-embedding modality (CLIP/BERT-style vectors): cosine kNN.
+
+    Not in the reference (its modalities are raw social-media fields); this is
+    the crisis-stream / high-dim-embedding workload of BASELINE.md configs
+    #2/#4.  All-zero or non-finite rows are invalid.
+    """
+    finite = jnp.all(jnp.isfinite(emb), axis=1)
+    safe = jnp.where(finite[:, None], emb, 0.0)
+    norm = jnp.linalg.norm(safe, axis=1, keepdims=True)
+    valid = finite & (norm[:, 0] > 0)
+    x = safe / jnp.maximum(norm, 1e-12)
+    sim = jnp.dot(x, x.T, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
+    return knn_adjacency(sim, valid, k_basis)
+
+
 def fuse(adjacency_matrices: list[jax.Array]) -> jax.Array:
     """Element-wise logical OR of modality graphs (ref matrix_operations.py:134-141)."""
     fused = adjacency_matrices[0]

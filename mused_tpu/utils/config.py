@@ -24,6 +24,10 @@ APPROACHES: Tuple[str, ...] = (
     "HDBSCAN_batch",
     "DBSCAN_incr",
     "DBSCAN_centr",
+    # new in the TPU build (not in the reference approach list): spectral
+    # clustering on the fused affinity graph (BASELINE.md config #2)
+    "sSpectral",
+    "Spectral_batch",
 )
 
 MODALITIES: Tuple[str, ...] = ("location", "time", "username", "tags", "text")
@@ -67,13 +71,17 @@ class PipelineConfig:
     # device-side knobs (new in the TPU build)
     features: FeatureConfig = dataclasses.field(default_factory=FeatureConfig)
     kmeans_iters: int = 100
+    n_clusters_override: int | None = None   # honor an explicit caller value
     sinkhorn_reg: float = 0.1
     sinkhorn_iters: int = 200
     swfd_target_blocks: int = 8
 
     @property
     def n_clusters_total(self) -> int:
-        # reference main.py:198
+        # reference main.py:198 (overridable by API callers that pass their
+        # own n_clusters_total, like reference process_streaming_data)
+        if self.n_clusters_override is not None:
+            return self.n_clusters_override
         return {"binary": 2, "types": 4}.get(self.label_mode, 150)
 
     @property
