@@ -56,11 +56,37 @@ def _fuse_standard(location, times, user_ids, tags, text, k_basis: int):
         location, times, user_ids, tags, text, k_basis=k_basis)
 
 
-@functools.partial(jax.jit, static_argnames=("k_basis", "types"))
-def _fuse_generic(mats: tuple, *, k_basis: int, types: tuple):
+@functools.partial(jax.jit, static_argnames=("k_basis", "types", "use_pallas"))
+def _fuse_generic(mats: tuple, *, k_basis: int, types: tuple,
+                  use_pallas: bool = False):
     """Numeric-modality path (synthetic streams, dense embeddings): per-type
     kNN adjacency + OR fusion.  "embedding" = cosine kNN (BASELINE.md #2/#4);
-    anything else = Euclidean kNN (ref matrix_operations.py:112-119)."""
+    anything else = Euclidean kNN (ref matrix_operations.py:112-119).
+
+    use_pallas routes continuous-sim modalities through the fused Pallas
+    kernel (ops/pallas/affinity_kernel.py)."""
+    if use_pallas:
+        from mused_tpu.ops.pallas import affinity_kernel as pk
+
+        def one(m, t):
+            if t == "embedding":
+                norm = jnp.linalg.norm(m, axis=1, keepdims=True)
+                valid = jnp.all(jnp.isfinite(m), axis=1) & (norm[:, 0] > 0)
+                x = jnp.where(valid[:, None], m, 0.0) / jnp.maximum(norm, 1e-12)
+                return pk.knn_adjacency_pallas(x, valid, k_basis, metric="dot")
+            if t == "location":
+                valid = jnp.all(jnp.isfinite(m), axis=1)
+                xyz = pk.location_to_unit_xyz(jnp.where(valid[:, None], m, 0.0))
+                return pk.knn_adjacency_pallas(xyz, valid, k_basis, metric="dot")
+            if t == "time":
+                valid = (m[:, 0] != 0.0) & (m[:, 1] != 0.0)
+                return pk.knn_adjacency_pallas(m, valid, 3 * k_basis, metric="l1")
+            valid = jnp.all(jnp.isfinite(m), axis=1)
+            return pk.knn_adjacency_pallas(jnp.where(valid[:, None], m, 0.0),
+                                           valid, max(1, k_basis) - 1,
+                                           metric="euclidean")
+
+        return affinity.fuse([one(m, t) for m, t in zip(mats, types)])
     mk = {"embedding": affinity.embedding_adjacency,
           "location": affinity.location_adjacency,
           "time": affinity.time_adjacency}
@@ -177,7 +203,8 @@ class StreamingEngine:
         mats = tuple(jnp.asarray(np.asarray(m, np.float32))
                      for m in window_modalities)
         return _fuse_generic(mats, k_basis=cfg.k_basis,
-                             types=tuple(modality_types))
+                             types=tuple(modality_types),
+                             use_pallas=cfg.use_pallas_affinity)
 
     # ------------------------------------------------------------------
     def process_window(self, window_modalities, modality_types,

@@ -1,0 +1,160 @@
+"""Pallas TPU kernel: fused pairwise-similarity -> kNN adjacency.
+
+The XLA path (ops/affinity.py) materializes the full (n, n) similarity matrix
+in HBM, then runs top_k, then scatters — three HBM round trips of n^2 data.
+This kernel fuses all of it per ROW TILE: the (TM, n) similarity strip lives
+only in VMEM, accumulated over column tiles on the MXU, thresholded in-register,
+and only the binary adjacency strip is written back.  HBM traffic drops from
+~3*n^2*4B to n^2*4B (adjacency out) + streamed feature reads — the win grows
+with d (BASELINE.md config #4: d=4096 embeddings).
+
+Top-k without an in-kernel sort: the k-th per-row value is found by a
+vectorized float bisection over the similarity range (VPU compares + row
+sums), then adjacency = sim >= threshold.  Ties at the threshold all pass —
+on continuous similarities (cosine/euclidean/L1-time) ties are measure-zero,
+and the property tests assert exact agreement with the XLA top_k path there.
+
+Supported metrics (covers every continuous-sim modality):
+  dot        — cosine/embedding (pre-normalized rows), and location via the
+               3D-unit-vector trick: great-circle distance is monotone in the
+               chordal dot product, so haversine kNN == dot kNN on
+               (cos lat cos lon, cos lat sin lon, sin lat)
+  euclidean  — default modality (negative squared distance)
+  l1         — time modality (negative |dt_taken| + |dt_upload|)
+
+Grid: (n/TM, n/TN), j innermost; the sim strip persists in scratch across the
+j sweep (TPU grids execute sequentially) and the output block flushes once per
+row tile.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e30
+_BISECT_ITERS = 40      # float32 bisection: plenty to isolate the kth value
+
+
+def _sim_block(xr, xc, metric: str):
+    if metric == "dot":
+        return jnp.dot(xr, xc.T, preferred_element_type=jnp.float32)
+    if metric == "euclidean":
+        rn = jnp.sum(xr * xr, axis=1, keepdims=True)
+        cn = jnp.sum(xc * xc, axis=1, keepdims=True)
+        return -(rn + cn.T - 2.0 * jnp.dot(xr, xc.T,
+                                           preferred_element_type=jnp.float32))
+    if metric == "l1":
+        # feature dim is tiny (2 for the time modality): broadcast on the VPU
+        diff = jnp.abs(xr[:, None, :] - xc[None, :, :])
+        return -jnp.sum(diff, axis=-1)
+    raise ValueError(f"unknown metric {metric}")
+
+
+def _kernel(x_row_ref, x_col_ref, valid_ref, out_ref, sim_ref, *,
+            metric: str, k: int, tn: int, n_cols: int):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+    tm = x_row_ref.shape[0]
+
+    xr = x_row_ref[:]
+    xc = x_col_ref[:]
+    sim = _sim_block(xr, xc, metric)
+
+    # column masking: invalid columns and self-edges
+    col_base = j * tn
+    col_ids = col_base + jax.lax.broadcasted_iota(jnp.int32, (tm, tn), 1)
+    row_ids = i * tm + jax.lax.broadcasted_iota(jnp.int32, (tm, tn), 0)
+    colv = valid_ref[0, pl.ds(col_base, tn)]
+    mask = (colv[None, :] > 0) & (row_ids != col_ids) & (col_ids < n_cols)
+    sim_ref[:, pl.ds(col_base, tn)] = jnp.where(mask, sim, NEG)
+
+    @pl.when(j == nj - 1)
+    def _():
+        strip = sim_ref[:]                       # (TM, n) in VMEM
+        # per-row bisection for the k-th largest value; bounds from the VALID
+        # value range so 40 halvings land below f32 resolution of the data
+        finite = strip > NEG / 2
+        rowmin = jnp.min(jnp.where(finite, strip, jnp.inf), axis=1,
+                         keepdims=True)
+        lo = jnp.where(jnp.isfinite(rowmin), rowmin - 1.0, 0.0)
+        hi = jnp.max(jnp.where(finite, strip, -jnp.inf), axis=1,
+                     keepdims=True)
+        hi = jnp.where(jnp.isfinite(hi), hi + 1.0, 1.0)
+
+        def body(_, lohi):
+            lo, hi = lohi
+            mid = 0.5 * (lo + hi)
+            cnt = jnp.sum((strip >= mid).astype(jnp.float32), axis=1,
+                          keepdims=True)
+            take = cnt >= k                      # mid still keeps >= k edges
+            return jnp.where(take, mid, lo), jnp.where(take, hi, mid)
+
+        lo, hi = jax.lax.fori_loop(0, _BISECT_ITERS, body, (lo, hi))
+        rowv = valid_ref[0, pl.ds(i * tm, tm)]
+        adj = (strip >= lo) & (strip > NEG / 2) & (rowv[:, None] > 0)
+        out_ref[:] = adj.astype(jnp.float32)
+
+
+def _pad_to(x, m, axis):
+    pad = (-x.shape[axis]) % m
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "metric", "tm", "tn", "interpret"))
+def knn_adjacency_pallas(x: jax.Array, valid: jax.Array, k: int, *,
+                         metric: str = "dot", tm: int = 128, tn: int = 128,
+                         interpret: bool | None = None) -> jax.Array:
+    """Directed kNN adjacency (n, n) from (n, d) features, fused in Pallas.
+
+    Semantics match ops/affinity.knn_adjacency with exclude_self=True up to
+    threshold ties (all sims equal to the k-th value pass).
+    """
+    n, d = x.shape
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    k = max(0, min(k, n - 1))
+    if k == 0:
+        return jnp.zeros((n, n), jnp.float32)
+
+    xp = _pad_to(x.astype(jnp.float32), tm, 0)
+    if metric != "l1":                     # MXU path wants lane-aligned d
+        xp = _pad_to(xp, 128, 1)
+    np_, dp = xp.shape
+    validp = _pad_to(valid.astype(jnp.float32), tm, 0).reshape(1, np_)
+
+    grid = (np_ // tm, np_ // tn)
+    out = pl.pallas_call(
+        functools.partial(_kernel, metric=metric, k=k, tn=tn, n_cols=n),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, dp), lambda i, j: (i, 0)),
+            pl.BlockSpec((tn, dp), lambda i, j: (j, 0)),
+            pl.BlockSpec((1, np_), lambda i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((tm, np_), lambda i, j: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((np_, np_), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tm, np_), jnp.float32)],
+        interpret=interpret,
+    )(xp, xp, validp)
+    return out[:n, :n]
+
+
+def location_to_unit_xyz(latlon: jax.Array) -> jax.Array:
+    """(n, 2) degrees -> (n, 3) unit sphere vectors: haversine ranking becomes
+    a dot-product ranking (distance monotone in the chordal angle)."""
+    rad = jnp.deg2rad(latlon)
+    lat, lon = rad[:, 0], rad[:, 1]
+    return jnp.stack([jnp.cos(lat) * jnp.cos(lon),
+                      jnp.cos(lat) * jnp.sin(lon),
+                      jnp.sin(lat)], axis=1)

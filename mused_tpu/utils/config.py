@@ -72,6 +72,9 @@ class PipelineConfig:
     features: FeatureConfig = dataclasses.field(default_factory=FeatureConfig)
     kmeans_iters: int = 100
     n_clusters_override: int | None = None   # honor an explicit caller value
+    use_pallas_affinity: bool = False  # fused Pallas kNN kernel for numeric
+                                       # modalities (continuous sims only:
+                                       # threshold ties may add edges)
     sinkhorn_reg: float = 0.1
     sinkhorn_iters: int = 200
     swfd_target_blocks: int = 8

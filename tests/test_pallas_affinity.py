@@ -1,0 +1,97 @@
+"""Pallas fused affinity kernel vs the XLA path (interpret mode on CPU)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mused_tpu.ops import affinity
+from mused_tpu.ops.pallas import affinity_kernel as pk
+
+
+def xla_adjacency(sim, valid, k):
+    return np.asarray(affinity.knn_adjacency(jnp.asarray(sim),
+                                             jnp.asarray(valid), k))
+
+
+@pytest.mark.parametrize("n,k", [(64, 5), (200, 9)])
+def test_dot_metric_matches_xla(rng, n, k):
+    x = rng.normal(size=(n, 48)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    valid = np.ones(n, bool)
+    valid[[3, 11]] = False
+    got = np.asarray(pk.knn_adjacency_pallas(jnp.asarray(x), jnp.asarray(valid),
+                                             k, metric="dot"))
+    sim = x @ x.T
+    want = xla_adjacency(sim, valid, k)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_euclidean_metric_matches_xla(rng):
+    n, k = 96, 7
+    x = rng.normal(size=(n, 16)).astype(np.float32)
+    valid = np.ones(n, bool)
+    got = np.asarray(pk.knn_adjacency_pallas(jnp.asarray(x), jnp.asarray(valid),
+                                             k, metric="euclidean"))
+    d2 = ((x[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    want = xla_adjacency(-d2, valid, k)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_l1_time_metric_matches_xla(rng):
+    n, kb = 80, 2
+    t = rng.uniform(1e6, 2e6, size=(n, 2)).astype(np.float32)
+    valid = (t[:, 0] != 0) & (t[:, 1] != 0)
+    got = np.asarray(pk.knn_adjacency_pallas(jnp.asarray(t), jnp.asarray(valid),
+                                             3 * kb, metric="l1"))
+    want = np.asarray(affinity.time_adjacency(jnp.asarray(t), kb))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_location_unit_xyz_ranking_matches_haversine(rng):
+    """Dot-product kNN on 3D unit vectors == haversine kNN (monotone map)."""
+    n, k = 72, 6
+    latlon = rng.uniform([-80, -170], [80, 170], size=(n, 2)).astype(np.float32)
+    valid = np.ones(n, bool)
+    xyz = pk.location_to_unit_xyz(jnp.asarray(latlon))
+    got = np.asarray(pk.knn_adjacency_pallas(xyz, jnp.asarray(valid), k,
+                                             metric="dot"))
+    want = np.asarray(affinity.location_adjacency(jnp.asarray(latlon), k))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fewer_valid_than_k(rng):
+    n, k = 40, 10
+    x = rng.normal(size=(n, 8)).astype(np.float32)
+    valid = np.zeros(n, bool)
+    valid[:6] = True     # only 5 valid neighbors per valid row
+    got = np.asarray(pk.knn_adjacency_pallas(jnp.asarray(x), jnp.asarray(valid),
+                                             k, metric="euclidean"))
+    for i in range(n):
+        assert got[i].sum() == (5 if valid[i] else 0)
+    assert got[:, ~valid].sum() == 0
+
+
+def test_engine_pallas_path_runs():
+    """use_pallas_affinity routes the generic engine through the fused kernel
+    (interpret mode on CPU) and produces equivalent metrics."""
+    import numpy as np
+    from mused_tpu import api
+    from mused_tpu.data.synthetic import crisis_embedding_stream
+    from mused_tpu.utils.config import PipelineConfig
+    mods, mtypes, labels = crisis_embedding_stream(
+        n_rows=128, n_events=3, noise_rate=0.2, d_text=32, d_image=32, seed=3)
+    out = {}
+    for flag in (False, True):
+        cfg = PipelineConfig(window_size=64, reduced_dim=8, k_basis=4,
+                             approach="sSpectral", label_mode="all",
+                             n_clusters_override=4, use_pallas_affinity=flag,
+                             eps=1.5, min_samples=2)
+        results, _ = api.get_initial_results()
+        results = api.process_streaming_data(
+            results=results, data_modalities=mods, modality_types=mtypes,
+            window_size=64, reduced_dim=8, k_basis=4, n_clusters_total=4,
+            seed=0, approach="sSpectral", complete_true_labels=labels,
+            step_window_ratio=1, noise_rate=0.2, label_mode="all",
+            sorting=False, eps=1.5, min_samples=2, cfg=cfg)
+        out[flag] = results["nmi_score"][0]
+    assert abs(out[True] - out[False]) < 0.2
