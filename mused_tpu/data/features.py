@@ -48,8 +48,13 @@ def multihot_tags(tag_lists: Sequence, dim: int) -> np.ndarray:
     """(n, dim) float32 0/1 incidence of hashed tag tokens.
 
     A row with no tags is all-zero => invalid (ref :79).  Duplicate tags
-    collapse (sets in the reference, ref :84).
+    collapse (sets in the reference, ref :84).  Uses the native C++ hasher
+    when available (bit-identical CRC32); this Python loop is the fallback.
     """
+    from mused_tpu import native
+    fast = native.multihot_tags(tag_lists, dim)
+    if fast is not None:
+        return fast
     out = np.zeros((len(tag_lists), dim), np.float32)
     for i, tags in enumerate(tag_lists):
         if tags is None:
@@ -68,8 +73,13 @@ def hash_text_counts(texts: Sequence[str], dim: int) -> np.ndarray:
     Mirrors TfidfVectorizer's default token_pattern on the reference's
     pre-cleaned text (clean_text already lowercases and strips punctuation,
     ref data_loader.py:180-185); single-char tokens are dropped like
-    sklearn's ``(?u)\\b\\w\\w+\\b``.
+    sklearn's ``(?u)\\b\\w\\w+\\b``.  Uses the native C++ hasher when
+    available (bit-identical CRC32); this Python loop is the fallback.
     """
+    from mused_tpu import native
+    fast = native.hash_text_counts(list(texts), dim)
+    if fast is not None:
+        return fast
     out = np.zeros((len(texts), dim), np.float32)
     for i, text in enumerate(texts):
         if not isinstance(text, str) or not text:

@@ -1,0 +1,107 @@
+// Native host-side featurization: tokenizing + hashing text/tags into
+// fixed-width count/multi-hot vectors.
+//
+// This is the host hot loop of the ingest path (the equivalent of the
+// reference's per-window TfidfVectorizer / tag-set construction,
+// reference matrix_operations.py:84-89, 102-105): for a 2000-row window it
+// touches every byte of every title/description/tag.  The Python fallback
+// (data/features.py) does the same work ~30x slower.
+//
+// Hash = CRC32 (zlib polynomial), bit-for-bit identical to the Python
+// fallback's zlib.crc32, so both paths produce identical tensors and the
+// parity tests can assert exact equality.
+//
+// Build: make -C mused_tpu/native   (produces libmused_hasher.so)
+// ABI: plain C, consumed via ctypes (no pybind11 in this image).
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+uint32_t crc_table[256];
+bool crc_init_done = false;
+
+void crc_init() {
+    if (crc_init_done) return;
+    for (uint32_t i = 0; i < 256; i++) {
+        uint32_t c = i;
+        for (int k = 0; k < 8; k++)
+            c = (c & 1) ? 0xEDB88320u ^ (c >> 1) : c >> 1;
+        crc_table[i] = c;
+    }
+    crc_init_done = true;
+}
+
+inline uint32_t crc32_bytes(const char* data, size_t len) {
+    uint32_t c = 0xFFFFFFFFu;
+    for (size_t i = 0; i < len; i++)
+        c = crc_table[(c ^ static_cast<unsigned char>(data[i])) & 0xFF] ^ (c >> 8);
+    return c ^ 0xFFFFFFFFu;
+}
+
+inline bool is_token_char(char ch) {
+    return (ch >= 'a' && ch <= 'z') || (ch >= '0' && ch <= '9');
+}
+
+inline char to_lower_ascii(char ch) {
+    return (ch >= 'A' && ch <= 'Z') ? char(ch + 32) : ch;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Tokenize each document ([a-z0-9]+ runs of the lowercased text, tokens of
+// length >= 2 like sklearn's \w\w+ default) and accumulate hashed counts.
+// texts: n C strings; out: (n, dim) float32 row-major, pre-zeroed by caller.
+void mused_hash_text_counts(const char** texts, int64_t n, int64_t dim,
+                            float* out) {
+    crc_init();
+    for (int64_t i = 0; i < n; i++) {
+        const char* s = texts[i];
+        if (!s) continue;
+        float* row = out + i * dim;
+        uint32_t crc = 0xFFFFFFFFu;   // streaming CRC, any token length
+        size_t tok_len = 0;
+        for (size_t p = 0;; p++) {
+            char ch = s[p] ? to_lower_ascii(s[p]) : '\0';
+            if (ch && is_token_char(ch)) {
+                crc = crc_table[(crc ^ static_cast<unsigned char>(ch)) & 0xFF]
+                      ^ (crc >> 8);
+                tok_len++;
+            } else {
+                if (tok_len >= 2)
+                    row[(crc ^ 0xFFFFFFFFu) % dim] += 1.0f;
+                crc = 0xFFFFFFFFu;
+                tok_len = 0;
+                if (!s[p]) break;
+            }
+        }
+    }
+}
+
+// Tags arrive as one string per row with tags separated by '\x1f'; each tag
+// hashes as a whole (the reference treats tags as set elements, not words).
+// out: (n, dim) float32, pre-zeroed; entries set to 1.0 (multi-hot).
+void mused_multihot_tags(const char** rows, int64_t n, int64_t dim,
+                         float* out) {
+    crc_init();
+    for (int64_t i = 0; i < n; i++) {
+        const char* s = rows[i];
+        if (!s || !s[0]) continue;
+        float* row = out + i * dim;
+        const char* start = s;
+        for (const char* p = s;; p++) {
+            if (*p == '\x1f' || *p == '\0') {
+                size_t len = size_t(p - start);
+                if (len > 0)
+                    row[crc32_bytes(start, len) % dim] = 1.0f;
+                if (*p == '\0') break;
+                start = p + 1;
+            }
+        }
+    }
+}
+
+}  // extern "C"
