@@ -60,12 +60,17 @@ def test_multihot_tags_bitwise_parity(rng):
 def test_native_is_faster(rng):
     words = [f"word{i}" for i in range(500)]
     texts = [" ".join(rng.choice(words, size=40)) for _ in range(2000)]
-    t0 = time.perf_counter()
-    native.hash_text_counts(texts, 4096)
-    fast_t = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    python_text_counts(texts, 4096)
-    slow_t = time.perf_counter() - t0
+
+    def med(f):
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            f()
+            ts.append(time.perf_counter() - t0)
+        return sorted(ts)[1]
+
+    fast_t = med(lambda: native.hash_text_counts(texts, 4096))
+    slow_t = med(lambda: python_text_counts(texts, 4096))
     assert fast_t < slow_t, f"native {fast_t:.3f}s not faster than python {slow_t:.3f}s"
 
 
