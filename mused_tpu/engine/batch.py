@@ -19,6 +19,43 @@ from mused_tpu.utils.config import PipelineConfig
 from mused_tpu.engine.streaming import StreamingEngine
 
 MAX_DENSE_ROWS = 32_768  # single-chip dense n^2 guard (~4GB f32 at the cap)
+BLOCK_ROWS = 2_048       # row-block size for the rematerialized large path
+
+
+def _blocked_reduce(data_modalities, modality_types, cfg, key):
+    """Featurize the whole subset, pad rows to a block multiple (padding rows
+    are invalid => zero adjacency rows), run the blocked randomized SVD."""
+    from mused_tpu.data import features as feat
+    from mused_tpu.ops import blocked_affinity as ba
+
+    n = len(data_modalities[0])
+    if list(modality_types) == ["location", "time", "username", "tags", "text"]:
+        loc, tim, user, tags, text = data_modalities
+        wf = feat.featurize_window(loc, tim, user, tags, text, cfg.features)
+        block = min(BLOCK_ROWS, n)
+        pad = (-n) % block
+        if pad:
+            wf = feat.WindowFeatures(
+                location=np.pad(wf.location, ((0, pad), (0, 0)),
+                                constant_values=np.nan),
+                times=np.pad(wf.times, ((0, pad), (0, 0))),
+                user_ids=np.pad(wf.user_ids, (0, pad), constant_values=-1),
+                tags=np.pad(wf.tags, ((0, pad), (0, 0))),
+                text=np.pad(wf.text, ((0, pad), (0, 0))),
+            )
+        cols = ba.standard_columns(wf)
+    else:
+        mats = [np.asarray(m, np.float32) for m in data_modalities]
+        block = min(BLOCK_ROWS, n)
+        pad = (-n) % block
+        if pad:
+            mats = [np.pad(m, ((0, pad), (0, 0)), constant_values=np.nan)
+                    for m in mats]
+        cols = ba.generic_columns(mats, tuple(modality_types))
+
+    reduced = ba.blocked_svd_reduce(cols, key, rank=cfg.reduced_dim,
+                                    block=block, k_basis=cfg.k_basis)
+    return reduced[:n]
 
 
 def process_batch_data(results, data_modalities, modality_types, reduced_dim,
@@ -42,11 +79,23 @@ def process_batch_data(results, data_modalities, modality_types, reduced_dim,
             reduced_dim=reduced_dim, k_basis=k_basis, approach=approach,
             eps=eps, min_samples=min_samples, min_cluster_size=min_cluster_size)
 
-    # reuse the streaming engine's featurize+fuse graph on the whole subset
-    helper = StreamingEngine(cfg.replace(window_size=max(subset_size, 2)))
-    fused = helper.fused_adjacency(data_modalities, modality_types)
     key = jax.random.key(seed)
-    reduced = reduction.svd_reduce(fused, reduced_dim, key)
+    if subset_size > MAX_DENSE_ROWS or cfg.force_blocked_batch:
+        # large-subset path: the fused adjacency is never materialized —
+        # blocked randomized SVD rematerializes (B, n) rows on the fly
+        # (ops/blocked_affinity.py).  The reference's dense path would need
+        # n^2 float64 (180GB at its own 150k default, SURVEY.md §3.3).
+        if approach in ("DBSCAN_batch", "HDBSCAN_batch", "Spectral_batch"):
+            raise ValueError(
+                f"{approach} needs the dense n^2 graph; n={subset_size} "
+                f"exceeds the dense cap ({MAX_DENSE_ROWS})")
+        reduced = _blocked_reduce(data_modalities, modality_types, cfg, key)
+        fused = None
+    else:
+        # reuse the streaming engine's featurize+fuse graph on the whole subset
+        helper = StreamingEngine(cfg.replace(window_size=max(subset_size, 2)))
+        fused = helper.fused_adjacency(data_modalities, modality_types)
+        reduced = reduction.svd_reduce(fused, reduced_dim, key)
 
     if approach == "Spectral_batch":
         labels = spectral.spectral_clustering(fused, jnp.int32(n_clusters), key,

@@ -171,6 +171,30 @@ def euclidean_adjacency(data: jax.Array, k_basis: int) -> jax.Array:
     return knn_adjacency(sim, valid, max(1, k_basis) - 1)
 
 
+def knn_adjacency_block(sim: jax.Array, row_valid: jax.Array,
+                        col_valid: jax.Array, k: int,
+                        row_offset) -> jax.Array:
+    """Rectangular (m, n) kNN adjacency for a row block of a larger matrix.
+
+    ``row_offset`` is the global index of local row 0 (for diagonal/self
+    exclusion).  The building block of both the sharded multi-chip affinity
+    (parallel/sharded.py) and the rematerialized blocked batch engine.
+    """
+    m, n = sim.shape
+    k = max(0, min(k, n - 1))
+    if k == 0:
+        return jnp.zeros((m, n), jnp.float32)
+    sim = jnp.where(col_valid[None, :], sim, NEG)
+    global_row = row_offset + jnp.arange(m)
+    is_self = global_row[:, None] == jnp.arange(n)[None, :]
+    sim = jnp.where(is_self, NEG, sim)
+    vals, idx = jax.lax.top_k(sim, k)
+    edge = (vals > NEG / 2) & row_valid[:, None]
+    rows = jnp.broadcast_to(jnp.arange(m)[:, None], (m, k))
+    adj = jnp.zeros((m, n), jnp.float32)
+    return adj.at[rows, idx].max(edge.astype(jnp.float32))
+
+
 def embedding_adjacency(emb: jax.Array, k_basis: int) -> jax.Array:
     """Dense-embedding modality (CLIP/BERT-style vectors): cosine kNN.
 

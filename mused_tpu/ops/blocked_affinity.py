@@ -1,0 +1,233 @@
+"""Rematerialized row-block affinity: fused adjacency blocks computed on the
+fly, never materializing the full (n, n) matrix.
+
+The reference's batch engine allocates a dense subset^2 float64 matrix
+(reference matrix_operations.py:17 via main.py:139-141) — 180GB at its own
+default subset of 150k rows, i.e. its default batch config cannot actually
+run.  The TPU-native answer is rematerialization: any (B, n) row block of the
+fused adjacency is a cheap function of the feature tensors (MXU sims +
+top_k), so consumers that only need matrix-vector products (randomized SVD,
+spectral power iteration) recompute blocks inside a `lax.scan` instead of
+storing the matrix — the same FLOPs-for-memory trade as activation remat in
+training.
+
+`Columns` holds the full-subset device feature tensors + global statistics
+(TF-IDF document frequencies) computed once.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mused_tpu.ops import affinity
+
+
+class Columns(NamedTuple):
+    """Full-subset device tensors for the five standard modalities, or the
+    generic numeric layout (see ``generic_columns``)."""
+
+    kinds: tuple               # static: modality type per tensor
+    tensors: tuple             # one (n, d_m) array per modality
+    valids: tuple              # one (n,) bool per modality
+    idf: jax.Array | None      # (H_text,) for the text modality, else None
+
+    @property
+    def n(self) -> int:
+        return self.tensors[0].shape[0]
+
+
+def standard_columns(wf) -> Columns:
+    """Columns for the 5 standard modalities from a WindowFeatures batch."""
+    loc = jnp.asarray(wf.location)
+    tim = jnp.asarray(wf.times)
+    uid = jnp.asarray(wf.user_ids)
+    tags = jnp.asarray(wf.tags)
+    text = jnp.asarray(wf.text)
+    text_valid = jnp.sum(text, axis=1) > 0
+    n_docs = jnp.maximum(jnp.sum(text_valid.astype(jnp.float32)), 1.0)
+    df = jnp.sum((text > 0) & text_valid[:, None], axis=0).astype(jnp.float32)
+    idf = jnp.log((1.0 + n_docs) / (1.0 + df)) + 1.0
+    return Columns(
+        kinds=("location", "time", "username", "tags", "text"),
+        tensors=(loc, tim, uid, tags, text),
+        valids=(jnp.all(jnp.isfinite(loc), axis=1),
+                (tim[:, 0] != 0.0) & (tim[:, 1] != 0.0),
+                uid >= 0,
+                jnp.sum(tags, axis=1) > 0,
+                text_valid),
+        idf=idf,
+    )
+
+
+def generic_columns(mats, types) -> Columns:
+    """Columns for numeric modalities (default/embedding/location/time)."""
+    tensors, valids = [], []
+    for m, t in zip(mats, types):
+        m = jnp.asarray(np.asarray(m, np.float32))
+        if t == "time":
+            valids.append((m[:, 0] != 0.0) & (m[:, 1] != 0.0))
+        elif t == "embedding":
+            norm = jnp.linalg.norm(m, axis=1)
+            valids.append(jnp.all(jnp.isfinite(m), axis=1) & (norm > 0))
+        else:
+            valids.append(jnp.all(jnp.isfinite(m), axis=1))
+        tensors.append(m)
+    return Columns(kinds=tuple(types), tensors=tuple(tensors),
+                   valids=tuple(valids), idf=None)
+
+
+def _rows(t, start, size):
+    return jax.lax.dynamic_slice_in_dim(t, start, size, axis=0)
+
+
+def fused_rowblock(cols: Columns, start, block: int,
+                   k_basis: int) -> jax.Array:
+    """(block, n) fused adjacency rows [start, start+block) — pure function of
+    the feature tensors; `start` may be traced (used inside lax.scan)."""
+    mats = []
+    for kind, t, valid in zip(cols.kinds, cols.tensors, cols.valids):
+        tr = _rows(t, start, block)
+        vr = _rows(valid, start, block)
+        if kind == "location":
+            safe_r = jnp.where(vr[:, None], tr, 0.0)
+            safe_c = jnp.where(valid[:, None], t, 0.0)
+            sim = -_haversine_block(safe_r, safe_c)
+            mats.append(affinity.knn_adjacency_block(sim, vr, valid, k_basis,
+                                                     start))
+        elif kind == "time":
+            sim = -(jnp.abs(tr[:, :1] - t[:, 0][None, :])
+                    + jnp.abs(tr[:, 1:2] - t[:, 1][None, :]))
+            mats.append(affinity.knn_adjacency_block(sim, vr, valid,
+                                                     3 * k_basis, start))
+        elif kind == "username":
+            same = (tr[:, None] == t[None, :]) & vr[:, None] & valid[None, :]
+            not_self = (start + jnp.arange(tr.shape[0]))[:, None] \
+                != jnp.arange(cols.n)[None, :]
+            mats.append((same & not_self).astype(jnp.float32))
+        elif kind == "tags":
+            inter = jnp.dot(tr, t.T, preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+            s_r, s_c = jnp.sum(tr, axis=1), jnp.sum(t, axis=1)
+            union = s_r[:, None] + s_c[None, :] - inter
+            sim = jnp.where(union > 0, inter / jnp.maximum(union, 1e-9), 0.0)
+            mats.append(affinity.knn_adjacency_block(sim, vr, valid, k_basis,
+                                                     start))
+        elif kind == "text":
+            x_c = t * cols.idf[None, :]
+            x_c = x_c / jnp.maximum(jnp.linalg.norm(x_c, axis=1, keepdims=True),
+                                    1e-12)
+            x_r = _rows(x_c, start, block)
+            sim = jnp.dot(x_r, x_c.T, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+            mats.append(affinity.knn_adjacency_block(sim, vr, valid, k_basis,
+                                                     start))
+        elif kind == "embedding":
+            x_c = t / jnp.maximum(jnp.linalg.norm(t, axis=1, keepdims=True),
+                                  1e-12)
+            x_r = _rows(x_c, start, block)
+            sim = jnp.dot(x_r, x_c.T, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+            mats.append(affinity.knn_adjacency_block(sim, vr, valid, k_basis,
+                                                     start))
+        else:   # default: euclidean, self included in k (ref :112-119)
+            safe_c = jnp.where(valid[:, None], t, 0.0)
+            safe_r = jnp.where(vr[:, None], tr, 0.0)
+            sq_r = jnp.sum(safe_r * safe_r, axis=1)
+            sq_c = jnp.sum(safe_c * safe_c, axis=1)
+            d2 = sq_r[:, None] + sq_c[None, :] - 2.0 * jnp.dot(
+                safe_r, safe_c.T, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            mats.append(affinity.knn_adjacency_block(
+                -jnp.maximum(d2, 0.0), vr, valid, max(1, k_basis) - 1, start))
+    return affinity.fuse(mats)
+
+
+def _haversine_block(a: jax.Array, b: jax.Array) -> jax.Array:
+    ra, rb = jnp.deg2rad(a), jnp.deg2rad(b)
+    dlat = ra[:, 0][:, None] - rb[:, 0][None, :]
+    dlon = ra[:, 1][:, None] - rb[:, 1][None, :]
+    h = jnp.sin(dlat / 2) ** 2 + jnp.cos(ra[:, 0])[:, None] \
+        * jnp.cos(rb[:, 0])[None, :] * jnp.sin(dlon / 2) ** 2
+    return 2.0 * 6371.0 * jnp.arcsin(jnp.sqrt(jnp.clip(h, 0.0, 1.0)))
+
+
+# ---------------------------------------------------------------------------
+# blocked randomized SVD of the implicit fused adjacency
+# ---------------------------------------------------------------------------
+
+def _scan_blocks(cols: Columns, block: int, k_basis: int, f, init):
+    """fold f(carry, fused_block, start) over all row blocks via lax.scan."""
+    n = cols.n
+    n_blocks = -(-n // block)
+
+    def body(carry, i):
+        start = i * block
+        # clamp the last block's start so slices stay in range; the overlap
+        # rows are recomputed identically and masked by the caller via
+        # row-index arithmetic where needed
+        start = jnp.minimum(start, n - block)
+        fused = fused_rowblock(cols, start, block, k_basis)
+        return f(carry, fused, start), None
+
+    carry, _ = jax.lax.scan(body, init, jnp.arange(n_blocks))
+    return carry
+
+
+def blocked_svd_reduce(cols: Columns, key: jax.Array, *, rank: int,
+                       block: int, k_basis: int, n_iter: int = 2,
+                       oversample: int = 8) -> jax.Array:
+    """TruncatedSVD.fit_transform of the implicit fused adjacency, computed
+    with (2 + 2*n_iter) rematerialized sweeps over row blocks.
+
+    Requires block <= n and block | n for exactness of the row coverage
+    (the driver pads/chooses block accordingly); returns (n, rank) = U*S.
+    """
+    # kinds are static python strings -> route them around jit explicitly
+    return _blocked_svd_impl(
+        cols.tensors, cols.valids, cols.idf, key, kinds=cols.kinds,
+        rank=rank, block=block, k_basis=k_basis, n_iter=n_iter,
+        oversample=oversample)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("kinds", "block", "k_basis", "rank",
+                                    "n_iter", "oversample"))
+def _blocked_svd_impl(tensors, valids, idf, key, *, kinds, rank: int,
+                      block: int, k_basis: int, n_iter: int,
+                      oversample: int) -> jax.Array:
+    cols = Columns(kinds=kinds, tensors=tensors, valids=valids, idf=idf)
+    n = cols.n
+    assert n % block == 0, "choose block dividing n (pad rows upstream)"
+    r = min(rank + oversample, n)
+    omega = jax.random.normal(key, (n, r), jnp.float32)
+
+    def mul_A(v):          # A @ v via block sweep: (n, r)
+        def f(acc, fused, start):
+            return jax.lax.dynamic_update_slice_in_dim(
+                acc, jnp.dot(fused, v, preferred_element_type=jnp.float32),
+                start, axis=0)
+        return _scan_blocks(cols, block, k_basis, f, jnp.zeros((n, r)))
+
+    def mul_AT(v):         # A^T @ v via block sweep: (n, r)
+        def f(acc, fused, start):
+            vb = jax.lax.dynamic_slice_in_dim(v, start, block, axis=0)
+            return acc + jnp.dot(fused.T, vb,
+                                 preferred_element_type=jnp.float32)
+        return _scan_blocks(cols, block, k_basis, f, jnp.zeros((n, r)))
+
+    q, _ = jnp.linalg.qr(mul_A(omega))
+    for _ in range(n_iter):
+        z, _ = jnp.linalg.qr(mul_AT(q))
+        q, _ = jnp.linalg.qr(mul_A(z))
+    bt = mul_AT(q)                          # (n, r) = A^T Q
+    ub, s, vt = jnp.linalg.svd(bt.T, full_matrices=False)   # (r, n) small svd
+    u = q @ ub
+    out = u[:, :rank] * s[None, :rank]
+    if rank > out.shape[1]:
+        out = jnp.concatenate(
+            [out, jnp.zeros((n, rank - out.shape[1]), out.dtype)], axis=1)
+    return out

@@ -72,6 +72,8 @@ class PipelineConfig:
     features: FeatureConfig = dataclasses.field(default_factory=FeatureConfig)
     kmeans_iters: int = 100
     n_clusters_override: int | None = None   # honor an explicit caller value
+    force_blocked_batch: bool = False  # use the rematerialized blocked batch
+                                       # path regardless of subset size
     use_pallas_affinity: bool = False  # fused Pallas kNN kernel for numeric
                                        # modalities (continuous sims only:
                                        # threshold ties may add edges)

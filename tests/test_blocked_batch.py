@@ -1,0 +1,112 @@
+"""Rematerialized blocked batch path vs the dense path (exactness + scale guard)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mused_tpu import api
+from mused_tpu.data.synthetic import synthetic_events_dataframe, crisis_embedding_stream
+from mused_tpu.data.sed2012 import prepare_modalities
+from mused_tpu.ops import blocked_affinity as ba
+from mused_tpu.data import features as feat
+from mused_tpu.utils.config import FeatureConfig, PipelineConfig
+
+
+@pytest.fixture(scope="module")
+def stream():
+    df = synthetic_events_dataframe(n_rows=420, n_events=4, noise_rate=0.5, seed=0)
+    return prepare_modalities(df, subset_size=256, sort_by_uploaded=True,
+                              binary=True, noise_rate=0.5, seed=0)
+
+
+def test_fused_rowblock_matches_dense(stream):
+    """Every rematerialized row block must equal the dense fused adjacency."""
+    from mused_tpu.engine.streaming import StreamingEngine
+    mods, mtypes, _ = stream
+    n, block = 256, 64
+    cfg = PipelineConfig(window_size=n, k_basis=3)
+    dense = np.asarray(StreamingEngine(cfg).fused_adjacency(mods, mtypes))
+
+    loc, tim, user, tags, text = mods
+    wf = feat.featurize_window(loc, tim, user, tags, text, FeatureConfig())
+    cols = ba.standard_columns(wf)
+    for start in range(0, n, block):
+        blk = np.asarray(ba.fused_rowblock(cols, jnp.int32(start), block, 3))
+        np.testing.assert_array_equal(blk, dense[start:start + block])
+
+
+def test_blocked_svd_matches_exact_svd_quality(stream):
+    """Blocked randomized SVD of the implicit adjacency captures (nearly) the
+    optimal rank-r energy of the exact dense SVD.  (Two randomized runs can
+    legitimately pick different subspaces when the spectrum is flat at the
+    cutoff, so the comparison is against the optimum, not another sample.)"""
+    from mused_tpu.engine.streaming import StreamingEngine
+    mods, mtypes, _ = stream
+    cfg = PipelineConfig(window_size=256, k_basis=3)
+    dense = np.asarray(StreamingEngine(cfg).fused_adjacency(mods, mtypes),
+                       dtype=np.float64)
+    s_exact = np.linalg.svd(dense, compute_uv=False)
+
+    loc, tim, user, tags, text = mods
+    wf = feat.featurize_window(loc, tim, user, tags, text, FeatureConfig())
+    cols = ba.standard_columns(wf)
+    got = np.asarray(ba.blocked_svd_reduce(cols, jax.random.key(0), rank=8,
+                                           block=64, k_basis=3))
+    # captured energy: sum of squared embedding norms == sum of sigma_i^2 kept
+    captured = float(np.sum(got ** 2))
+    optimal = float(np.sum(s_exact[:8] ** 2))
+    assert captured >= 0.97 * optimal
+    assert captured <= 1.01 * optimal
+    # leading singular values recovered accurately
+    s_blocked = np.linalg.norm(got, axis=0)
+    np.testing.assert_allclose(sorted(s_blocked)[::-1][:4], s_exact[:4],
+                               rtol=0.02)
+
+
+def test_batch_engine_blocked_path(stream):
+    """SVDMC_batch through the blocked path (forced) matches the dense path's
+    quality on the same subset."""
+    mods, mtypes, labels = stream
+    out = {}
+    for forced in (False, True):
+        cfg = PipelineConfig(window_size=64, reduced_dim=8, k_basis=3,
+                             approach="SVDMC_batch", label_mode="binary",
+                             force_blocked_batch=forced)
+        results, _ = api.get_initial_results()
+        results = api.process_batch_data(
+            results=results, data_modalities=mods, modality_types=mtypes,
+            reduced_dim=8, k_basis=3, n_clusters=2, seed=0,
+            approach="SVDMC_batch", complete_true_labels=labels,
+            noise_rate=0.5, label_mode="binary", sorting=True, eps=1.5,
+            min_samples=2, min_cluster_size=3, window_size=64, cfg=cfg)
+        out[forced] = results["nmi_score"][0]
+    assert abs(out[True] - out[False]) < 0.15
+
+
+def test_blocked_path_with_padding():
+    """n not divisible by the block: padding rows are invalid and sliced off."""
+    mods, mtypes, labels = crisis_embedding_stream(
+        n_rows=200, n_events=3, noise_rate=0.2, d_text=32, d_image=32, seed=4)
+    cfg = PipelineConfig(window_size=64, reduced_dim=8, k_basis=4,
+                         approach="SVDMC_batch", label_mode="all",
+                         n_clusters_override=4, force_blocked_batch=True)
+    results, _ = api.get_initial_results()
+    results = api.process_batch_data(
+        results=results, data_modalities=mods, modality_types=mtypes,
+        reduced_dim=8, k_basis=4, n_clusters=4, seed=0,
+        approach="SVDMC_batch", complete_true_labels=labels, noise_rate=0.2,
+        label_mode="all", sorting=False, eps=1.5, min_samples=2,
+        min_cluster_size=3, window_size=64, cfg=cfg)
+    assert results["nmi_score"][0] > 0.4
+
+
+def test_dense_cap_guard_message(stream):
+    mods, mtypes, labels = stream
+    with pytest.raises(ValueError, match="dense cap"):
+        cfg = PipelineConfig(approach="DBSCAN_batch", force_blocked_batch=True)
+        api.process_batch_data(
+            results=api.get_initial_results()[0], data_modalities=mods,
+            modality_types=mtypes, reduced_dim=8, k_basis=3, n_clusters=2,
+            seed=0, approach="DBSCAN_batch", complete_true_labels=labels,
+            noise_rate=0.5, label_mode="binary", sorting=True, eps=1.5,
+            min_samples=2, min_cluster_size=3, window_size=64, cfg=cfg)
