@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from mused_tpu.data import features as feat
 from mused_tpu.ops import affinity, dbscan, fd, kmeans, matching, reduction, spectral, swfd
-from mused_tpu.utils import metrics as metrics_mod
+from mused_tpu.utils import metrics as metrics_mod, profiling
 from mused_tpu.utils.config import PipelineConfig
 
 
@@ -165,6 +165,7 @@ class StreamingEngine:
         self.prev_centroids = None
         self.prev_centroid_labels = None
         self.swfd_R: float | None = None   # recorded like reference main.py:61
+        self.timer = profiling.SpanTimer()  # per-phase spans (SURVEY.md §5.1)
 
     # ------------------------------------------------------------------
     def host_snapshot(self) -> dict:
@@ -191,28 +192,45 @@ class StreamingEngine:
             self.incr_clusterer._labels = host["incr_labels"]
 
     # ------------------------------------------------------------------
-    def fused_adjacency(self, window_modalities, modality_types):
-        """Host featurize + device adjacency/fusion for one window."""
-        cfg = self.cfg
+    def featurize(self, window_modalities, modality_types):
+        """Host featurization only (runs in the ingest prefetch thread)."""
         if list(modality_types) == list(("location", "time", "username",
                                          "tags", "text")):
             loc, tim, user, tags, text = window_modalities
-            wf = feat.featurize_window(loc, tim, user, tags, text, cfg.features)
-            return _fuse_standard(wf.location, wf.times, wf.user_ids, wf.tags,
-                                  wf.text, cfg.k_basis)
-        mats = tuple(jnp.asarray(np.asarray(m, np.float32))
-                     for m in window_modalities)
-        return _fuse_generic(mats, k_basis=cfg.k_basis,
+            return feat.featurize_window(loc, tim, user, tags, text,
+                                         self.cfg.features)
+        return tuple(np.asarray(m, np.float32) for m in window_modalities)
+
+    def fuse_from_features(self, feats, modality_types):
+        """Device adjacency + fusion from featurized tensors."""
+        cfg = self.cfg
+        if isinstance(feats, feat.WindowFeatures):
+            return _fuse_standard(feats.location, feats.times, feats.user_ids,
+                                  feats.tags, feats.text, cfg.k_basis)
+        return _fuse_generic(tuple(jnp.asarray(m) for m in feats),
+                             k_basis=cfg.k_basis,
                              types=tuple(modality_types),
                              use_pallas=cfg.use_pallas_affinity)
+
+    def fused_adjacency(self, window_modalities, modality_types):
+        """Host featurize + device adjacency/fusion for one window."""
+        return self.fuse_from_features(
+            self.featurize(window_modalities, modality_types), modality_types)
 
     # ------------------------------------------------------------------
     def process_window(self, window_modalities, modality_types,
                        window_true_labels, window_index: int,
-                       prev_clusters) -> np.ndarray:
-        """One full window: device step + host clustering glue + matching."""
+                       prev_clusters, features=None) -> np.ndarray:
+        """One full window: device step + host clustering glue + matching.
+
+        ``features``: optionally pre-featurized tensors (from the ingest
+        prefetcher) so the host hashing work overlaps device compute.
+        """
         cfg = self.cfg
-        fused = self.fused_adjacency(window_modalities, modality_types)
+        if features is None:
+            features = self.featurize(window_modalities, modality_types)
+        with self.timer.span("fuse"):
+            fused = self.fuse_from_features(features, modality_types)
 
         if cfg.approach == "SWFDMC" and self.swfd_R is None:
             # reference sizes the sketch with the first window's max squared
@@ -222,11 +240,12 @@ class StreamingEngine:
 
         n_clusters = int(len(np.unique(window_true_labels)))
         key = jax.random.fold_in(jax.random.key(cfg.seed), window_index)
-        self.state, reduced, labels = _window_step(
-            self.state, fused, jnp.int32(n_clusters), key,
-            approach=cfg.approach, k_basis=cfg.k_basis,
-            reduced_dim=cfg.reduced_dim, k_max=self.k_max,
-            window=cfg.window_size, block_rows=self.block_rows)
+        with self.timer.span("device_step"):
+            self.state, reduced, labels = _window_step(
+                self.state, fused, jnp.int32(n_clusters), key,
+                approach=cfg.approach, k_basis=cfg.k_basis,
+                reduced_dim=cfg.reduced_dim, k_max=self.k_max,
+                window=cfg.window_size, block_rows=self.block_rows)
 
         if cfg.approach == "DBSCAN_incr":
             if self.incr_clusterer is None:
@@ -247,10 +266,11 @@ class StreamingEngine:
         # cross-window matching (reference main.py:105-112, min_overlap=3)
         method = "pot" if cfg.approach == "sSVDMC_pot" else "hungarian"
         if cfg.approach != "DBSCAN_centr":   # centr does its own matching
-            clusters = matching.match_clusters(
-                prev_clusters, clusters, method=method, min_overlap=3,
-                sinkhorn_reg=cfg.sinkhorn_reg,
-                sinkhorn_iters=cfg.sinkhorn_iters)
+            with self.timer.span("matching"):
+                clusters = matching.match_clusters(
+                    prev_clusters, clusters, method=method, min_overlap=3,
+                    sinkhorn_reg=cfg.sinkhorn_reg,
+                    sinkhorn_iters=cfg.sinkhorn_iters)
 
         if clusters is None or len(clusters) == 0:
             # clustering-failure fallback: all-noise window (main.py:114-116)
@@ -304,16 +324,28 @@ def process_streaming_data(results, data_modalities, modality_types,
             print(f"resumed from {latest} at window {start_w}")
 
     windows = window_triggers(subset_size, window_size, step_window_ratio)
-    for w_idx, i in enumerate(windows):
-        if w_idx < start_w:
-            continue
+    todo = list(enumerate(windows))[start_w:]
+
+    # double-buffered ingest: featurize window w+1 on a worker thread while
+    # the device computes window w (data/ingest.py)
+    from mused_tpu.data.ingest import WindowPrefetcher
+
+    def featurize_at(pos: int):
+        _, i = todo[pos]
+        lo, hi = i - window_size + 1, i + 1
+        return engine.featurize([m[lo:hi] for m in data_modalities],
+                                modality_types)
+
+    prefetcher = WindowPrefetcher(featurize_at, len(todo), depth=2)
+    for (w_idx, i), features in zip(todo, prefetcher):
         lo, hi = i - window_size + 1, i + 1
         window_modalities = [m[lo:hi] for m in data_modalities]
         true_labels = complete_true_labels[lo:hi]
         all_true_labels.append(true_labels)
 
         clusters = engine.process_window(window_modalities, modality_types,
-                                         true_labels, w_idx, prev_clusters)
+                                         true_labels, w_idx, prev_clusters,
+                                         features=features)
         prev_clusters = clusters
         all_clusters.append(clusters)
 
