@@ -143,6 +143,10 @@ def _window_step(state: StreamState, fused: jax.Array, n_clusters: jax.Array,
     return state, reduced, labels
 
 
+LARGE_WINDOW_ROWS = 32_768   # beyond this, windows use rematerialized blocks
+LARGE_BLOCK = 2_048
+
+
 class StreamingEngine:
     """Host orchestration of the streaming pipeline for one approach."""
 
@@ -192,6 +196,65 @@ class StreamingEngine:
             self.incr_clusterer._labels = host["incr_labels"]
 
     # ------------------------------------------------------------------
+    def _process_window_large(self, features, modality_types,
+                              window_true_labels, window_index: int,
+                              prev_clusters) -> np.ndarray:
+        """Huge-window path (BASELINE.md #3: e.g. 100k-row windows): the
+        window's fused adjacency is never materialized — FD sketch / blocked
+        randomized SVD consume rematerialized (B, n) row blocks."""
+        from mused_tpu.ops import blocked_affinity as ba
+        from mused_tpu.data import features as featmod
+        cfg = self.cfg
+        n = cfg.window_size
+        block = min(LARGE_BLOCK, n)
+        pad = (-n) % block
+        if isinstance(features, featmod.WindowFeatures):
+            if pad:
+                features = featmod.WindowFeatures(
+                    location=np.pad(features.location, ((0, pad), (0, 0)),
+                                    constant_values=np.nan),
+                    times=np.pad(features.times, ((0, pad), (0, 0))),
+                    user_ids=np.pad(features.user_ids, (0, pad),
+                                    constant_values=-1),
+                    tags=np.pad(features.tags, ((0, pad), (0, 0))),
+                    text=np.pad(features.text, ((0, pad), (0, 0))),
+                )
+            cols = ba.standard_columns(features)
+        else:
+            mats = [np.pad(np.asarray(m, np.float32), ((0, pad), (0, 0)),
+                           constant_values=np.nan) if pad else m
+                    for m in features]
+            cols = ba.generic_columns(mats, tuple(modality_types))
+
+        key = jax.random.fold_in(jax.random.key(cfg.seed), window_index)
+        with self.timer.span("device_step"):
+            if cfg.approach == "SWFDMC":
+                ell = min(cfg.reduced_dim, n)
+                sk, sq_fro = ba.blocked_fd_sketch(cols, ell=ell, block=block,
+                                                  k_basis=cfg.k_basis)
+                # the padded columns are invalid -> their adjacency columns
+                # are zero; slice the sketch back to d=n
+                reduced = sk.T[:n]
+            else:
+                reduced = ba.blocked_svd_reduce(cols, key,
+                                                rank=cfg.reduced_dim,
+                                                block=block,
+                                                k_basis=cfg.k_basis)[:n]
+            n_clusters = int(len(np.unique(window_true_labels)))
+            labels, _ = kmeans.kmeans(reduced, jnp.int32(n_clusters), key,
+                                      k_max=self.k_max)
+        clusters = np.asarray(labels)
+        method = "pot" if cfg.approach == "sSVDMC_pot" else "hungarian"
+        with self.timer.span("matching"):
+            clusters = matching.match_clusters(
+                prev_clusters, clusters, method=method, min_overlap=3,
+                sinkhorn_reg=cfg.sinkhorn_reg,
+                sinkhorn_iters=cfg.sinkhorn_iters)
+        if clusters is None or len(clusters) == 0:
+            clusters = np.full(cfg.window_size, 0)
+        return np.asarray(clusters)
+
+    # ------------------------------------------------------------------
     def featurize(self, window_modalities, modality_types):
         """Host featurization only (runs in the ingest prefetch thread)."""
         if list(modality_types) == list(("location", "time", "username",
@@ -229,6 +292,10 @@ class StreamingEngine:
         cfg = self.cfg
         if features is None:
             features = self.featurize(window_modalities, modality_types)
+        if cfg.window_size > LARGE_WINDOW_ROWS or cfg.force_blocked_window:
+            return self._process_window_large(features, modality_types,
+                                              window_true_labels,
+                                              window_index, prev_clusters)
         with self.timer.span("fuse"):
             fused = self.fuse_from_features(features, modality_types)
 

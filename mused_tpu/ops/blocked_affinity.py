@@ -177,6 +177,35 @@ def _scan_blocks(cols: Columns, block: int, k_basis: int, f, init):
     return carry
 
 
+def blocked_fd_sketch(cols: Columns, *, ell: int, block: int,
+                      k_basis: int):
+    """FD sketch (ell, n) of the implicit fused adjacency's rows, one
+    rematerialized sweep (the huge-window SWFDMC regime, BASELINE.md #3:
+    windows too large to materialize even once).
+
+    Returns (sketch, sq_frobenius) — feed to swfd.absorb_summary exactly like
+    fd.hierarchical_sketch's output.
+    """
+    return _blocked_fd_impl(cols.tensors, cols.valids, cols.idf,
+                            kinds=cols.kinds, ell=ell, block=block,
+                            k_basis=k_basis)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("kinds", "ell", "block", "k_basis"))
+def _blocked_fd_impl(tensors, valids, idf, *, kinds, ell: int, block: int,
+                     k_basis: int):
+    from mused_tpu.ops import fd
+    cols = Columns(kinds=kinds, tensors=tensors, valids=valids, idf=idf)
+    n = cols.n
+
+    def f(state, fused, start):
+        return fd.update_stream(state, fused)
+
+    state = _scan_blocks(cols, block, k_basis, f, fd.init(ell, n))
+    return state.sketch, state.sq_frobenius
+
+
 def blocked_svd_reduce(cols: Columns, key: jax.Array, *, rank: int,
                        block: int, k_basis: int, n_iter: int = 2,
                        oversample: int = 8) -> jax.Array:

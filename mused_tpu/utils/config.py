@@ -74,6 +74,8 @@ class PipelineConfig:
     n_clusters_override: int | None = None   # honor an explicit caller value
     force_blocked_batch: bool = False  # use the rematerialized blocked batch
                                        # path regardless of subset size
+    force_blocked_window: bool = False  # rematerialized huge-window streaming
+                                        # path regardless of window size
     use_pallas_affinity: bool = False  # fused Pallas kNN kernel for numeric
                                        # modalities (continuous sims only:
                                        # threshold ties may add edges)

@@ -110,3 +110,25 @@ def test_dense_cap_guard_message(stream):
             seed=0, approach="DBSCAN_batch", complete_true_labels=labels,
             noise_rate=0.5, label_mode="binary", sorting=True, eps=1.5,
             min_samples=2, min_cluster_size=3, window_size=64, cfg=cfg)
+
+
+@pytest.mark.parametrize("approach", ["SWFDMC", "sSVDMC"])
+def test_huge_window_streaming_path(stream, approach):
+    """The rematerialized huge-window streaming path (forced at small scale)
+    matches the dense path's quality (BASELINE.md config #3 regime)."""
+    mods, mtypes, labels = stream
+    out = {}
+    for forced in (False, True):
+        cfg = PipelineConfig(window_size=64, reduced_dim=8, k_basis=3,
+                             approach=approach, label_mode="binary",
+                             n_clusters_override=2,
+                             force_blocked_window=forced)
+        results, _ = api.get_initial_results()
+        results = api.process_streaming_data(
+            results=results, data_modalities=mods, modality_types=mtypes,
+            window_size=64, reduced_dim=8, k_basis=3, n_clusters_total=2,
+            seed=0, approach=approach, complete_true_labels=labels,
+            step_window_ratio=1, noise_rate=0.5, label_mode="binary",
+            sorting=True, eps=1.5, min_samples=2, cfg=cfg)
+        out[forced] = results["nmi_score"][0]
+    assert abs(out[True] - out[False]) < 0.2
