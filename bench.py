@@ -45,6 +45,8 @@ def numpy_rowwise_fd(rows: np.ndarray, ell: int) -> float:
 
 def main():
     import jax
+    from mused_tpu.utils.runtime import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
     try:
         jax.devices()

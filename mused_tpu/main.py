@@ -178,6 +178,8 @@ def load_dataframe(args):
 
 def cli(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    from mused_tpu.utils.runtime import enable_compilation_cache
+    enable_compilation_cache()
     start_ns = time.time_ns()
     np.random.seed(args.seed)
 
