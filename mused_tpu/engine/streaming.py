@@ -115,7 +115,13 @@ def _window_step(state: StreamState, fused: jax.Array, n_clusters: jax.Array,
         # TPU fast path: batched-lane FD over the window's rows (one summary
         # block, few sequential eighs) sealed into the sliding-window ring —
         # replaces the reference's n sequential swfd.fit(row) calls
-        # (main.py:65-67) with a depth-log reduction (see fd.hierarchical_sketch)
+        # (main.py:65-67) with a depth-log reduction (see fd.hierarchical_sketch).
+        # Semantics note: the reference feeds ALL n fused-matrix rows at EVERY
+        # trigger (even overlapping sliding triggers), and with N=window_size
+        # the sketch then covers exactly this trigger's rows — absorbing one
+        # whole-window summary block per trigger reproduces that in both
+        # tumbling and sliding modes.  (Row-granular streaming remains
+        # available via ops.swfd.update / SeqBasedSWFD.)
         ell = state.swfd.ell
         lanes = _choose_lanes(n, ell)
         blk, sq_fro, _ = fd.hierarchical_sketch(fused, ell=ell, lanes=lanes)

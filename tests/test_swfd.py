@@ -79,3 +79,34 @@ def test_choose_block_rows_divides_window():
     for n in (8, 100, 2000, 500, 7):
         b = swfd.choose_block_rows(n, 50)
         assert n % b == 0
+
+
+def test_engine_swfdmc_sliding_semantics(rng):
+    """Reference semantics pin: at every trigger ALL n fused rows are fed
+    (reference main.py:65-67), so with N=window_size the queried sketch covers
+    exactly the current trigger's fused matrix — in sliding mode too.  The
+    engine's absorb-summary-per-trigger must therefore give a sketch whose
+    covariance tracks the CURRENT window's fused matrix."""
+    import jax
+    from mused_tpu.engine import streaming
+    from mused_tpu.utils.config import PipelineConfig
+    n, ell = 32, 8
+    cfg = PipelineConfig(window_size=n, reduced_dim=ell, k_basis=3,
+                         approach="SWFDMC", label_mode="binary",
+                         n_clusters_override=2)
+    eng = streaming.StreamingEngine(cfg)
+    data = rng.normal(size=(3 * n, 8)).astype(np.float32)
+    last_fused = None
+    for w in range(3):  # overlapping windows: rows [w*16, w*16+32)
+        lo = w * 16
+        mods = [data[lo:lo + n]]
+        fused = eng.fused_adjacency(mods, ["default"])
+        last_fused = np.asarray(fused)
+        eng.state, reduced, labels = streaming._window_step(
+            eng.state, fused, jnp.int32(2), jax.random.key(w),
+            approach="SWFDMC", k_basis=3, reduced_dim=ell, k_max=2,
+            window=n, block_rows=eng.block_rows)
+    sketch = np.asarray(reduced).T     # (ell, n)
+    err = np.linalg.norm(last_fused.T @ last_fused - sketch.T @ sketch, 2)
+    bound = np.linalg.norm(last_fused, "fro") ** 2 / ell * 2.0
+    assert err <= bound
