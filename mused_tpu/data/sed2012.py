@@ -36,9 +36,18 @@ def clean_text(text: str) -> str:
 
 
 def convert_to_timestamp(x: str) -> float:
-    """Reference timestamp conversion (data_loader.py:187-188)."""
-    return time.mktime(
-        datetime.datetime.strptime(x, "%Y-%m-%d %H:%M:%S.%f").timetuple())
+    """Reference timestamp conversion (data_loader.py:187-188).
+
+    The reference hard-requires fractional seconds ('%Y-%m-%d %H:%M:%S.%f') —
+    which its own sentinel replacement '1970-01-01 00:00:00' doesn't satisfy,
+    so it would crash on any zeroed timestamp.  We accept both forms.
+    """
+    for fmt in ("%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S"):
+        try:
+            return time.mktime(datetime.datetime.strptime(x, fmt).timetuple())
+        except ValueError:
+            continue
+    raise ValueError(f"unparseable timestamp: {x!r}")
 
 
 def parse_ground_truth(lines, ground_truth: dict, class_counter: int = 1) -> int:

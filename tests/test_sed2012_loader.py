@@ -1,0 +1,94 @@
+"""SED2012 ingest on a synthetic XML fixture (the real corpus isn't mounted;
+this pins the parsing semantics of reference data_loader.py:9-188)."""
+import os
+import textwrap
+
+import numpy as np
+import pytest
+
+from mused_tpu.data import sed2012
+
+XML = """<?xml version="1.0" encoding="UTF-8"?>
+<photos>
+  <photo id="1000000001" dateTaken="2012-05-01 10:00:00.0" dateUploaded="2012-05-01 11:00:00.0" username=" alice ">
+    <location latitude="41.39" longitude="2.17"/>
+    <title>Camp de Nou match!</title>
+    <description>&lt;b&gt;Great&lt;/b&gt; goal...</description>
+    <tags><tag>Soccer</tag><tag>Barcelona!</tag></tags>
+  </photo>
+  <photo id="1000000002" dateTaken="0000-00-00 00:00:00" dateUploaded="2012-05-02 09:30:00.0" username="bob">
+    <title>protest</title>
+  </photo>
+  <photo id="1000000003" dateTaken="2012-05-03 08:00:00.0" dateUploaded="2012-05-03 08:10:00.0" username="carol">
+    <location latitude="bogus" longitude="2.0"/>
+    <tags><tag>indignados</tag></tags>
+  </photo>
+</photos>
+"""
+
+
+@pytest.fixture
+def dataset_dir(tmp_path):
+    d = tmp_path / "sed2012"
+    d.mkdir()
+    (d / "sed2012_metadata.xml").write_text(XML)
+    # ground truth: photo 1 is a technical event (class 1); photo 3 is an
+    # indignados event; photo 2 is noise
+    (d / "technical_events.txt").write_text("1000000001\n")
+    (d / "soccer_events.txt").write_text("9999999999\n")
+    (d / "indignados_events.txt").write_text("1000000003,8888888888\n")
+    return str(d)
+
+
+def test_load_sed2012_dataset(dataset_dir):
+    df = sed2012.load_sed2012_dataset(dataset_dir)
+    assert len(df) == 3
+    row1 = df[df["id"] == 1000000001].iloc[0]
+    # label derivation (ref data_loader.py:35-45)
+    assert row1["is_event"] == 1 and row1["event_type"] == 1
+    assert row1["event_id"] == 1
+    row2 = df[df["id"] == 1000000002].iloc[0]
+    assert row2["is_event"] == 0 and row2["event_type"] == 0
+    row3 = df[df["id"] == 1000000003].iloc[0]
+    assert row3["is_event"] == 1 and row3["event_type"] == 3
+
+    # text cleaning (ref :180-185): html stripped, punctuation removed, lower
+    assert row1["title"] == "camp de nou match"
+    assert row1["description"] == "great goal"
+    assert row1["tags"] == ["soccer", "barcelona"]
+    assert row1["username"] == "alice"
+
+    # invalid location -> NaN (ref :144-149)
+    assert np.isnan(row2["latitude"]) and np.isnan(row3["latitude"])
+    assert row1["latitude"] == pytest.approx(41.39)
+
+    # sentinel timestamp -> epoch conversion (ref :47-48)
+    assert row2["datetaken"] == sed2012.convert_to_timestamp(
+        "1970-01-01 00:00:00")
+    assert row1["dateupload"] > row1["datetaken"] > 0
+
+
+def test_prepare_modalities_on_fixture(dataset_dir):
+    df = sed2012.load_sed2012_dataset(dataset_dir)
+    mods, types, labels = sed2012.prepare_modalities(
+        df, subset_size=3, sort_by_uploaded=True, binary=True,
+        noise_rate=1/3, seed=0)
+    assert types == ["location", "time", "username", "tags", "text"]
+    assert all(m.shape[0] == 3 for m in mods)
+    assert set(labels) <= {0, 1}
+    # sorted by upload time
+    assert list(mods[1][:, 1]) == sorted(mods[1][:, 1])
+
+
+def test_prepare_modalities_sampling_determinism(dataset_dir):
+    """Same seed -> identical subsample (the reference's RNG discipline,
+    data_loader.py:62-78)."""
+    from mused_tpu.data.synthetic import synthetic_events_dataframe
+    df = synthetic_events_dataframe(n_rows=300, n_events=3, noise_rate=0.5,
+                                    seed=0)
+    a = sed2012.prepare_modalities(df, subset_size=100, noise_rate=0.5, seed=7)
+    b = sed2012.prepare_modalities(df, subset_size=100, noise_rate=0.5, seed=7)
+    c = sed2012.prepare_modalities(df, subset_size=100, noise_rate=0.5, seed=8)
+    np.testing.assert_array_equal(a[2], b[2])
+    assert not np.array_equal(a[2], c[2]) or not np.array_equal(
+        a[0][0], c[0][0])
