@@ -107,8 +107,13 @@ def load_sed2012_dataset(dataset_dir: str = DATASET_DIR) -> pd.DataFrame:
 def parse_metadata(metadata_path: str, ground_truth: dict) -> pd.DataFrame:
     """Streaming equivalent of reference get_modalities (data_loader.py:130-178)."""
     rows = []
-    context = ET.iterparse(metadata_path, events=("end",))
-    for _, elem in context:
+    context = ET.iterparse(metadata_path, events=("start", "end"))
+    root = None
+    for event, elem in context:
+        if event == "start":
+            if root is None:
+                root = elem
+            continue
         if elem.tag != "photo":
             continue
         pid = elem.get("id", "")
@@ -131,6 +136,8 @@ def parse_metadata(metadata_path: str, ground_truth: dict) -> pd.DataFrame:
         rows.append([pid, datetaken, dateupload, latitude, longitude,
                      title, description, tags, username, event_id])
         elem.clear()
+        if root is not None:
+            root.clear()    # drop processed children so memory stays O(1)
 
     df = pd.DataFrame(rows, columns=["id", "datetaken", "dateupload", "latitude",
                                      "longitude", "title", "description", "tags",

@@ -66,12 +66,6 @@ def process_batch_data(results, data_modalities, modality_types, reduced_dim,
     """Drop-in equivalent of reference main.py:132-167."""
     total_start = metrics_mod.now_ns()
     subset_size = len(data_modalities[0])
-    if subset_size > MAX_DENSE_ROWS:
-        raise ValueError(
-            f"batch engine: dense n^2 adjacency for n={subset_size} exceeds the "
-            f"single-chip cap ({MAX_DENSE_ROWS}); use the streaming engine or "
-            "the sharded batch path (mused_tpu.parallel)")
-
     if cfg is None:
         cfg = PipelineConfig(
             seed=seed, subset_size=subset_size, noise_rate=noise_rate,

@@ -232,6 +232,10 @@ class StreamingEngine:
                     for m in features]
             cols = ba.generic_columns(mats, tuple(modality_types))
 
+        if cfg.approach in ("DBSCAN_incr", "DBSCAN_centr", "sSpectral"):
+            raise ValueError(
+                f"{cfg.approach} needs the dense window graph; window_size="
+                f"{n} exceeds the dense cap — use a KMeans-family approach")
         key = jax.random.fold_in(jax.random.key(cfg.seed), window_index)
         with self.timer.span("device_step"):
             if cfg.approach == "SWFDMC":
@@ -246,10 +250,15 @@ class StreamingEngine:
                                                 rank=cfg.reduced_dim,
                                                 block=block,
                                                 k_basis=cfg.k_basis)[:n]
-            n_clusters = int(len(np.unique(window_true_labels)))
-            labels, _ = kmeans.kmeans(reduced, jnp.int32(n_clusters), key,
-                                      k_max=self.k_max)
-        clusters = np.asarray(labels)
+            if cfg.approach == "sSVDMC_mini":
+                new_mbk, labels = kmeans.minibatch_step(
+                    self.state.minibatch, reduced, key)
+                self.state = self.state._replace(minibatch=new_mbk)
+            else:
+                n_clusters = int(len(np.unique(window_true_labels)))
+                labels, _ = kmeans.kmeans(reduced, jnp.int32(n_clusters), key,
+                                          k_max=self.k_max)
+            clusters = np.asarray(labels)
         method = "pot" if cfg.approach == "sSVDMC_pot" else "hungarian"
         with self.timer.span("matching"):
             clusters = matching.match_clusters(
@@ -313,7 +322,10 @@ class StreamingEngine:
 
         n_clusters = int(len(np.unique(window_true_labels)))
         key = jax.random.fold_in(jax.random.key(cfg.seed), window_index)
-        with self.timer.span("device_step"):
+        with self.timer.span("device_step",
+                             sync=lambda: (labels if cfg.approach not in
+                                           ("DBSCAN_incr", "DBSCAN_centr")
+                                           else reduced)):
             self.state, reduced, labels = _window_step(
                 self.state, fused, jnp.int32(n_clusters), key,
                 approach=cfg.approach, k_basis=cfg.k_basis,
@@ -410,28 +422,31 @@ def process_streaming_data(results, data_modalities, modality_types,
                                 modality_types)
 
     prefetcher = WindowPrefetcher(featurize_at, len(todo), depth=2)
-    for (w_idx, i), features in zip(todo, prefetcher):
-        lo, hi = i - window_size + 1, i + 1
-        window_modalities = [m[lo:hi] for m in data_modalities]
-        true_labels = complete_true_labels[lo:hi]
-        all_true_labels.append(true_labels)
+    try:
+        for (w_idx, i), features in zip(todo, prefetcher):
+            lo, hi = i - window_size + 1, i + 1
+            window_modalities = [m[lo:hi] for m in data_modalities]
+            true_labels = complete_true_labels[lo:hi]
+            all_true_labels.append(true_labels)
 
-        clusters = engine.process_window(window_modalities, modality_types,
-                                         true_labels, w_idx, prev_clusters,
-                                         features=features)
-        prev_clusters = clusters
-        all_clusters.append(clusters)
+            clusters = engine.process_window(window_modalities, modality_types,
+                                             true_labels, w_idx, prev_clusters,
+                                             features=features)
+            prev_clusters = clusters
+            all_clusters.append(clusters)
 
-        if checkpoint_dir and (w_idx + 1) % max(checkpoint_every, 1) == 0:
-            from mused_tpu.utils import checkpoint as ckpt
-            ckpt.save_checkpoint(
-                ckpt.checkpoint_name(checkpoint_dir, w_idx + 1),
-                engine.state,
-                {"next_window": w_idx + 1,
-                 "prev_clusters": prev_clusters,
-                 "all_clusters": list(all_clusters),
-                 "all_true_labels": list(all_true_labels),
-                 **engine.host_snapshot()})
+            if checkpoint_dir and (w_idx + 1) % max(checkpoint_every, 1) == 0:
+                from mused_tpu.utils import checkpoint as ckpt
+                ckpt.save_checkpoint(
+                    ckpt.checkpoint_name(checkpoint_dir, w_idx + 1),
+                    engine.state,
+                    {"next_window": w_idx + 1,
+                     "prev_clusters": prev_clusters,
+                     "all_clusters": list(all_clusters),
+                     "all_true_labels": list(all_true_labels),
+                     **engine.host_snapshot()})
+    finally:
+        prefetcher.close()
 
     total_end = metrics_mod.now_ns()
     all_true = np.concatenate(all_true_labels) if all_true_labels else np.empty(0, int)

@@ -172,8 +172,10 @@ def load_dataframe(args):
     if args.dataset == "sed2012":
         return sed2012.load_sed2012_dataset(args.dataset_dir)
     n = min(args.subset_size * 2, 20000) if args.dataset == "synthetic" else 400
+    # noise pool must cover the highest sweep noise_rate (0.95) of any subset
+    # <= n_rows, since prepare_modalities samples noise without replacement
     return synthetic.synthetic_events_dataframe(
-        n_rows=max(n, 200), n_events=6, noise_rate=0.5, seed=args.seed)
+        n_rows=max(n, 200), n_events=6, noise_rate=0.96, seed=args.seed)
 
 
 def cli(argv=None) -> int:

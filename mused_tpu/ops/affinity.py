@@ -59,20 +59,25 @@ def knn_adjacency(sim: jax.Array, valid: jax.Array, k: int,
 # modality similarity kernels
 # ---------------------------------------------------------------------------
 
-def haversine_matrix(latlon: jax.Array) -> jax.Array:
-    """Pairwise great-circle distance (km) from (n, 2) [lat, lon] degrees.
+def haversine_block(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Rectangular pairwise great-circle distance (km) between (m, 2) and
+    (n, 2) [lat, lon] degree arrays.
 
     Vectorized form of the reference's per-pair callable metric (reference
-    matrix_operations.py:250-263) — one fused VPU expression instead of n^2
-    Python calls.
+    matrix_operations.py:250-263) — one fused VPU expression instead of m*n
+    Python calls.  Shared by the square, sharded, and blocked paths.
     """
-    rad = jnp.deg2rad(latlon)
-    lat, lon = rad[:, 0], rad[:, 1]
-    dlat = lat[:, None] - lat[None, :]
-    dlon = lon[:, None] - lon[None, :]
-    a = jnp.sin(dlat / 2) ** 2 + jnp.cos(lat)[:, None] * jnp.cos(lat)[None, :] * jnp.sin(dlon / 2) ** 2
-    a = jnp.clip(a, 0.0, 1.0)
-    return 2.0 * 6371.0 * jnp.arcsin(jnp.sqrt(a))
+    ra, rb = jnp.deg2rad(a), jnp.deg2rad(b)
+    dlat = ra[:, 0][:, None] - rb[:, 0][None, :]
+    dlon = ra[:, 1][:, None] - rb[:, 1][None, :]
+    h = jnp.sin(dlat / 2) ** 2 + jnp.cos(ra[:, 0])[:, None] \
+        * jnp.cos(rb[:, 0])[None, :] * jnp.sin(dlon / 2) ** 2
+    return 2.0 * 6371.0 * jnp.arcsin(jnp.sqrt(jnp.clip(h, 0.0, 1.0)))
+
+
+def haversine_matrix(latlon: jax.Array) -> jax.Array:
+    """Square pairwise haversine distance (see haversine_block)."""
+    return haversine_block(latlon, latlon)
 
 
 def location_adjacency(latlon: jax.Array, k_basis: int) -> jax.Array:
@@ -84,8 +89,10 @@ def location_adjacency(latlon: jax.Array, k_basis: int) -> jax.Array:
 
 
 def time_adjacency(times: jax.Array, k_basis: int) -> jax.Array:
-    """kNN under |dt_taken| + |dt_upload|; zero timestamps invalid (ref :32-53)."""
-    valid = (times[:, 0] != 0.0) & (times[:, 1] != 0.0)
+    """kNN under |dt_taken| + |dt_upload|; zero or non-finite timestamps
+    invalid (ref :32-53; NaN also marks padding rows)."""
+    valid = (jnp.all(jnp.isfinite(times), axis=1)
+             & (times[:, 0] != 0.0) & (times[:, 1] != 0.0))
     taken = jnp.abs(times[:, 0][:, None] - times[:, 0][None, :])
     upload = jnp.abs(times[:, 1][:, None] - times[:, 1][None, :])
     sim = -(taken + upload)

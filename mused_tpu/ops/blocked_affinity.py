@@ -55,7 +55,8 @@ def standard_columns(wf) -> Columns:
         kinds=("location", "time", "username", "tags", "text"),
         tensors=(loc, tim, uid, tags, text),
         valids=(jnp.all(jnp.isfinite(loc), axis=1),
-                (tim[:, 0] != 0.0) & (tim[:, 1] != 0.0),
+                jnp.all(jnp.isfinite(tim), axis=1)
+                & (tim[:, 0] != 0.0) & (tim[:, 1] != 0.0),
                 uid >= 0,
                 jnp.sum(tags, axis=1) > 0,
                 text_valid),
@@ -69,7 +70,8 @@ def generic_columns(mats, types) -> Columns:
     for m, t in zip(mats, types):
         m = jnp.asarray(np.asarray(m, np.float32))
         if t == "time":
-            valids.append((m[:, 0] != 0.0) & (m[:, 1] != 0.0))
+            valids.append(jnp.all(jnp.isfinite(m), axis=1)
+                          & (m[:, 0] != 0.0) & (m[:, 1] != 0.0))
         elif t == "embedding":
             norm = jnp.linalg.norm(m, axis=1)
             valids.append(jnp.all(jnp.isfinite(m), axis=1) & (norm > 0))
@@ -95,7 +97,7 @@ def fused_rowblock(cols: Columns, start, block: int,
         if kind == "location":
             safe_r = jnp.where(vr[:, None], tr, 0.0)
             safe_c = jnp.where(valid[:, None], t, 0.0)
-            sim = -_haversine_block(safe_r, safe_c)
+            sim = -affinity.haversine_block(safe_r, safe_c)
             mats.append(affinity.knn_adjacency_block(sim, vr, valid, k_basis,
                                                      start))
         elif kind == "time":
@@ -144,15 +146,6 @@ def fused_rowblock(cols: Columns, start, block: int,
             mats.append(affinity.knn_adjacency_block(
                 -jnp.maximum(d2, 0.0), vr, valid, max(1, k_basis) - 1, start))
     return affinity.fuse(mats)
-
-
-def _haversine_block(a: jax.Array, b: jax.Array) -> jax.Array:
-    ra, rb = jnp.deg2rad(a), jnp.deg2rad(b)
-    dlat = ra[:, 0][:, None] - rb[:, 0][None, :]
-    dlon = ra[:, 1][:, None] - rb[:, 1][None, :]
-    h = jnp.sin(dlat / 2) ** 2 + jnp.cos(ra[:, 0])[:, None] \
-        * jnp.cos(rb[:, 0])[None, :] * jnp.sin(dlon / 2) ** 2
-    return 2.0 * 6371.0 * jnp.arcsin(jnp.sqrt(jnp.clip(h, 0.0, 1.0)))
 
 
 # ---------------------------------------------------------------------------

@@ -132,8 +132,11 @@ def hdbscan(data, min_cluster_size: int = 5, min_samples: int = 2) -> np.ndarray
         return np.array([-1], np.int64)
     mreach = np.asarray(mutual_reachability(jnp.asarray(x), jnp.int32(min_samples)),
                         np.float64)
-    mst = minimum_spanning_tree(mreach).tocoo()
-    edges = sorted(zip(mst.data, mst.row, mst.col))
+    # scipy's csgraph treats explicit zeros of a dense matrix as "no edge",
+    # which would drop zero-distance (duplicate-point) merges: shift all
+    # weights by +1 (MST topology is shift-invariant), subtract after
+    mst = minimum_spanning_tree(mreach + 1.0).tocoo()
+    edges = sorted((w - 1.0, r, c) for w, r, c in zip(mst.data, mst.row, mst.col))
 
     # single-linkage merge tree; internal nodes get ids >= n
     uf = _UnionFind(2 * n - 1)

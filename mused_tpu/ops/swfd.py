@@ -199,18 +199,42 @@ class SeqBasedSWFD:
         # internal rank: a little headroom above the query rank improves accuracy
         self.ell = int(sketch_dim)
         self.block_rows = block_rows or choose_block_rows(self.N, self.ell)
+        # FD chunk the jitted update consumes; feeding only multiples of it
+        # keeps seals landing exactly every block_rows rows
+        self.chunk = (self.block_rows if self.block_rows <= self.ell else
+                      max(c for c in range(1, self.ell + 1)
+                          if self.block_rows % c == 0))
+        self._pending: list = []      # host-side remainder (< chunk rows)
+        self._pending_n = 0
         self.state = init(self.N, self.d, self.ell,
                           block_rows=self.block_rows, dtype=dtype)
 
     def fit(self, rows) -> "SeqBasedSWFD":
-        rows = jnp.asarray(rows, self.state.blocks.dtype)
+        import numpy as _np
+        rows = _np.asarray(rows, _np.float32)
         if rows.ndim == 1:
             rows = rows[None, :]
-        self.state = update(self.state, rows, window=self.N,
-                            block_rows=self.block_rows)
+        self._pending.append(rows)
+        self._pending_n += rows.shape[0]
+        flush = (self._pending_n // self.chunk) * self.chunk
+        if flush:
+            buf = _np.concatenate(self._pending, axis=0)
+            self.state = update(self.state, jnp.asarray(buf[:flush]),
+                                window=self.N, block_rows=self.block_rows)
+            rest = buf[flush:]
+            self._pending = [rest] if len(rest) else []
+            self._pending_n = len(rest)
         return self
 
     def get(self):
+        import numpy as _np
+        state = self.state
+        if self._pending_n:
+            # absorb the unaligned remainder on a COPY so block boundaries in
+            # the persistent state stay exact
+            buf = _np.concatenate(self._pending, axis=0)
+            state = update(state, jnp.asarray(buf), window=self.N,
+                           block_rows=self.block_rows)
         sketch, err, sq_fro, count = query(
-            self.state, window=self.N, sketch_dim=self.sketch_dim)
+            state, window=self.N, sketch_dim=self.sketch_dim)
         return sketch, err, sq_fro, count

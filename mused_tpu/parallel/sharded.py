@@ -34,27 +34,8 @@ NEG = affinity.NEG
 shard_map = jax.shard_map
 
 
-def knn_adjacency_block(sim: jax.Array, row_valid: jax.Array,
-                        col_valid: jax.Array, k: int,
-                        row_offset: jax.Array) -> jax.Array:
-    """Rectangular (m, n) version of affinity.knn_adjacency for a row shard.
-
-    ``row_offset`` is the global index of local row 0, used to exclude the
-    diagonal (self edges) inside the shard's column range.
-    """
-    m, n = sim.shape
-    k = max(0, min(k, n - 1))
-    if k == 0:
-        return jnp.zeros((m, n), jnp.float32)
-    sim = jnp.where(col_valid[None, :], sim, NEG)
-    global_row = row_offset + jnp.arange(m)
-    is_self = global_row[:, None] == jnp.arange(n)[None, :]
-    sim = jnp.where(is_self, NEG, sim)
-    vals, idx = jax.lax.top_k(sim, k)
-    edge = (vals > NEG / 2) & row_valid[:, None]
-    rows = jnp.broadcast_to(jnp.arange(m)[:, None], (m, k))
-    adj = jnp.zeros((m, n), jnp.float32)
-    return adj.at[rows, idx].max(edge.astype(jnp.float32))
+# rectangular kNN helper shared with the single-chip and blocked paths
+knn_adjacency_block = affinity.knn_adjacency_block
 
 
 def _row_shard_fused_adjacency(loc_s, time_s, uid_s, tags_s, text_s,
@@ -79,13 +60,15 @@ def _row_shard_fused_adjacency(loc_s, time_s, uid_s, tags_s, text_s,
     # location: haversine row-block vs all columns (ref matrix_operations.py:23-30)
     lv_r = jnp.all(jnp.isfinite(loc_s), axis=1)
     lv_c = jnp.all(jnp.isfinite(loc_f), axis=1)
-    sim = -_haversine_block(jnp.where(lv_r[:, None], loc_s, 0.0),
-                            jnp.where(lv_c[:, None], loc_f, 0.0))
+    sim = -affinity.haversine_block(jnp.where(lv_r[:, None], loc_s, 0.0),
+                                    jnp.where(lv_c[:, None], loc_f, 0.0))
     mats.append(knn_adjacency_block(sim, lv_r, lv_c, k_basis, row_offset))
 
     # time (ref :32-53)
-    tv_r = (time_s[:, 0] != 0.0) & (time_s[:, 1] != 0.0)
-    tv_c = (time_f[:, 0] != 0.0) & (time_f[:, 1] != 0.0)
+    tv_r = (jnp.all(jnp.isfinite(time_s), axis=1)
+            & (time_s[:, 0] != 0.0) & (time_s[:, 1] != 0.0))
+    tv_c = (jnp.all(jnp.isfinite(time_f), axis=1)
+            & (time_f[:, 0] != 0.0) & (time_f[:, 1] != 0.0))
     sim = -(jnp.abs(time_s[:, :1] - time_f[:, 0][None, :])
             + jnp.abs(time_s[:, 1:2] - time_f[:, 1][None, :]))
     mats.append(knn_adjacency_block(sim, tv_r, tv_c, 3 * k_basis, row_offset))
@@ -122,14 +105,6 @@ def _row_shard_fused_adjacency(loc_s, time_s, uid_s, tags_s, text_s,
     mats.append(knn_adjacency_block(sim, xv_r, xv_c, k_basis, row_offset))
 
     return affinity.fuse(mats)      # (m, n) fused shard
-
-
-def _haversine_block(a: jax.Array, b: jax.Array) -> jax.Array:
-    ra, rb = jnp.deg2rad(a), jnp.deg2rad(b)
-    dlat = ra[:, 0][:, None] - rb[:, 0][None, :]
-    dlon = ra[:, 1][:, None] - rb[:, 1][None, :]
-    h = jnp.sin(dlat / 2) ** 2 + jnp.cos(ra[:, 0])[:, None] * jnp.cos(rb[:, 0])[None, :] * jnp.sin(dlon / 2) ** 2
-    return 2.0 * 6371.0 * jnp.arcsin(jnp.sqrt(jnp.clip(h, 0.0, 1.0)))
 
 
 @functools.partial(jax.jit,

@@ -45,12 +45,14 @@ class SpanTimer:
 
     @contextlib.contextmanager
     def span(self, name: str, sync=None):
+        """``sync`` may be a pytree to materialize at span exit, or a zero-arg
+        callable returning one (for outputs produced inside the span)."""
         t0 = time.perf_counter()
         try:
             yield
         finally:
             if sync is not None:
-                materialize(sync)
+                materialize(sync() if callable(sync) else sync)
             self.spans.setdefault(name, []).append(time.perf_counter() - t0)
 
     def summary(self) -> Dict[str, dict]:

@@ -77,3 +77,16 @@ def test_centroid_incremental_label_consistency(rng):
     # window-2 clusters land on the geometrically matching window-1 labels
     assert l2[0] == l1[20]   # base[1] cluster keeps its id
     assert l2[20] == l1[0]   # base[0] cluster keeps its id
+
+
+def test_hdbscan_duplicate_points():
+    """Regression (review finding): zero mutual-reachability edges between
+    exact duplicates must survive the MST (scipy drops explicit zeros)."""
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(2, 4)) * 8
+    a = np.repeat(base[0][None], 10, axis=0).astype(np.float32)  # exact dups
+    b = base[1] + rng.normal(size=(10, 4)).astype(np.float32) * 0.05
+    x = np.concatenate([a, b])
+    ours = dbs.hdbscan(x, min_cluster_size=4, min_samples=2)
+    want = SkHDBSCAN(min_cluster_size=4, min_samples=2).fit_predict(x)
+    assert adjusted_rand_score(want, ours) == 1.0

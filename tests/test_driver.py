@@ -93,3 +93,37 @@ def test_cli_parser_defaults():
     assert args.window_size == 2000
     assert args.reduced_dim == 50 and args.k_basis == 50
     assert args.label_mode == "binary" and args.sorting is False
+
+
+def test_synthetic_dataset_survives_noise_sweep():
+    """Regression (review finding): --dataset synthetic must have a noise pool
+    large enough for every sweep noise_rate up to 0.95."""
+    import argparse
+    from mused_tpu.main import load_dataframe
+    from mused_tpu.data.sed2012 import prepare_modalities
+    args = argparse.Namespace(dataset="synthetic", subset_size=4000, seed=0,
+                              dataset_dir="")
+    df = load_dataframe(args)
+    for rate in (0.05, 0.5, 0.95):
+        mods, _, labels = prepare_modalities(df, subset_size=4000,
+                                             noise_rate=rate, seed=0)
+        assert len(labels) == min(4000, len(df))
+
+
+def test_batch_dense_cap_routes_to_blocked(monkeypatch):
+    """Regression (review finding): subsets beyond the dense cap must reach
+    the blocked path instead of raising."""
+    from mused_tpu.engine import batch as batch_mod
+    from mused_tpu.data.synthetic import crisis_embedding_stream
+    from mused_tpu import api
+    monkeypatch.setattr(batch_mod, "MAX_DENSE_ROWS", 100)  # force the branch
+    mods, mtypes, labels = crisis_embedding_stream(
+        n_rows=192, n_events=3, noise_rate=0.2, d_text=32, d_image=32, seed=5)
+    results, _ = api.get_initial_results()
+    results = api.process_batch_data(
+        results=results, data_modalities=mods, modality_types=mtypes,
+        reduced_dim=8, k_basis=4, n_clusters=4, seed=0,
+        approach="SVDMC_batch", complete_true_labels=labels, noise_rate=0.2,
+        label_mode="all", sorting=False, eps=1.5, min_samples=2,
+        min_cluster_size=3, window_size=64)
+    assert len(results["f1_score"]) == 1

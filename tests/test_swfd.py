@@ -110,3 +110,25 @@ def test_engine_swfdmc_sliding_semantics(rng):
     err = np.linalg.norm(last_fused.T @ last_fused - sketch.T @ sketch, 2)
     bound = np.linalg.norm(last_fused, "fro") ** 2 / ell * 2.0
     assert err <= bound
+
+
+def test_seqbased_unaligned_fit_blocks(rng):
+    """Regression (review finding): mixed-size fit() calls must still seal
+    blocks exactly every block_rows rows (window expiry stays exact)."""
+    n, d, ell = 16, 12, 4
+    sk = swfd.SeqBasedSWFD(N=n, R=1.0, d=d, sketch_dim=ell)
+    rows = rng.normal(size=(40, d)).astype(np.float32)
+    fed = 0
+    for sz in (3, 4, 1, 7, 5, 4, 8, 6, 2):
+        sk.fit(rows[fed:fed + sz])
+        fed += sz
+    # sealed block ends must be exact multiples of block_rows
+    ends = np.asarray(sk.state.block_end)
+    ends = ends[ends >= 0]
+    assert len(ends) > 0
+    assert all(int(e) % sk.block_rows == 0 for e in ends), ends
+    # query still covers the last N rows within the FD bound
+    B = np.asarray(sk.get()[0])
+    w = rows[fed - n:fed]
+    err = np.linalg.norm(w.T @ w - B.T @ B, 2)
+    assert err <= np.linalg.norm(w, "fro") ** 2 / ell * 2.5
