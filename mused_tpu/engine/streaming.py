@@ -42,13 +42,13 @@ class StreamState(NamedTuple):
 
 
 def _choose_lanes(n: int, ell: int) -> int:
-    """Largest power-of-two lane count with >= ~2*ell rows per lane (so each
-    lane amortizes at least one full shrink), capped at 16."""
+    """Lane count for fd.hierarchical_sketch.  Measured on TPU v5e (d=1024,
+    ell=64, window=2048): lanes=1 123k rows/s, 2 122k, 4 118k, 8 105k,
+    16 94k — the scan chain pipelines well and extra lanes mostly add merge
+    eighs, so cap at 2 (the vmap machinery stays available for other
+    hardware/shapes)."""
     want = max(1, n // max(2 * ell, 1))
-    lanes = 1
-    while lanes * 2 <= min(want, 16):
-        lanes *= 2
-    return lanes
+    return 2 if want >= 2 else 1
 
 
 def _fuse_standard(location, times, user_ids, tags, text, k_basis: int):
