@@ -133,5 +133,8 @@ def sharded_window_step(location, times, user_ids, tags, text, n_clusters,
 
     sketch = merged[0]                     # (reduced_dim, n) replicated
     reduced = sketch.T                     # rows index datapoints (ref main.py:73-76)
-    labels, _ = kmeans.kmeans(reduced, n_clusters, key, k_max=k_max)
+    # row-sharded SPMD Lloyd (psum'd centroid accumulation)
+    from mused_tpu.parallel.kmeans_sharded import kmeans_sharded
+    labels, _ = kmeans_sharded(reduced, n_clusters, key, k_max=k_max,
+                               mesh=mesh)
     return labels, reduced

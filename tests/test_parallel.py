@@ -119,3 +119,19 @@ def test_sharded_window_step_end_to_end(rng, mesh8):
     assert labels.shape == (n,)
     assert labels.max() < 3
     assert np.asarray(reduced).shape == (n, 8)
+
+
+def test_sharded_kmeans_matches_single_chip(rng, mesh8):
+    """Row-sharded Lloyd with psum'd centroids partitions blobs identically
+    to the single-chip kernel (same init, fp reduction order aside)."""
+    from sklearn.metrics import adjusted_rand_score
+    from mused_tpu.ops import kmeans as km
+    from mused_tpu.parallel.kmeans_sharded import kmeans_sharded
+    centers = rng.normal(size=(4, 8)) * 6
+    x = np.concatenate([c + rng.normal(size=(32, 8)) * 0.1 for c in centers])
+    x = jnp.asarray(x.astype(np.float32))
+    l1, _ = km.kmeans(x, jnp.int32(4), jax.random.key(0), k_max=6)
+    l2, _ = kmeans_sharded(x, jnp.int32(4), jax.random.key(0), k_max=6,
+                           mesh=mesh8)
+    assert adjusted_rand_score(np.asarray(l1), np.asarray(l2)) == 1.0
+    assert np.asarray(l2).max() < 4
