@@ -135,3 +135,29 @@ def test_sharded_kmeans_matches_single_chip(rng, mesh8):
                            mesh=mesh8)
     assert adjusted_rand_score(np.asarray(l1), np.asarray(l2)) == 1.0
     assert np.asarray(l2).max() < 4
+
+
+def test_parallel_sweep_matches_sequential(rng, mesh8):
+    """Sweep points mapped across the 8 virtual devices reproduce the
+    sequential results (each point is an independent pipeline run)."""
+    from mused_tpu import api
+    from mused_tpu.parallel.sweep import parallel_sweep
+    from mused_tpu.data.synthetic import crisis_embedding_stream
+
+    def point(noise_rate):
+        mods, mtypes, labels = crisis_embedding_stream(
+            n_rows=128, n_events=3, noise_rate=noise_rate, d_text=16,
+            d_image=16, seed=2)
+        results, _ = api.get_initial_results()
+        results = api.process_streaming_data(
+            results=results, data_modalities=mods, modality_types=mtypes,
+            window_size=64, reduced_dim=8, k_basis=3, n_clusters_total=4,
+            seed=0, approach="sSVDMC", complete_true_labels=labels,
+            step_window_ratio=1, noise_rate=noise_rate, label_mode="all",
+            sorting=False, eps=1.5, min_samples=2)
+        return results["nmi_score"][0]
+
+    rates = [0.2, 0.4, 0.6]
+    seq = [point(r) for r in rates]
+    par = parallel_sweep(point, rates)
+    np.testing.assert_allclose(par, seq, atol=1e-6)
