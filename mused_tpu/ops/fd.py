@@ -231,8 +231,9 @@ def update_stream(state: FDState, rows: jax.Array, *, block_rows: int | None = N
     return state
 
 
-@functools.partial(jax.jit, static_argnames=("ell", "lanes"))
-def hierarchical_sketch(rows: jax.Array, *, ell: int, lanes: int = 8):
+@functools.partial(jax.jit, static_argnames=("ell", "lanes", "mode"))
+def hierarchical_sketch(rows: jax.Array, *, ell: int, lanes: int = 8,
+                        mode: str = "eigh"):
     """FD sketch of (m, d) rows via parallel lanes + tree merge.
 
     TPU rationale: the sequential block-FD scan is latency-bound — each
@@ -257,16 +258,17 @@ def hierarchical_sketch(rows: jax.Array, *, ell: int, lanes: int = 8):
     lane_rows = rows.reshape(lanes, per, d)
 
     def lane_update(r):
-        st = update_stream(init(ell, d), r)
+        st = update_stream(init(ell, d), r, mode=mode)
         return st.sketch, st.shrink_loss
 
     sketches, losses = jax.vmap(lane_update)(lane_rows)   # (lanes, ell, d)
     loss = jnp.sum(losses)
 
+    merge_shrink = shrink_fast if mode == "subspace" else shrink
     while sketches.shape[0] > 1:
         k = sketches.shape[0] // 2
         pairs = sketches.reshape(k, 2 * ell, d)
-        sketches, deltas = jax.vmap(lambda s: shrink(s, ell))(pairs)
+        sketches, deltas = jax.vmap(lambda s: merge_shrink(s, ell))(pairs)
         loss = loss + jnp.sum(deltas)
 
     sq_fro = jnp.sum(rows * rows)

@@ -76,6 +76,9 @@ class PipelineConfig:
                                        # path regardless of subset size
     force_blocked_window: bool = False  # rematerialized huge-window streaming
                                         # path regardless of window size
+    fd_shrink: str = "subspace"  # "subspace": matmul-only adaptive shrink
+                                 # (gated eigh fallback; ~4.5x faster sketch
+                                 # streams) | "eigh": guaranteed classic FD
     use_pallas_affinity: bool = False  # fused Pallas kNN kernel for numeric
                                        # modalities (continuous sims only:
                                        # threshold ties may add edges)
