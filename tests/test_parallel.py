@@ -161,3 +161,19 @@ def test_parallel_sweep_matches_sequential(rng, mesh8):
     seq = [point(r) for r in rates]
     par = parallel_sweep(point, rates)
     np.testing.assert_allclose(par, seq, atol=1e-6)
+
+
+def test_sharded_step_on_2d_mesh(rng, mesh4x2):
+    """The explicit data-parallel step also runs on a 2D (data, model) mesh
+    (model axis replicated for the shard_map body)."""
+    n = 32
+    loc = rng.uniform(-50, 50, size=(n, 2)).astype(np.float32)
+    times = rng.uniform(1e9, 1.1e9, size=(n, 2)).astype(np.float32)
+    uids = rng.integers(0, 4, size=n).astype(np.int32)
+    tags = (rng.random((n, 32)) < 0.2).astype(np.float32)
+    text = rng.poisson(0.2, size=(n, 64)).astype(np.float32)
+    labels, reduced = sharded.sharded_window_step(
+        jnp.asarray(loc), jnp.asarray(times), jnp.asarray(uids),
+        jnp.asarray(tags), jnp.asarray(text), jnp.int32(2),
+        jax.random.key(0), k_basis=3, reduced_dim=4, k_max=2, mesh=mesh4x2)
+    assert np.asarray(labels).shape == (n,)
