@@ -81,6 +81,15 @@ def kmeans(x: jax.Array, k: jax.Array, key: jax.Array, *, k_max: int,
         counts = jnp.sum(onehot, axis=0)
         sums = jnp.dot(onehot.T, x, preferred_element_type=jnp.float32)
         new_c = jnp.where((counts > 0)[:, None], sums / jnp.maximum(counts, 1.0)[:, None], c)
+        # empty-cluster relocation (sklearn semantics): the i-th empty live
+        # cluster moves to the i-th worst-fit point
+        dist_to_own = jnp.take_along_axis(
+            _sq_dists(x, new_c), labels[:, None], axis=1)[:, 0]
+        _, far_idx = jax.lax.top_k(dist_to_own, k_max)
+        empty = alive & (counts == 0)
+        slot = jnp.cumsum(empty.astype(jnp.int32)) - 1        # i-th empty -> i
+        reloc = x[far_idx[jnp.clip(slot, 0, k_max - 1)]]
+        new_c = jnp.where(empty[:, None], reloc, new_c)
         shift = jnp.sum((new_c - c) ** 2)
         return new_c, shift, it + 1
 

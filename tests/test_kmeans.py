@@ -52,3 +52,14 @@ def test_minibatch_streaming(rng):
     pred = np.concatenate(all_labels)
     assert purity(pred, truth) > 0.9
     assert float(jnp.sum(st.counts)) == pytest.approx(len(x))
+
+
+def test_empty_cluster_relocation(rng):
+    """With k equal to the blob count but adversarial init collapse risk,
+    every live cluster must end non-empty (sklearn relocates empties)."""
+    x, truth = make_blobs(rng, 6, 40, spread=0.03)
+    labels, cents = kmeans.kmeans(jnp.asarray(x), 6, jax.random.key(5), k_max=8)
+    labels = np.asarray(labels)
+    counts = np.bincount(labels, minlength=8)
+    assert (counts[:6] > 0).all()
+    assert purity(labels, truth) > 0.95
