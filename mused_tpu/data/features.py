@@ -96,8 +96,8 @@ class WindowFeatures(NamedTuple):
     location: np.ndarray    # (n, 2) float32, NaN = invalid
     times: np.ndarray       # (n, 2) float32, 0 = invalid
     user_ids: np.ndarray    # (n,)  int32, -1 = invalid
-    tags: np.ndarray        # (n, H_tags) float32 multi-hot
-    text: np.ndarray        # (n, H_text) float32 counts
+    tags: np.ndarray        # (n, H_tags) uint8 multi-hot (cast to f32 on device)
+    text: np.ndarray        # (n, H_text) uint8 counts (cast to f32 on device)
 
 
 def featurize_window(location: np.ndarray, times: np.ndarray,
@@ -118,10 +118,18 @@ def featurize_window(location: np.ndarray, times: np.ndarray,
         # reference joins title and description with a space (ref :102)
         joined = (t + " " + d).strip()
         title_desc.append(joined)
+    # ship the sparse incidence/count tensors as uint8: token counts never
+    # near 255 in practice, and the 4x smaller host->device transfer is the
+    # dominant per-window cost on interconnect-limited hosts (device casts
+    # back to f32 on arrival)
+    tags8 = np.minimum(multihot_tags([t[0] for t in tag_lists],
+                                     cfg.tags_hash_dim), 255).astype(np.uint8)
+    text8 = np.minimum(hash_text_counts(title_desc, cfg.text_hash_dim),
+                       255).astype(np.uint8)
     return WindowFeatures(
         location=np.asarray(location, np.float32),
         times=np.asarray(times, np.float32),
         user_ids=hash_usernames([u[0] for u in usernames]),
-        tags=multihot_tags([t[0] for t in tag_lists], cfg.tags_hash_dim),
-        text=hash_text_counts(title_desc, cfg.text_hash_dim),
+        tags=tags8,
+        text=text8,
     )

@@ -131,6 +131,7 @@ def tags_adjacency(tags_multihot: jax.Array, k_basis: int) -> jax.Array:
     The reference forces self-similarity to -1 (below every real Jaccard) and
     keeps zero-similarity picks; ``knn_adjacency`` reproduces both.
     """
+    tags_multihot = tags_multihot.astype(jnp.float32)
     valid = jnp.sum(tags_multihot, axis=1) > 0
     sim = jaccard_matrix(tags_multihot)
     return knn_adjacency(sim, valid, k_basis)
@@ -144,6 +145,7 @@ def tfidf_cosine_matrix(counts: jax.Array) -> jax.Array:
     one MXU matmul.  n counts only valid (nonzero) documents, matching the
     reference fitting the vectorizer on valid rows only.
     """
+    counts = counts.astype(jnp.float32)
     valid = jnp.sum(counts, axis=1) > 0
     n_docs = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
     df = jnp.sum((counts > 0) & valid[:, None], axis=0).astype(jnp.float32)
@@ -157,6 +159,7 @@ def tfidf_cosine_matrix(counts: jax.Array) -> jax.Array:
 
 def text_adjacency(text_counts: jax.Array, k_basis: int) -> jax.Array:
     """Top-k TF-IDF-cosine neighbors; blank text invalid (ref :91-110)."""
+    text_counts = text_counts.astype(jnp.float32)
     valid = jnp.sum(text_counts, axis=1) > 0
     sim = tfidf_cosine_matrix(text_counts)
     return knn_adjacency(sim, valid, k_basis)

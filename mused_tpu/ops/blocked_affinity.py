@@ -45,8 +45,8 @@ def standard_columns(wf) -> Columns:
     loc = jnp.asarray(wf.location)
     tim = jnp.asarray(wf.times)
     uid = jnp.asarray(wf.user_ids)
-    tags = jnp.asarray(wf.tags)
-    text = jnp.asarray(wf.text)
+    tags = jnp.asarray(wf.tags).astype(jnp.float32)
+    text = jnp.asarray(wf.text).astype(jnp.float32)
     text_valid = jnp.sum(text, axis=1) > 0
     n_docs = jnp.maximum(jnp.sum(text_valid.astype(jnp.float32)), 1.0)
     df = jnp.sum((text > 0) & text_valid[:, None], axis=0).astype(jnp.float32)
