@@ -154,6 +154,51 @@ def _window_step(state: StreamState, fused: jax.Array, n_clusters: jax.Array,
 LARGE_WINDOW_ROWS = 32_768   # beyond this, windows use rematerialized blocks
 LARGE_BLOCK = 2_048
 
+# approaches whose per-window device work carries no sequential device state
+# in the tumbling regime (sketch/reduction/clustering all per-window; only the
+# host-side label matching chains windows) — eligible for batched dispatch
+BATCHABLE_APPROACHES = ("SWFDMC", "sSVDMC", "sSVDMC_hung", "sSVDMC_pot")
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("approach", "k_basis", "reduced_dim", "k_max",
+                     "fd_shrink", "types", "use_pallas"))
+def _batched_window_step(feats_batch: tuple, n_clusters: jax.Array,
+                         keys: jax.Array, *, approach: str, k_basis: int,
+                         reduced_dim: int, k_max: int, fd_shrink: str,
+                         types: tuple, use_pallas: bool):
+    """W independent tumbling windows in ONE dispatch (vmap over windows).
+
+    Amortizes per-window dispatch latency and host->device transfer batching;
+    valid because in the tumbling regime each window's sketch/reduction/
+    clustering depends only on its own rows (the SWFD query covers exactly
+    the window — see the semantics note in _window_step) and cross-window
+    label matching runs on host afterwards.
+    """
+
+    def one(feats, k, key):
+        if types == ("standard",):
+            loc, tim, uid, tags, text = feats
+            fused = _fuse_standard(loc, tim, uid.astype(jnp.int32),
+                                   tags.astype(jnp.float32),
+                                   text.astype(jnp.float32), k_basis)
+        else:
+            fused = _fuse_generic(feats, k_basis=k_basis, types=types,
+                                  use_pallas=use_pallas)
+        n = fused.shape[0]
+        if approach == "SWFDMC":
+            ell = min(reduced_dim, n)
+            blk, _, _ = fd.hierarchical_sketch(
+                fused, ell=ell, lanes=_choose_lanes(n, ell), mode=fd_shrink)
+            reduced = blk.T
+        else:
+            reduced = reduction.svd_reduce(fused, reduced_dim, key)
+        labels, _ = kmeans.kmeans(reduced, k, key, k_max=k_max)
+        return labels
+
+    return jax.vmap(one)(feats_batch, n_clusters, keys)
+
 
 class StreamingEngine:
     """Host orchestration of the streaming pipeline for one approach."""
@@ -424,6 +469,16 @@ def process_streaming_data(results, data_modalities, modality_types,
         return engine.featurize([m[lo:hi] for m in data_modalities],
                                 modality_types)
 
+    batch_w = max(int(getattr(cfg, "windows_per_batch", 1)), 1)
+    if (batch_w > 1 and cfg.approach in BATCHABLE_APPROACHES
+            and step_window_ratio == 1 and not cfg.force_blocked_window
+            and window_size <= LARGE_WINDOW_ROWS):
+        return _run_batched(results, engine, cfg, todo, data_modalities,
+                            modality_types, complete_true_labels, prev_clusters,
+                            all_clusters, all_true_labels, window_size,
+                            batch_w, subset_size, noise_rate, label_mode,
+                            sorting, reduced_dim, k_basis, total_start)
+
     prefetcher = WindowPrefetcher(featurize_at, len(todo), depth=2)
     try:
         for (w_idx, i), features in zip(todo, prefetcher):
@@ -450,6 +505,70 @@ def process_streaming_data(results, data_modalities, modality_types,
                      **engine.host_snapshot()})
     finally:
         prefetcher.close()
+
+    total_end = metrics_mod.now_ns()
+    all_true = np.concatenate(all_true_labels) if all_true_labels else np.empty(0, int)
+    all_clus = np.concatenate(all_clusters) if all_clusters else np.empty(0, int)
+    return metrics_mod.compute_all_metrics(
+        results, subset_size, noise_rate, label_mode, sorting, reduced_dim,
+        k_basis, window_size, all_clus, all_true, total_end, total_start)
+
+
+def _run_batched(results, engine, cfg, todo, data_modalities, modality_types,
+                 complete_true_labels, prev_clusters, all_clusters,
+                 all_true_labels, window_size, batch_w, subset_size,
+                 noise_rate, label_mode, sorting, reduced_dim, k_basis,
+                 total_start):
+    """Batched-dispatch tumbling stream: W windows per device call
+    (_batched_window_step), host matching chains the labels afterwards."""
+    standard = list(modality_types) == ["location", "time", "username",
+                                        "tags", "text"]
+    types = ("standard",) if standard else tuple(modality_types)
+
+    from mused_tpu.data.ingest import WindowPrefetcher
+
+    def featurize_at(pos: int):
+        _, i = todo[pos]
+        lo, hi = i - window_size + 1, i + 1
+        f = engine.featurize([m[lo:hi] for m in data_modalities],
+                             modality_types)
+        return tuple(f) if standard else f
+
+    # device_put happens in the prefetch thread (overlaps compute); the
+    # batch then stacks already-resident device arrays
+    prefetcher = WindowPrefetcher(featurize_at, len(todo),
+                                  depth=batch_w + 2)
+    feats_iter = iter(prefetcher)
+
+    for base in range(0, len(todo), batch_w):
+        group = todo[base:base + batch_w]
+        feats_list, labels_list = [], []
+        for _, i in group:
+            lo, hi = i - window_size + 1, i + 1
+            labels_list.append(complete_true_labels[lo:hi])
+            feats_list.append(next(feats_iter))
+        feats_batch = tuple(jnp.stack([f[j] for f in feats_list])
+                            for j in range(len(feats_list[0])))
+        n_clusters = jnp.asarray([len(np.unique(t)) for t in labels_list],
+                                 jnp.int32)
+        keys = jax.vmap(lambda w: jax.random.fold_in(
+            jax.random.key(cfg.seed), w))(jnp.asarray([w for w, _ in group]))
+        with engine.timer.span("batched_device_step"):
+            batch_labels = np.asarray(_batched_window_step(
+                feats_batch, n_clusters, keys, approach=cfg.approach,
+                k_basis=cfg.k_basis, reduced_dim=cfg.reduced_dim,
+                k_max=engine.k_max, fd_shrink=cfg.fd_shrink, types=types,
+                use_pallas=cfg.use_pallas_affinity))
+        method = "pot" if cfg.approach == "sSVDMC_pot" else "hungarian"
+        for pos in range(len(group)):
+            clusters = matching.match_clusters(
+                prev_clusters, batch_labels[pos], method=method, min_overlap=3,
+                sinkhorn_reg=cfg.sinkhorn_reg, sinkhorn_iters=cfg.sinkhorn_iters)
+            if clusters is None or len(clusters) == 0:
+                clusters = np.full(window_size, 0)
+            prev_clusters = np.asarray(clusters)
+            all_clusters.append(prev_clusters)
+            all_true_labels.append(labels_list[pos])
 
     total_end = metrics_mod.now_ns()
     all_true = np.concatenate(all_true_labels) if all_true_labels else np.empty(0, int)

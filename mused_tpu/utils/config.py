@@ -76,6 +76,9 @@ class PipelineConfig:
                                        # path regardless of subset size
     force_blocked_window: bool = False  # rematerialized huge-window streaming
                                         # path regardless of window size
+    windows_per_batch: int = 1   # >1: dispatch W independent tumbling windows
+                                 # per device call (KMeans-family approaches;
+                                 # amortizes dispatch + transfer batching)
     fd_shrink: str = "subspace"  # "subspace": matmul-only adaptive shrink
                                  # (gated eigh fallback; ~4.5x faster sketch
                                  # streams) | "eigh": guaranteed classic FD

@@ -143,3 +143,26 @@ def test_reference_opslevel_api(modalities):
     assert red.shape == (n, 4)
     clusters = api.perform_clustering(red, 2, seed=0)
     assert set(np.unique(clusters)) <= {0, 1}
+
+
+@pytest.mark.parametrize("approach", ["SWFDMC", "sSVDMC"])
+def test_batched_windows_match_sequential(modalities, approach):
+    """windows_per_batch > 1 must reproduce the sequential engine's metrics
+    (tumbling windows are device-independent; matching chains on host)."""
+    from mused_tpu.utils.config import PipelineConfig
+    mods, mtypes, labels = modalities
+    out = {}
+    for w in (1, 4):
+        cfg = PipelineConfig(window_size=64, reduced_dim=8, k_basis=3,
+                             approach=approach, label_mode="binary",
+                             n_clusters_override=2, windows_per_batch=w)
+        results, _ = api.get_initial_results()
+        results = api.process_streaming_data(
+            results=results, data_modalities=mods, modality_types=mtypes,
+            window_size=64, reduced_dim=8, k_basis=3, n_clusters_total=2,
+            seed=0, approach=approach, complete_true_labels=labels,
+            step_window_ratio=1, noise_rate=0.5, label_mode="binary",
+            sorting=True, eps=1.5, min_samples=2, cfg=cfg)
+        out[w] = (results["nmi_score"][0], results["f1_score"][0])
+    assert out[4][0] == pytest.approx(out[1][0], abs=1e-6)
+    assert out[4][1] == pytest.approx(out[1][1], abs=1e-6)
