@@ -79,17 +79,23 @@ def process_batch_data(results, data_modalities, modality_types, reduced_dim,
         # blocked randomized SVD rematerializes (B, n) rows on the fly
         # (ops/blocked_affinity.py).  The reference's dense path would need
         # n^2 float64 (180GB at its own 150k default, SURVEY.md §3.3).
-        if approach in ("HDBSCAN_batch", "Spectral_batch"):
+        if approach == "Spectral_batch":
             raise ValueError(
                 f"{approach} needs the dense n^2 graph; n={subset_size} "
                 f"exceeds the dense cap ({MAX_DENSE_ROWS})")
         reduced = _blocked_reduce(data_modalities, modality_types, cfg, key)
         fused = None
-        if approach == "DBSCAN_batch":
-            # blocked eps-graph DBSCAN: n^2 never materialized
-            from mused_tpu.ops.blocked_dbscan import dbscan_blocked
-            all_clusters = dbscan_blocked(np.asarray(reduced), eps=eps,
-                                          min_samples=min_samples)
+        if approach in ("DBSCAN_batch", "HDBSCAN_batch"):
+            # blocked density clustering: n^2 never materialized
+            if approach == "DBSCAN_batch":
+                from mused_tpu.ops.blocked_dbscan import dbscan_blocked
+                all_clusters = dbscan_blocked(np.asarray(reduced), eps=eps,
+                                              min_samples=min_samples)
+            else:
+                from mused_tpu.ops.blocked_hdbscan import hdbscan_blocked
+                all_clusters = hdbscan_blocked(
+                    np.asarray(reduced), min_cluster_size=min_cluster_size,
+                    min_samples=min_samples)
             total_end = metrics_mod.now_ns()
             return metrics_mod.compute_all_metrics(
                 results, subset_size, noise_rate, label_mode, sorting,

@@ -28,9 +28,11 @@ from mused_tpu.ops.kmeans import _sq_dists
 def _pad_rows(x, block):
     pad = (-x.shape[0]) % block
     if pad:
-        # padding rows at +inf are never within eps of anything
+        # padding rows far away but f32-safe: inf coords would make the
+        # expanded-norm distances NaN (inf - inf); 1e15 keeps d2 ~ 1e30,
+        # finite and never within eps
         x = jnp.concatenate(
-            [x, jnp.full((pad, x.shape[1]), jnp.inf, x.dtype)], axis=0)
+            [x, jnp.full((pad, x.shape[1]), 1e15, x.dtype)], axis=0)
     return x
 
 

@@ -137,7 +137,12 @@ def hdbscan(data, min_cluster_size: int = 5, min_samples: int = 2) -> np.ndarray
     # weights by +1 (MST topology is shift-invariant), subtract after
     mst = minimum_spanning_tree(mreach + 1.0).tocoo()
     edges = sorted((w - 1.0, r, c) for w, r, c in zip(mst.data, mst.row, mst.col))
+    return _extract_labels(edges, n, min_cluster_size)
 
+
+def _extract_labels(edges, n: int, min_cluster_size: int) -> np.ndarray:
+    """Single-linkage merge tree -> condensed tree -> eom labels, from sorted
+    MST edges (w, a, b).  Shared by the dense and blocked (Boruvka) paths."""
     # single-linkage merge tree; internal nodes get ids >= n
     uf = _UnionFind(2 * n - 1)
     node_of_root = list(range(n))

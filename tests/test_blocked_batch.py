@@ -101,15 +101,15 @@ def test_blocked_path_with_padding():
 
 
 def test_dense_cap_guard_message(stream):
-    """HDBSCAN still needs the dense graph (DBSCAN_batch routes through the
-    blocked kernel now) — the guard must explain the cap."""
+    """Spectral still needs the dense graph ((H)DBSCAN route through blocked
+    kernels now) — the guard must explain the cap."""
     mods, mtypes, labels = stream
     with pytest.raises(ValueError, match="dense cap"):
-        cfg = PipelineConfig(approach="HDBSCAN_batch", force_blocked_batch=True)
+        cfg = PipelineConfig(approach="Spectral_batch", force_blocked_batch=True)
         api.process_batch_data(
             results=api.get_initial_results()[0], data_modalities=mods,
             modality_types=mtypes, reduced_dim=8, k_basis=3, n_clusters=2,
-            seed=0, approach="HDBSCAN_batch", complete_true_labels=labels,
+            seed=0, approach="Spectral_batch", complete_true_labels=labels,
             noise_rate=0.5, label_mode="binary", sorting=True, eps=1.5,
             min_samples=2, min_cluster_size=3, window_size=64, cfg=cfg)
 
