@@ -22,9 +22,9 @@ MAX_DENSE_ROWS = 32_768  # single-chip dense n^2 guard (~4GB f32 at the cap)
 BLOCK_ROWS = 2_048       # row-block size for the rematerialized large path
 
 
-def _blocked_reduce(data_modalities, modality_types, cfg, key):
-    """Featurize the whole subset, pad rows to a block multiple (padding rows
-    are invalid => zero adjacency rows), run the blocked randomized SVD."""
+def _blocked_columns(data_modalities, modality_types, cfg):
+    """Featurize the whole subset and pad rows to a block multiple (padding
+    rows are invalid => zero adjacency rows).  Returns (Columns, block)."""
     from mused_tpu.data import features as feat
     from mused_tpu.ops import blocked_affinity as ba
 
@@ -52,7 +52,13 @@ def _blocked_reduce(data_modalities, modality_types, cfg, key):
             mats = [np.pad(m, ((0, pad), (0, 0)), constant_values=np.nan)
                     for m in mats]
         cols = ba.generic_columns(mats, tuple(modality_types))
+    return cols, block
 
+
+def _blocked_reduce(data_modalities, modality_types, cfg, key):
+    from mused_tpu.ops import blocked_affinity as ba
+    n = len(data_modalities[0])
+    cols, block = _blocked_columns(data_modalities, modality_types, cfg)
     reduced = ba.blocked_svd_reduce(cols, key, rank=cfg.reduced_dim,
                                     block=block, k_basis=cfg.k_basis)
     return reduced[:n]
@@ -80,9 +86,16 @@ def process_batch_data(results, data_modalities, modality_types, reduced_dim,
         # (ops/blocked_affinity.py).  The reference's dense path would need
         # n^2 float64 (180GB at its own 150k default, SURVEY.md §3.3).
         if approach == "Spectral_batch":
-            raise ValueError(
-                f"{approach} needs the dense n^2 graph; n={subset_size} "
-                f"exceeds the dense cap ({MAX_DENSE_ROWS})")
+            from mused_tpu.ops.blocked_spectral import spectral_clustering_blocked
+            cols, block = _blocked_columns(data_modalities, modality_types, cfg)
+            labels = spectral_clustering_blocked(
+                cols, int(n_clusters), key, k_max=max(int(n_clusters), 2),
+                block=block, k_basis=k_basis, n_real=subset_size)
+            total_end = metrics_mod.now_ns()
+            return metrics_mod.compute_all_metrics(
+                results, subset_size, noise_rate, label_mode, sorting,
+                reduced_dim, k_basis, window_size, np.asarray(labels),
+                np.asarray(complete_true_labels), total_end, total_start)
         reduced = _blocked_reduce(data_modalities, modality_types, cfg, key)
         fused = None
         if approach in ("DBSCAN_batch", "HDBSCAN_batch"):

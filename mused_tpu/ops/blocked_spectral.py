@@ -1,0 +1,102 @@
+"""Blocked spectral clustering: normalized-cuts beyond the dense cap.
+
+The dense path (ops/spectral.py) eigendecomposes the (n, n) normalized
+affinity.  Here the matrix stays implicit: with A the fused adjacency
+(rematerialized row blocks, ops/blocked_affinity) and
+``M = D^{-1/2} (A + A^T)/2 D^{-1/2}``, the top eigenvectors come from
+subspace iteration whose M-products are blocked sweeps:
+
+  degrees:   one sweep accumulating row sums of A and A^T
+  M @ V:     two sweeps per iteration (A u and A^T u for u = D^{-1/2} V)
+  Ritz step: small (k+p)^2 eigh on the host-side projected matrix
+
+then the NJW row-normalization and device KMeans exactly as the dense path.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mused_tpu.ops import blocked_affinity as ba
+from mused_tpu.ops import kmeans as kmeans_mod
+
+HIGH = jax.lax.Precision.HIGHEST
+
+
+@functools.partial(jax.jit, static_argnames=("kinds", "block", "k_basis"))
+def _degrees(tensors, valids, idf, *, kinds, block: int, k_basis: int):
+    cols = ba.Columns(kinds=kinds, tensors=tensors, valids=valids, idf=idf)
+    n = cols.n
+
+    def f(carry, fused, start):
+        row_sums, col_sums = carry
+        row_sums = jax.lax.dynamic_update_slice_in_dim(
+            row_sums, jnp.sum(fused, axis=1), start, axis=0)
+        return row_sums, col_sums + jnp.sum(fused, axis=0)
+
+    row_sums, col_sums = ba._scan_blocks(
+        cols, block, k_basis, f, (jnp.zeros(n), jnp.zeros(n)))
+    return 0.5 * (row_sums + col_sums)
+
+
+@functools.partial(jax.jit, static_argnames=("kinds", "block", "k_basis"))
+def _sym_matmul(tensors, valids, idf, v, *, kinds, block: int, k_basis: int):
+    """((A + A^T)/2) @ v via two accumulating block sweeps; v is (n, m)."""
+    cols = ba.Columns(kinds=kinds, tensors=tensors, valids=valids, idf=idf)
+    n = cols.n
+
+    def f(carry, fused, start):
+        av, atv = carry
+        vb = jax.lax.dynamic_slice_in_dim(v, start, fused.shape[0], axis=0)
+        av = jax.lax.dynamic_update_slice_in_dim(
+            av, jnp.dot(fused, v, precision=HIGH), start, axis=0)
+        return av, atv + jnp.dot(fused.T, vb, precision=HIGH)
+
+    av, atv = ba._scan_blocks(cols, block, k_basis, f,
+                              (jnp.zeros_like(v), jnp.zeros_like(v)))
+    return 0.5 * (av + atv)
+
+
+def spectral_clustering_blocked(cols: ba.Columns, n_clusters: int,
+                                key: jax.Array, *, k_max: int, block: int,
+                                k_basis: int, n_real: int | None = None,
+                                n_iter: int = 6, oversample: int = 8):
+    """Labels (n_real,) — blocked normalized-cuts spectral clustering.
+
+    ``cols`` from blocked_affinity.standard_columns / generic_columns with
+    rows padded to a block multiple (padding rows are invalid => zero degree
+    and zero embedding); ``n_real`` slices them off before KMeans so the
+    origin-blob of padding rows cannot steal a centroid.
+    """
+    n = cols.n
+    n_real = n if n_real is None else n_real
+    kinds = cols.kinds
+    deg = _degrees(cols.tensors, cols.valids, cols.idf, kinds=kinds,
+                   block=block, k_basis=k_basis)
+    inv_sqrt = jnp.where(deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1e-12)), 0.0)
+
+    m = min(k_max + oversample, n)
+    v = jax.random.normal(key, (n, m), jnp.float32)
+    for _ in range(n_iter):
+        u = v * inv_sqrt[:, None]
+        av = _sym_matmul(cols.tensors, cols.valids, cols.idf, u, kinds=kinds,
+                         block=block, k_basis=k_basis)
+        v, _ = jnp.linalg.qr(av * inv_sqrt[:, None])
+    # Rayleigh-Ritz on the projected matrix
+    u = v * inv_sqrt[:, None]
+    mv = _sym_matmul(cols.tensors, cols.valids, cols.idf, u, kinds=kinds,
+                     block=block, k_basis=k_basis) * inv_sqrt[:, None]
+    t = jnp.dot(v.T, mv, precision=HIGH)
+    lam, w = jnp.linalg.eigh(0.5 * (t + t.T))
+    ritz = jnp.dot(v, w[:, ::-1], precision=HIGH)    # descending eigenvalue order
+
+    emb = ritz[:n_real, :k_max]
+    alive = jnp.arange(emb.shape[1])[None, :] < n_clusters
+    emb = jnp.where(alive, emb, 0.0)
+    nrm = jnp.linalg.norm(emb, axis=1, keepdims=True)
+    emb = emb / jnp.maximum(nrm, 1e-12)
+    labels, _ = kmeans_mod.kmeans(emb, jnp.int32(n_clusters), key, k_max=k_max)
+    return labels
