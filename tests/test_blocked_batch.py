@@ -100,18 +100,22 @@ def test_blocked_path_with_padding():
     assert results["nmi_score"][0] > 0.4
 
 
-def test_dense_cap_guard_message(stream):
-    """Spectral still needs the dense graph ((H)DBSCAN route through blocked
-    kernels now) — the guard must explain the cap."""
+def test_no_batch_approach_is_capped(stream):
+    """Every batch approach now has a beyond-dense-cap path (blocked SVD /
+    DBSCAN / HDBSCAN / spectral) — the forced-blocked route must succeed for
+    all of them."""
     mods, mtypes, labels = stream
-    with pytest.raises(ValueError, match="dense cap"):
-        cfg = PipelineConfig(approach="Spectral_batch", force_blocked_batch=True)
-        api.process_batch_data(
+    for approach in ("SVDMC_batch", "DBSCAN_batch", "HDBSCAN_batch",
+                     "Spectral_batch"):
+        cfg = PipelineConfig(approach=approach, force_blocked_batch=True,
+                             reduced_dim=8, k_basis=3)
+        results = api.process_batch_data(
             results=api.get_initial_results()[0], data_modalities=mods,
             modality_types=mtypes, reduced_dim=8, k_basis=3, n_clusters=2,
-            seed=0, approach="Spectral_batch", complete_true_labels=labels,
+            seed=0, approach=approach, complete_true_labels=labels,
             noise_rate=0.5, label_mode="binary", sorting=True, eps=1.5,
             min_samples=2, min_cluster_size=3, window_size=64, cfg=cfg)
+        assert len(results["f1_score"]) == 1, approach
 
 
 @pytest.mark.parametrize("approach", ["SWFDMC", "sSVDMC"])
