@@ -279,10 +279,10 @@ class StreamingEngine:
                     for m in features]
             cols = ba.generic_columns(mats, tuple(modality_types))
 
-        if cfg.approach in ("DBSCAN_incr", "DBSCAN_centr", "sSpectral"):
+        if cfg.approach == "DBSCAN_incr":
             raise ValueError(
-                f"{cfg.approach} needs the dense window graph; window_size="
-                f"{n} exceeds the dense cap — use a KMeans-family approach")
+                "DBSCAN_incr accumulates a bounded point buffer; at huge "
+                "windows use DBSCAN_centr (blocked) instead")
         key = jax.random.fold_in(jax.random.key(cfg.seed), window_index)
         with self.timer.span("device_step"):
             if cfg.approach == "SWFDMC":
@@ -301,17 +301,36 @@ class StreamingEngine:
                 new_mbk, labels = kmeans.minibatch_step(
                     self.state.minibatch, reduced, key)
                 self.state = self.state._replace(minibatch=new_mbk)
+                clusters = np.asarray(labels)
+            elif cfg.approach == "sSpectral":
+                from mused_tpu.ops.blocked_spectral import \
+                    spectral_clustering_blocked
+                labels = spectral_clustering_blocked(
+                    cols, int(len(np.unique(window_true_labels))), key,
+                    k_max=self.k_max, block=block, k_basis=cfg.k_basis,
+                    n_real=n)
+                clusters = np.asarray(labels)
+            elif cfg.approach == "DBSCAN_centr":
+                from mused_tpu.ops.blocked_dbscan import dbscan_blocked
+                labels = dbscan_blocked(np.asarray(reduced), eps=cfg.eps,
+                                        min_samples=cfg.min_samples,
+                                        block=block)
+                clusters, self.prev_centroids, self.prev_centroid_labels = \
+                    dbscan.match_centroids(np.asarray(reduced), labels,
+                                           self.prev_centroids,
+                                           self.prev_centroid_labels)
             else:
                 n_clusters = int(len(np.unique(window_true_labels)))
                 labels, _ = kmeans.kmeans(reduced, jnp.int32(n_clusters), key,
                                           k_max=self.k_max)
-            clusters = np.asarray(labels)
+                clusters = np.asarray(labels)
         method = "pot" if cfg.approach == "sSVDMC_pot" else "hungarian"
-        with self.timer.span("matching"):
-            clusters = matching.match_clusters(
-                prev_clusters, clusters, method=method, min_overlap=3,
-                sinkhorn_reg=cfg.sinkhorn_reg,
-                sinkhorn_iters=cfg.sinkhorn_iters)
+        if cfg.approach != "DBSCAN_centr":   # centr does its own matching
+            with self.timer.span("matching"):
+                clusters = matching.match_clusters(
+                    prev_clusters, clusters, method=method, min_overlap=3,
+                    sinkhorn_reg=cfg.sinkhorn_reg,
+                    sinkhorn_iters=cfg.sinkhorn_iters)
         if clusters is None or len(clusters) == 0:
             clusters = np.full(cfg.window_size, 0)
         return np.asarray(clusters)

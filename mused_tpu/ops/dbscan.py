@@ -322,15 +322,11 @@ class IncrementalDBSCAN:
         return np.asarray(self._labels[-k:])
 
 
-def dbscan_centroid_incremental(data, previous_centroids, previous_labels,
-                                eps: float = 0.5, min_samples: int = 5):
-    """Per-window DBSCAN + centroid matching to the previous window
-    (reference matrix_operations.py:265-298): each new cluster centroid maps
-    to the nearest previous centroid and inherits its label."""
-    data = np.asarray(data, np.float32)
-    if data.ndim != 2:
-        return None, previous_centroids, previous_labels
-    labels = dbscan(data, eps=eps, min_samples=min_samples)
+def match_centroids(data: np.ndarray, labels: np.ndarray, previous_centroids,
+                    previous_labels):
+    """Centroid matching across windows (reference matrix_operations.py:278-298):
+    each new cluster centroid maps to the nearest previous centroid and
+    inherits its label.  Returns (labels, new_centroids, unique_labels)."""
     unique_clusters = [c for c in np.unique(labels) if c != -1]
     new_centroids = np.array([data[labels == c].mean(axis=0) for c in unique_clusters]) \
         if unique_clusters else np.empty((0, data.shape[1]), np.float32)
@@ -343,3 +339,14 @@ def dbscan_centroid_incremental(data, previous_centroids, previous_labels,
                    for new, old in enumerate(matches)}
         labels = np.array([mapping[l] if l in mapping else l for l in labels])
     return labels, new_centroids, np.unique(labels)
+
+
+def dbscan_centroid_incremental(data, previous_centroids, previous_labels,
+                                eps: float = 0.5, min_samples: int = 5):
+    """Per-window DBSCAN + centroid matching to the previous window
+    (reference matrix_operations.py:265-298)."""
+    data = np.asarray(data, np.float32)
+    if data.ndim != 2:
+        return None, previous_centroids, previous_labels
+    labels = dbscan(data, eps=eps, min_samples=min_samples)
+    return match_centroids(data, labels, previous_centroids, previous_labels)

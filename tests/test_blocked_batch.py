@@ -138,3 +138,22 @@ def test_huge_window_streaming_path(stream, approach):
             sorting=True, eps=1.5, min_samples=2, cfg=cfg)
         out[forced] = results["nmi_score"][0]
     assert abs(out[True] - out[False]) < 0.2
+
+
+@pytest.mark.parametrize("approach", ["sSpectral", "DBSCAN_centr"])
+def test_huge_window_density_and_spectral(stream, approach):
+    """sSpectral and DBSCAN_centr also run on the forced huge-window path
+    (blocked spectral / blocked DBSCAN kernels)."""
+    mods, mtypes, labels = stream
+    cfg = PipelineConfig(window_size=64, reduced_dim=8, k_basis=3,
+                         approach=approach, label_mode="binary",
+                         n_clusters_override=2, force_blocked_window=True,
+                         eps=1.0, min_samples=2)
+    results, _ = api.get_initial_results()
+    results = api.process_streaming_data(
+        results=results, data_modalities=mods, modality_types=mtypes,
+        window_size=64, reduced_dim=8, k_basis=3, n_clusters_total=2,
+        seed=0, approach=approach, complete_true_labels=labels,
+        step_window_ratio=1, noise_rate=0.5, label_mode="binary",
+        sorting=True, eps=1.0, min_samples=2, cfg=cfg)
+    assert len(results["f1_score"]) == 1
