@@ -24,18 +24,15 @@ class WindowPrefetcher:
     """
 
     def __init__(self, featurize: Callable[[int], object], n_windows: int,
-                 depth: int = 2, device=None, device_put: bool = True):
+                 depth: int = 2, device=None):
         self._featurize = featurize
         self._n = n_windows
         self._depth = max(1, depth)
         self._device = device
-        self._device_put = device_put
         self._pool = cf.ThreadPoolExecutor(max_workers=1)
 
     def _task(self, idx: int):
         feats = self._featurize(idx)
-        if not self._device_put:
-            return feats
         if self._device is not None:
             feats = jax.device_put(feats, self._device)
         else:

@@ -42,13 +42,14 @@ class StreamState(NamedTuple):
 
 
 def _choose_lanes(n: int, ell: int) -> int:
-    """Lane count for fd.hierarchical_sketch.  Measured on TPU v5e (d=1024,
-    ell=64, window=2048): lanes=1 123k rows/s, 2 122k, 4 118k, 8 105k,
-    16 94k — the scan chain pipelines well and extra lanes mostly add merge
-    eighs, so cap at 2 (the vmap machinery stays available for other
-    hardware/shapes)."""
-    want = max(1, n // max(2 * ell, 1))
-    return 2 if want >= 2 else 1
+    """Lane count for fd.hierarchical_sketch.  lanes=1 measured fastest on
+    v5e (123k rows/s vs 94k at 16 — the scan pipelines well and extra lanes
+    add merge shrinks) AND keeps the subspace shrink's health-gate cond a
+    real branch (vmap lowers cond to select, executing the eigh fallback
+    unconditionally).  The vmap machinery stays available for other
+    hardware/shapes via explicit lanes arguments."""
+    del n, ell
+    return 1
 
 
 def _fuse_standard(location, times, user_ids, tags, text, k_basis: int):
@@ -189,8 +190,11 @@ def _batched_window_step(feats_batch: tuple, n_clusters: jax.Array,
         n = fused.shape[0]
         if approach == "SWFDMC":
             ell = min(reduced_dim, n)
+            # the whole step is vmapped over windows, so conds lower to
+            # selects (both shrink branches execute) — use plain eigh here
+            # rather than paying Newton-Schulz on top of it
             blk, _, _ = fd.hierarchical_sketch(
-                fused, ell=ell, lanes=_choose_lanes(n, ell), mode=fd_shrink)
+                fused, ell=ell, lanes=_choose_lanes(n, ell), mode="eigh")
             reduced = blk.T
         else:
             reduced = reduction.svd_reduce(fused, reduced_dim, key)
@@ -489,9 +493,11 @@ def process_streaming_data(results, data_modalities, modality_types,
                                 modality_types)
 
     batch_w = max(int(getattr(cfg, "windows_per_batch", 1)), 1)
+    # checkpointing needs the per-window sequential loop (the batched path
+    # would otherwise silently skip saving)
     if (batch_w > 1 and cfg.approach in BATCHABLE_APPROACHES
             and step_window_ratio == 1 and not cfg.force_blocked_window
-            and window_size <= LARGE_WINDOW_ROWS):
+            and window_size <= LARGE_WINDOW_ROWS and not checkpoint_dir):
         return _run_batched(results, engine, cfg, todo, data_modalities,
                             modality_types, complete_true_labels, prev_clusters,
                             all_clusters, all_true_labels, window_size,
@@ -559,6 +565,21 @@ def _run_batched(results, engine, cfg, todo, data_modalities, modality_types,
                                   depth=batch_w + 2)
     feats_iter = iter(prefetcher)
 
+    try:
+        return _run_batched_loop(
+            results, engine, cfg, todo, feats_iter, complete_true_labels,
+            prev_clusters, all_clusters, all_true_labels, window_size,
+            batch_w, subset_size, noise_rate, label_mode, sorting,
+            reduced_dim, k_basis, total_start, types, standard)
+    finally:
+        prefetcher.close()
+
+
+def _run_batched_loop(results, engine, cfg, todo, feats_iter,
+                      complete_true_labels, prev_clusters, all_clusters,
+                      all_true_labels, window_size, batch_w, subset_size,
+                      noise_rate, label_mode, sorting, reduced_dim, k_basis,
+                      total_start, types, standard):
     for base in range(0, len(todo), batch_w):
         group = todo[base:base + batch_w]
         feats_list, labels_list = [], []

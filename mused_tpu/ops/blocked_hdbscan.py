@@ -29,12 +29,15 @@ from mused_tpu.ops.kmeans import _sq_dists
 INF = jnp.float32(jnp.inf)
 
 
-@functools.partial(jax.jit, static_argnames=("block", "min_samples"))
-def _core_distances(x, *, min_samples: int, block: int):
-    """(n,) distance to the min_samples-th nearest neighbor (self counts)."""
+@functools.partial(jax.jit, static_argnames=("block", "min_samples", "n_real"))
+def _core_distances(x, *, min_samples: int, block: int, n_real: int):
+    """(n,) distance to the min_samples-th nearest neighbor (self counts).
+
+    k clamps to the REAL row count (padding rows at 1e15 must never become
+    someone's k-th neighbor), matching the dense path's min_samples clip."""
     n = x.shape[0]
     xs = x.reshape(n // block, block, -1)
-    k = min(min_samples, n)
+    k = min(min_samples, n_real)
 
     def body(_, xb):
         d2 = _sq_dists(xb, x)
@@ -78,7 +81,8 @@ def _mst_boruvka(x_np: np.ndarray, min_samples: int, block: int):
     xp = np.concatenate(
         [x_np, np.full((pad, x_np.shape[1]), 1e15, np.float32)]) if pad else x_np
     xj = jnp.asarray(xp)
-    core = _core_distances(xj, min_samples=min_samples, block=block)
+    core = _core_distances(xj, min_samples=min_samples, block=block,
+                           n_real=n)
     # padding rows: infinitely far, own forever-separate components beyond n
     parent = np.arange(n + pad)
 

@@ -73,6 +73,9 @@ def spectral_clustering_blocked(cols: ba.Columns, n_clusters: int,
     """
     n = cols.n
     n_real = n if n_real is None else n_real
+    # the accumulating sweeps (degrees, A^T v) would double-count the rows of
+    # a clamped final block — require exact tiling like _blocked_svd_impl
+    assert n % block == 0, "pad rows to a block multiple upstream"
     kinds = cols.kinds
     deg = _degrees(cols.tensors, cols.valids, cols.idf, kinds=kinds,
                    block=block, k_basis=k_basis)

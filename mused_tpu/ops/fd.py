@@ -135,6 +135,9 @@ def shrink_fast(stacked: jax.Array, ell: int, *, oversample: int = 16,
     gram = jnp.dot(stacked, stacked.T, preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST)
     g = gram + (1e-5 * jnp.trace(gram) / m2) * jnp.eye(m2, dtype=gram.dtype)
+    # oversampling cannot exceed the row space or NS can never orthonormalize
+    # (small-ell configs would then always pay NS and fall back to eigh)
+    oversample = min(oversample, m2 - ell)
     # deterministic random init (jit-pure: fixed key) — measurably better
     # conditioned than structured bases for the NS orthogonalization
     v = jax.random.normal(jax.random.key(7), (m2, ell + oversample),
@@ -251,6 +254,12 @@ def hierarchical_sketch(rows: jax.Array, *, ell: int, lanes: int = 8,
     """
     m, d = rows.shape
     assert lanes & (lanes - 1) == 0, "lanes must be a power of two"
+    if lanes == 1:
+        # no vmap: keeps lax.cond branches REAL (vmap lowers cond to select,
+        # which would execute the exact-eigh fallback on every subspace-mode
+        # shrink) — also the fastest measured configuration on v5e
+        st = update_stream(init(ell, d), rows, mode=mode)
+        return st.sketch, st.sq_frobenius, st.shrink_loss
     per = -(-m // lanes)
     pad = per * lanes - m
     if pad:

@@ -82,14 +82,21 @@ def kmeans(x: jax.Array, k: jax.Array, key: jax.Array, *, k_max: int,
         sums = jnp.dot(onehot.T, x, preferred_element_type=jnp.float32)
         new_c = jnp.where((counts > 0)[:, None], sums / jnp.maximum(counts, 1.0)[:, None], c)
         # empty-cluster relocation (sklearn semantics): the i-th empty live
-        # cluster moves to the i-th worst-fit point
-        dist_to_own = jnp.take_along_axis(
-            _sq_dists(x, new_c), labels[:, None], axis=1)[:, 0]
-        _, far_idx = jax.lax.top_k(dist_to_own, k_max)
+        # cluster moves to the i-th worst-fit point.  Gated on any-empty so
+        # the common case skips the extra distance pass (cond on a scalar
+        # inside while_loop stays a real branch).
         empty = alive & (counts == 0)
-        slot = jnp.cumsum(empty.astype(jnp.int32)) - 1        # i-th empty -> i
-        reloc = x[far_idx[jnp.clip(slot, 0, k_max - 1)]]
-        new_c = jnp.where(empty[:, None], reloc, new_c)
+
+        def relocate(nc):
+            dist_to_own = jnp.take_along_axis(
+                _sq_dists(x, nc), labels[:, None], axis=1)[:, 0]
+            k_eff = min(k_max, n)
+            _, far_idx = jax.lax.top_k(dist_to_own, k_eff)
+            slot = jnp.cumsum(empty.astype(jnp.int32)) - 1    # i-th empty -> i
+            reloc = x[far_idx[jnp.clip(slot, 0, k_eff - 1)]]
+            return jnp.where(empty[:, None], reloc, nc)
+
+        new_c = jax.lax.cond(jnp.any(empty), relocate, lambda nc: nc, new_c)
         shift = jnp.sum((new_c - c) ** 2)
         return new_c, shift, it + 1
 

@@ -28,6 +28,7 @@ def _sharded_lloyd(x_shard, centroids0, alive, max_iters: int, tol: float,
                    axis_name: str = "data"):
     """shard_map body: Lloyd iterations with psum'd centroid accumulation."""
     k_max, d = centroids0.shape
+    _local_sq_dists = km._sq_dists
 
     def assign(c):
         dist = km._sq_dists(x_shard, c)
@@ -44,6 +45,25 @@ def _sharded_lloyd(x_shard, centroids0, alive, max_iters: int, tol: float,
             axis_name)
         new_c = jnp.where((counts > 0)[:, None],
                           sums / jnp.maximum(counts, 1.0)[:, None], c)
+        # empty-cluster relocation, matching ops.kmeans: gather each shard's
+        # worst-fit candidates and pick the global top-k
+        empty = alive & (counts == 0)
+
+        def relocate(nc):
+            m = x_shard.shape[0]
+            dist_to_own = jnp.take_along_axis(
+                _local_sq_dists(x_shard, nc), labels[:, None], axis=1)[:, 0]
+            k_loc = min(k_max, m)
+            vals, idx = jax.lax.top_k(dist_to_own, k_loc)
+            cand_x = jax.lax.all_gather(x_shard[idx], axis_name).reshape(-1, d)
+            cand_v = jax.lax.all_gather(vals, axis_name).reshape(-1)
+            k_eff = min(k_max, cand_v.shape[0])
+            _, gidx = jax.lax.top_k(cand_v, k_eff)
+            slot = jnp.cumsum(empty.astype(jnp.int32)) - 1
+            reloc = cand_x[gidx[jnp.clip(slot, 0, k_eff - 1)]]
+            return jnp.where(empty[:, None], reloc, nc)
+
+        new_c = jax.lax.cond(jnp.any(empty), relocate, lambda nc: nc, new_c)
         shift = jnp.sum((new_c - c) ** 2)
         return new_c, shift, it + 1
 

@@ -63,3 +63,13 @@ def test_empty_cluster_relocation(rng):
     counts = np.bincount(labels, minlength=8)
     assert (counts[:6] > 0).all()
     assert purity(labels, truth) > 0.95
+
+
+def test_kmeans_n_smaller_than_k_max(rng):
+    """Regression (review finding): n < k_max (e.g. demo window=8 in 'all'
+    label mode with k_max=150) must not crash the relocation top_k."""
+    x = rng.normal(size=(8, 4)).astype(np.float32)
+    labels, _ = kmeans.kmeans(jnp.asarray(x), 3, jax.random.key(0), k_max=150)
+    labels = np.asarray(labels)
+    assert labels.shape == (8,)
+    assert labels.max() < 3

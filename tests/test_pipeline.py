@@ -148,14 +148,17 @@ def test_reference_opslevel_api(modalities):
 @pytest.mark.parametrize("approach", ["SWFDMC", "sSVDMC"])
 def test_batched_windows_match_sequential(modalities, approach):
     """windows_per_batch > 1 must reproduce the sequential engine's metrics
-    (tumbling windows are device-independent; matching chains on host)."""
+    (tumbling windows are device-independent; matching chains on host).
+    fd_shrink is pinned to eigh: the batched path is vmapped, which lowers the
+    subspace shrink's health-gate cond to select, so it uses eigh by design."""
     from mused_tpu.utils.config import PipelineConfig
     mods, mtypes, labels = modalities
     out = {}
     for w in (1, 4):
         cfg = PipelineConfig(window_size=64, reduced_dim=8, k_basis=3,
                              approach=approach, label_mode="binary",
-                             n_clusters_override=2, windows_per_batch=w)
+                             n_clusters_override=2, windows_per_batch=w,
+                             fd_shrink="eigh")
         results, _ = api.get_initial_results()
         results = api.process_streaming_data(
             results=results, data_modalities=mods, modality_types=mtypes,
