@@ -100,6 +100,62 @@ class WindowFeatures(NamedTuple):
     text: np.ndarray        # (n, H_text) uint8 counts (cast to f32 on device)
 
 
+class SparseWindowFeatures(NamedTuple):
+    """Sparse token layout: ~16x less host->device transfer than the dense
+    multi-hot/count tensors (and 100x less host memory at 150k-row scale);
+    the device scatters them back to dense just before the sim matmuls
+    (affinity.counts_from_tokens)."""
+
+    location: np.ndarray    # (n, 2) float32
+    times: np.ndarray       # (n, 2) float32
+    user_ids: np.ndarray    # (n,)  int32
+    tags_ids: np.ndarray    # (n, T_tags) int32 hashed tag ids, -1 padding
+    text_ids: np.ndarray    # (n, T_text) int32 hashed token ids, -1 padding
+    text_cnt: np.ndarray    # (n, T_text) uint16 token counts
+
+
+def hash_text_sparse_py(texts: Sequence[str], dim: int, t_cap: int):
+    """Python fallback for the native sparse text hasher (same first-seen
+    token order, same dedup, same overflow-drop semantics)."""
+    n = len(texts)
+    ids = np.full((n, t_cap), -1, np.int32)
+    cnt = np.zeros((n, t_cap), np.uint16)
+    for i, text in enumerate(texts):
+        if not isinstance(text, str) or not text:
+            continue
+        seen: dict[int, int] = {}
+        for tok in _TOKEN_RE.findall(text.lower()):
+            if len(tok) < 2:
+                continue
+            h = stable_hash(tok) % dim
+            if h in seen:
+                cnt[i, seen[h]] += 1
+            elif len(seen) < t_cap:
+                seen[h] = len(seen)
+                ids[i, seen[h]] = h
+                cnt[i, seen[h]] = 1
+    return ids, cnt
+
+
+def multihot_tags_sparse_py(tag_lists: Sequence, dim: int, t_cap: int):
+    n = len(tag_lists)
+    ids = np.full((n, t_cap), -1, np.int32)
+    for i, tags in enumerate(tag_lists):
+        if tags is None:
+            continue
+        if isinstance(tags, str):
+            tags = [tags] if tags else []
+        seen: list[int] = []
+        for t in tags:
+            if not t:
+                continue
+            h = stable_hash(str(t)) % dim
+            if h not in seen and len(seen) < t_cap:
+                seen.append(h)
+                ids[i, len(seen) - 1] = h
+    return ids
+
+
 def featurize_window(location: np.ndarray, times: np.ndarray,
                      usernames: np.ndarray, tag_lists: np.ndarray,
                      texts: np.ndarray, cfg: FeatureConfig) -> WindowFeatures:
@@ -118,18 +174,32 @@ def featurize_window(location: np.ndarray, times: np.ndarray,
         # reference joins title and description with a space (ref :102)
         joined = (t + " " + d).strip()
         title_desc.append(joined)
-    # ship the sparse incidence/count tensors as uint8: token counts never
-    # near 255 in practice, and the 4x smaller host->device transfer is the
-    # dominant per-window cost on interconnect-limited hosts (device casts
-    # back to f32 on arrival)
+    loc = np.asarray(location, np.float32)
+    tim = np.asarray(times, np.float32)
+    uids = hash_usernames([u[0] for u in usernames])
+
+    if cfg.sparse:
+        from mused_tpu import native
+        tag_cells = [t[0] for t in tag_lists]
+        sp_text = native.hash_text_sparse(title_desc, cfg.text_hash_dim,
+                                          cfg.text_token_cap)
+        if sp_text is None:
+            sp_text = hash_text_sparse_py(title_desc, cfg.text_hash_dim,
+                                          cfg.text_token_cap)
+        sp_tags = native.multihot_tags_sparse(tag_cells, cfg.tags_hash_dim,
+                                              cfg.tags_token_cap)
+        if sp_tags is None:
+            sp_tags = multihot_tags_sparse_py(tag_cells, cfg.tags_hash_dim,
+                                              cfg.tags_token_cap)
+        return SparseWindowFeatures(location=loc, times=tim, user_ids=uids,
+                                    tags_ids=sp_tags, text_ids=sp_text[0],
+                                    text_cnt=sp_text[1])
+
+    # dense path: uint8 tensors (token counts never approach 255); still 4x
+    # smaller transfers than f32, device casts back on arrival
     tags8 = np.minimum(multihot_tags([t[0] for t in tag_lists],
                                      cfg.tags_hash_dim), 255).astype(np.uint8)
     text8 = np.minimum(hash_text_counts(title_desc, cfg.text_hash_dim),
                        255).astype(np.uint8)
-    return WindowFeatures(
-        location=np.asarray(location, np.float32),
-        times=np.asarray(times, np.float32),
-        user_ids=hash_usernames([u[0] for u in usernames]),
-        tags=tags8,
-        text=text8,
-    )
+    return WindowFeatures(location=loc, times=tim, user_ids=uids,
+                          tags=tags8, text=text8)

@@ -22,6 +22,31 @@ MAX_DENSE_ROWS = 32_768  # single-chip dense n^2 guard (~4GB f32 at the cap)
 BLOCK_ROWS = 2_048       # row-block size for the rematerialized large path
 
 
+def _pad_window_features(wf, pad: int):
+    """Pad featurized rows with invalid entries (NaN coords, -1 ids)."""
+    from mused_tpu.data import features as feat
+    if isinstance(wf, feat.SparseWindowFeatures):
+        return feat.SparseWindowFeatures(
+            location=np.pad(wf.location, ((0, pad), (0, 0)),
+                            constant_values=np.nan),
+            times=np.pad(wf.times, ((0, pad), (0, 0))),
+            user_ids=np.pad(wf.user_ids, (0, pad), constant_values=-1),
+            tags_ids=np.pad(wf.tags_ids, ((0, pad), (0, 0)),
+                            constant_values=-1),
+            text_ids=np.pad(wf.text_ids, ((0, pad), (0, 0)),
+                            constant_values=-1),
+            text_cnt=np.pad(wf.text_cnt, ((0, pad), (0, 0))),
+        )
+    return feat.WindowFeatures(
+        location=np.pad(wf.location, ((0, pad), (0, 0)),
+                        constant_values=np.nan),
+        times=np.pad(wf.times, ((0, pad), (0, 0))),
+        user_ids=np.pad(wf.user_ids, (0, pad), constant_values=-1),
+        tags=np.pad(wf.tags, ((0, pad), (0, 0))),
+        text=np.pad(wf.text, ((0, pad), (0, 0))),
+    )
+
+
 def _blocked_columns(data_modalities, modality_types, cfg):
     """Featurize the whole subset and pad rows to a block multiple (padding
     rows are invalid => zero adjacency rows).  Returns (Columns, block)."""
@@ -35,14 +60,7 @@ def _blocked_columns(data_modalities, modality_types, cfg):
         block = min(BLOCK_ROWS, n)
         pad = (-n) % block
         if pad:
-            wf = feat.WindowFeatures(
-                location=np.pad(wf.location, ((0, pad), (0, 0)),
-                                constant_values=np.nan),
-                times=np.pad(wf.times, ((0, pad), (0, 0))),
-                user_ids=np.pad(wf.user_ids, (0, pad), constant_values=-1),
-                tags=np.pad(wf.tags, ((0, pad), (0, 0))),
-                text=np.pad(wf.text, ((0, pad), (0, 0))),
-            )
+            wf = _pad_window_features(wf, pad)
         cols = ba.standard_columns(wf)
     else:
         mats = [np.asarray(m, np.float32) for m in data_modalities]

@@ -57,6 +57,19 @@ def _fuse_standard(location, times, user_ids, tags, text, k_basis: int):
         location, times, user_ids, tags, text, k_basis=k_basis)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("k_basis", "tags_dim", "text_dim"))
+def _fuse_standard_sparse(location, times, user_ids, tags_ids, text_ids,
+                          text_cnt, *, k_basis: int, tags_dim: int,
+                          text_dim: int):
+    """Sparse-token variant: scatter tokens to dense on device, then the same
+    five modality graphs + fusion."""
+    tags = affinity.counts_from_tokens(tags_ids, None, tags_dim)
+    text = affinity.counts_from_tokens(text_ids, text_cnt, text_dim)
+    return affinity.multimodal_fused_adjacency(
+        location, times, user_ids, tags, text, k_basis=k_basis)
+
+
 @functools.partial(jax.jit, static_argnames=("k_basis", "types", "use_pallas"))
 def _fuse_generic(mats: tuple, *, k_basis: int, types: tuple,
                   use_pallas: bool = False):
@@ -179,7 +192,12 @@ def _batched_window_step(feats_batch: tuple, n_clusters: jax.Array,
     """
 
     def one(feats, k, key):
-        if types == ("standard",):
+        if types[0] == "standard_sparse":
+            loc, tim, uid, tags_ids, text_ids, text_cnt = feats
+            fused = _fuse_standard_sparse(
+                loc, tim, uid.astype(jnp.int32), tags_ids, text_ids, text_cnt,
+                k_basis=k_basis, tags_dim=int(types[1]), text_dim=int(types[2]))
+        elif types == ("standard",):
             loc, tim, uid, tags, text = feats
             fused = _fuse_standard(loc, tim, uid.astype(jnp.int32),
                                    tags.astype(jnp.float32),
@@ -265,17 +283,11 @@ class StreamingEngine:
         n = cfg.window_size
         block = min(LARGE_BLOCK, n)
         pad = (-n) % block
-        if isinstance(features, featmod.WindowFeatures):
+        if isinstance(features, (featmod.WindowFeatures,
+                                 featmod.SparseWindowFeatures)):
             if pad:
-                features = featmod.WindowFeatures(
-                    location=np.pad(features.location, ((0, pad), (0, 0)),
-                                    constant_values=np.nan),
-                    times=np.pad(features.times, ((0, pad), (0, 0))),
-                    user_ids=np.pad(features.user_ids, (0, pad),
-                                    constant_values=-1),
-                    tags=np.pad(features.tags, ((0, pad), (0, 0))),
-                    text=np.pad(features.text, ((0, pad), (0, 0))),
-                )
+                from mused_tpu.engine.batch import _pad_window_features
+                features = _pad_window_features(features, pad)
             cols = ba.standard_columns(features)
         else:
             mats = [np.pad(np.asarray(m, np.float32), ((0, pad), (0, 0)),
@@ -352,6 +364,12 @@ class StreamingEngine:
     def fuse_from_features(self, feats, modality_types):
         """Device adjacency + fusion from featurized tensors."""
         cfg = self.cfg
+        if isinstance(feats, feat.SparseWindowFeatures):
+            return _fuse_standard_sparse(
+                feats.location, feats.times, feats.user_ids, feats.tags_ids,
+                feats.text_ids, feats.text_cnt, k_basis=cfg.k_basis,
+                tags_dim=cfg.features.tags_hash_dim,
+                text_dim=cfg.features.text_hash_dim)
         if isinstance(feats, feat.WindowFeatures):
             return _fuse_standard(feats.location, feats.times, feats.user_ids,
                                   feats.tags, feats.text, cfg.k_basis)
@@ -548,7 +566,13 @@ def _run_batched(results, engine, cfg, todo, data_modalities, modality_types,
     (_batched_window_step), host matching chains the labels afterwards."""
     standard = list(modality_types) == ["location", "time", "username",
                                         "tags", "text"]
-    types = ("standard",) if standard else tuple(modality_types)
+    if standard and cfg.features.sparse:
+        types = ("standard_sparse", str(cfg.features.tags_hash_dim),
+                 str(cfg.features.text_hash_dim))
+    elif standard:
+        types = ("standard",)
+    else:
+        types = tuple(modality_types)
 
     from mused_tpu.data.ingest import WindowPrefetcher
 

@@ -33,6 +33,13 @@ def _load():
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_float)]
         lib.mused_multihot_tags.argtypes = lib.mused_hash_text_counts.argtypes
+        lib.mused_hash_text_sparse.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint16)]
+        lib.mused_multihot_tags_sparse.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int32)]
         _lib = lib
     except (OSError, subprocess.SubprocessError):
         _load_failed = True
@@ -59,6 +66,44 @@ def hash_text_counts(texts, dim: int) -> np.ndarray | None:
         arr, len(texts), dim,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     return out
+
+
+def hash_text_sparse(texts, dim: int, t_cap: int):
+    """(ids (n, t_cap) int32 with -1 padding, counts (n, t_cap) uint16) of
+    deduped hashed tokens per document, or None without the library."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(texts)
+    ids = np.full((n, t_cap), -1, np.int32)
+    cnt = np.zeros((n, t_cap), np.uint16)
+    arr = _c_strings([t if isinstance(t, str) else "" for t in texts])
+    lib.mused_hash_text_sparse(
+        arr, n, dim, t_cap,
+        ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        cnt.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)))
+    return ids, cnt
+
+
+def multihot_tags_sparse(tag_lists, dim: int, t_cap: int):
+    """(n, t_cap) int32 deduped hashed tag ids (-1 padding), or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    rows = []
+    for tags in tag_lists:
+        if tags is None:
+            rows.append("")
+        elif isinstance(tags, str):
+            rows.append(tags)
+        else:
+            rows.append("\x1f".join(str(t) for t in tags if t))
+    ids = np.full((len(rows), t_cap), -1, np.int32)
+    arr = _c_strings(rows)
+    lib.mused_multihot_tags_sparse(
+        arr, len(rows), dim, t_cap,
+        ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return ids
 
 
 def multihot_tags(tag_lists, dim: int) -> np.ndarray | None:

@@ -104,4 +104,92 @@ void mused_multihot_tags(const char** rows, int64_t n, int64_t dim,
     }
 }
 
+// Sparse emitters: per row, up to T distinct hashed token ids (+ counts for
+// text).  A tiny open-addressing table dedups within the row.  Overflowing
+// rows drop extra DISTINCT tokens (rare: T is sized above realistic token
+// counts); out_ids is pre-filled with -1 by the caller.
+
+static const int kProbe = 2;   // linear probing stride
+
+void mused_hash_text_sparse(const char** texts, int64_t n, int64_t dim,
+                            int64_t t_cap, int32_t* out_ids,
+                            uint16_t* out_cnt) {
+    crc_init();
+    const int64_t tab_size = t_cap * 4;
+    int32_t* tab_id = new int32_t[tab_size];
+    int32_t* tab_slot = new int32_t[tab_size];
+    for (int64_t i = 0; i < n; i++) {
+        const char* s = texts[i];
+        int32_t* ids = out_ids + i * t_cap;
+        uint16_t* cnt = out_cnt + i * t_cap;
+        if (!s) continue;
+        for (int64_t q = 0; q < tab_size; q++) tab_id[q] = -1;
+        int64_t used = 0;
+        uint32_t crc = 0xFFFFFFFFu;
+        size_t tok_len = 0;
+        for (size_t p = 0;; p++) {
+            char ch = s[p] ? to_lower_ascii(s[p]) : '\0';
+            if (ch && is_token_char(ch)) {
+                crc = crc_table[(crc ^ static_cast<unsigned char>(ch)) & 0xFF]
+                      ^ (crc >> 8);
+                tok_len++;
+            } else {
+                if (tok_len >= 2) {
+                    int32_t id = int32_t((crc ^ 0xFFFFFFFFu) % uint32_t(dim));
+                    int64_t h = (uint32_t(id) * 2654435761u) % tab_size;
+                    for (;;) {
+                        if (tab_id[h] == id) {
+                            if (cnt[tab_slot[h]] < 65535) cnt[tab_slot[h]]++;
+                            break;
+                        }
+                        if (tab_id[h] == -1) {
+                            if (used < t_cap) {
+                                tab_id[h] = id;
+                                tab_slot[h] = int32_t(used);
+                                ids[used] = id;
+                                cnt[used] = 1;
+                                used++;
+                            }
+                            break;
+                        }
+                        h = (h + kProbe) % tab_size;
+                    }
+                }
+                crc = 0xFFFFFFFFu;
+                tok_len = 0;
+                if (!s[p]) break;
+            }
+        }
+    }
+    delete[] tab_id;
+    delete[] tab_slot;
+}
+
+void mused_multihot_tags_sparse(const char** rows, int64_t n, int64_t dim,
+                                int64_t t_cap, int32_t* out_ids) {
+    crc_init();
+    for (int64_t i = 0; i < n; i++) {
+        const char* s = rows[i];
+        int32_t* ids = out_ids + i * t_cap;
+        if (!s || !s[0]) continue;
+        int64_t used = 0;
+        const char* start = s;
+        for (const char* p = s;; p++) {
+            if (*p == '\x1f' || *p == '\0') {
+                size_t len = size_t(p - start);
+                if (len > 0 && used < t_cap) {
+                    int32_t id = int32_t(crc32_bytes(start, len)
+                                         % uint32_t(dim));
+                    bool dup = false;
+                    for (int64_t q = 0; q < used; q++)
+                        if (ids[q] == id) { dup = true; break; }
+                    if (!dup) ids[used++] = id;
+                }
+                if (*p == '\0') break;
+                start = p + 1;
+            }
+        }
+    }
+}
+
 }  // extern "C"

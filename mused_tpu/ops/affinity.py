@@ -222,6 +222,26 @@ def embedding_adjacency(emb: jax.Array, k_basis: int) -> jax.Array:
     return knn_adjacency(sim, valid, k_basis)
 
 
+def counts_from_tokens(ids: jax.Array, counts: jax.Array | None,
+                       dim: int) -> jax.Array:
+    """Scatter sparse hashed tokens back to a dense (n, dim) f32 tensor.
+
+    ids: (n, T) int32 with -1 padding; counts: (n, T) or None (multi-hot).
+    The inverse of the sparse featurization (data/features.py) — runs on
+    device so only the tiny (n, T) tensors cross the interconnect.
+    """
+    n, t = ids.shape
+    valid = ids >= 0
+    safe = jnp.where(valid, ids, 0)
+    if counts is None:
+        vals = valid.astype(jnp.float32)
+    else:
+        vals = jnp.where(valid, counts.astype(jnp.float32), 0.0)
+    rows = jnp.broadcast_to(jnp.arange(n)[:, None], (n, t))
+    # ids are deduped per row upstream -> no within-row collisions
+    return jnp.zeros((n, dim), jnp.float32).at[rows, safe].add(vals)
+
+
 def fuse(adjacency_matrices: list[jax.Array]) -> jax.Array:
     """Element-wise logical OR of modality graphs (ref matrix_operations.py:134-141)."""
     fused = adjacency_matrices[0]

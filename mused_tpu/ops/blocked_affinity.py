@@ -41,12 +41,24 @@ class Columns(NamedTuple):
 
 
 def standard_columns(wf) -> Columns:
-    """Columns for the 5 standard modalities from a WindowFeatures batch."""
+    """Columns for the 5 standard modalities from a (Sparse)WindowFeatures
+    batch.  Sparse tokens scatter to dense ON DEVICE (affinity.counts_from_
+    tokens) so only the small id/count tensors cross the interconnect."""
+    from mused_tpu.data.features import SparseWindowFeatures
     loc = jnp.asarray(wf.location)
     tim = jnp.asarray(wf.times)
     uid = jnp.asarray(wf.user_ids)
-    tags = jnp.asarray(wf.tags).astype(jnp.float32)
-    text = jnp.asarray(wf.text).astype(jnp.float32)
+    if isinstance(wf, SparseWindowFeatures):
+        from mused_tpu.utils.config import FeatureConfig
+        fc = FeatureConfig()
+        tags = affinity.counts_from_tokens(jnp.asarray(wf.tags_ids), None,
+                                           fc.tags_hash_dim)
+        text = affinity.counts_from_tokens(jnp.asarray(wf.text_ids),
+                                           jnp.asarray(wf.text_cnt),
+                                           fc.text_hash_dim)
+    else:
+        tags = jnp.asarray(wf.tags).astype(jnp.float32)
+        text = jnp.asarray(wf.text).astype(jnp.float32)
     text_valid = jnp.sum(text, axis=1) > 0
     n_docs = jnp.maximum(jnp.sum(text_valid.astype(jnp.float32)), 1.0)
     df = jnp.sum((text > 0) & text_valid[:, None], axis=0).astype(jnp.float32)

@@ -45,6 +45,12 @@ class FeatureConfig:
 
     tags_hash_dim: int = 2048
     text_hash_dim: int = 4096
+    # sparse token layout: ship (ids, counts) and scatter to dense on device
+    # (~16x smaller transfers; ~100x smaller host memory at 150k scale).
+    # Caps bound DISTINCT hashed tokens per record; overflow drops extras.
+    sparse: bool = True
+    tags_token_cap: int = 24
+    text_token_cap: int = 96
 
 
 @dataclasses.dataclass(frozen=True)

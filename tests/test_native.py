@@ -84,4 +84,56 @@ def test_featurize_window_uses_some_path(rng):
     texts = np.array([["hello world", "more text"] for _ in range(n)], object)
     from mused_tpu.utils.config import FeatureConfig
     wf = feat.featurize_window(loc, times, users, tags, texts, FeatureConfig())
-    assert wf.text.sum() > 0 and wf.tags.sum() > 0
+    assert (wf.text_ids >= 0).sum() > 0 and (wf.tags_ids >= 0).sum() > 0
+    dense = feat.featurize_window(loc, times, users, tags, texts,
+                                  FeatureConfig(sparse=False))
+    assert dense.text.sum() > 0 and dense.tags.sum() > 0
+
+
+def test_sparse_reconstructs_dense(rng):
+    """counts_from_tokens(sparse featurization) must equal the dense
+    featurizer's tensors exactly (both native and python paths)."""
+    import jax.numpy as jnp
+    from mused_tpu.ops.affinity import counts_from_tokens
+    from mused_tpu.utils.config import FeatureConfig
+    words = ["festival", "goal", "ab", "protesting", "summer2012", "x"]
+    texts = [" ".join(rng.choice(words, size=rng.integers(0, 14)))
+             for _ in range(80)] + ["", "REPEAT repeat RePeAt"]
+    tag_lists = [list(rng.choice([f"t{i}" for i in range(30)],
+                                 size=rng.integers(0, 5), replace=False))
+                 for _ in range(82)]
+    fc = FeatureConfig()
+    dense_text = python_text_counts(texts, fc.text_hash_dim)
+    dense_tags = np.zeros((82, fc.tags_hash_dim), np.float32)
+    for i, tl in enumerate(tag_lists):
+        for t in tl:
+            dense_tags[i, feat.stable_hash(t) % fc.tags_hash_dim] = 1.0
+
+    for use_native in ([True, False] if native.available() else [False]):
+        if use_native:
+            ids, cnt = native.hash_text_sparse(texts, fc.text_hash_dim,
+                                               fc.text_token_cap)
+            tids = native.multihot_tags_sparse(tag_lists, fc.tags_hash_dim,
+                                               fc.tags_token_cap)
+        else:
+            ids, cnt = feat.hash_text_sparse_py(texts, fc.text_hash_dim,
+                                                fc.text_token_cap)
+            tids = feat.multihot_tags_sparse_py(tag_lists, fc.tags_hash_dim,
+                                                fc.tags_token_cap)
+        got_text = np.asarray(counts_from_tokens(jnp.asarray(ids),
+                                                 jnp.asarray(cnt),
+                                                 fc.text_hash_dim))
+        got_tags = np.asarray(counts_from_tokens(jnp.asarray(tids), None,
+                                                 fc.tags_hash_dim))
+        np.testing.assert_array_equal(got_text, dense_text), use_native
+        np.testing.assert_array_equal(got_tags, dense_tags)
+
+
+def test_sparse_native_matches_python(rng):
+    if not native.available():
+        pytest.skip("no C++ toolchain")
+    texts = ["many many tokens here repeated here many", "", "ab cd ab"]
+    n_ids, n_cnt = native.hash_text_sparse(texts, 512, 16)
+    p_ids, p_cnt = feat.hash_text_sparse_py(texts, 512, 16)
+    np.testing.assert_array_equal(n_ids, p_ids)
+    np.testing.assert_array_equal(n_cnt, p_cnt)
