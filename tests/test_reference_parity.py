@@ -121,3 +121,27 @@ def test_batch_parity(reference_modules, shared_stream, capsys):
         min_cluster_size=3, window_size=64)
     capsys.readouterr()
     assert abs(theirs["nmi_score"][0] - ours["nmi_score"][0]) <= 0.15
+
+
+def test_dbscan_centroid_matching_parity(reference_modules, capsys, rng):
+    """Our centroid-matched incremental DBSCAN behaves like the reference's
+    perform_dbscan_incr_clustering across two windows of drifting blobs."""
+    import matrix_operations as ref_ops
+    from mused_tpu.ops import dbscan as ours
+    base = rng.normal(size=(2, 6)) * 8
+    w1 = np.concatenate([base[0] + rng.normal(size=(25, 6)) * 0.05,
+                         base[1] + rng.normal(size=(25, 6)) * 0.05]).astype(np.float32)
+    w2 = np.concatenate([base[1] + rng.normal(size=(25, 6)) * 0.05,
+                         base[0] + rng.normal(size=(25, 6)) * 0.05]).astype(np.float32)
+
+    rl1, rc1, ru1 = ref_ops.perform_dbscan_incr_clustering(w1, None, None,
+                                                           eps=1.0, min_samples=3)
+    rl2, _, _ = ref_ops.perform_dbscan_incr_clustering(w2, rc1, ru1,
+                                                       eps=1.0, min_samples=3)
+    ol1, oc1, ou1 = ours.dbscan_centroid_incremental(w1, None, None,
+                                                     eps=1.0, min_samples=3)
+    ol2, _, _ = ours.dbscan_centroid_incremental(w2, oc1, ou1,
+                                                 eps=1.0, min_samples=3)
+    capsys.readouterr()
+    np.testing.assert_array_equal(rl1, ol1)
+    np.testing.assert_array_equal(rl2, ol2)
