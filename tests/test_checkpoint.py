@@ -81,3 +81,24 @@ def test_checkpoint_roundtrip_pytree(tmp_path):
     np.testing.assert_array_equal(host2["prev_clusters"], [1, 2, 3])
     np.testing.assert_array_equal(np.asarray(dev2.blocks), np.asarray(st.blocks))
     assert ckpt.latest_checkpoint(str(tmp_path)) == path
+
+
+def test_batched_mode_with_checkpointing_falls_back(tmp_path, stream_fixture):
+    """windows_per_batch>1 + checkpoint_dir must take the sequential path
+    (the batched loop doesn't save) — checkpoints appear and resume works."""
+    from mused_tpu.utils.config import PipelineConfig
+    mods, mtypes, labels = stream_fixture
+    ckdir = str(tmp_path / "batched")
+    cfg = PipelineConfig(window_size=64, reduced_dim=8, k_basis=3,
+                         approach="sSVDMC", label_mode="binary",
+                         n_clusters_override=2, windows_per_batch=4)
+    results, _ = api.get_initial_results()
+    results = api.process_streaming_data(
+        results=results, data_modalities=mods, modality_types=mtypes,
+        window_size=64, reduced_dim=8, k_basis=3, n_clusters_total=2,
+        seed=0, approach="sSVDMC", complete_true_labels=labels,
+        step_window_ratio=1, noise_rate=0.5, label_mode="binary",
+        sorting=True, eps=1.5, min_samples=2, cfg=cfg,
+        checkpoint_dir=ckdir)
+    assert ckpt.latest_checkpoint(ckdir) is not None
+    assert len(results["f1_score"]) == 1
