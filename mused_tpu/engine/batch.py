@@ -61,7 +61,7 @@ def _blocked_columns(data_modalities, modality_types, cfg):
         pad = (-n) % block
         if pad:
             wf = _pad_window_features(wf, pad)
-        cols = ba.standard_columns(wf)
+        cols = ba.standard_columns(wf, cfg.features)
     else:
         mats = [np.asarray(m, np.float32) for m in data_modalities]
         block = min(BLOCK_ROWS, n)

@@ -93,8 +93,13 @@ def _fuse_generic(mats: tuple, *, k_basis: int, types: tuple,
                 xyz = pk.location_to_unit_xyz(jnp.where(valid[:, None], m, 0.0))
                 return pk.knn_adjacency_pallas(xyz, valid, k_basis, metric="dot")
             if t == "time":
-                valid = (m[:, 0] != 0.0) & (m[:, 1] != 0.0)
-                return pk.knn_adjacency_pallas(m, valid, 3 * k_basis, metric="l1")
+                # match the XLA mask (ops/affinity.py): non-finite rows are
+                # invalid too — NaN-padded rows (blocked/batch padding) must
+                # not poison the in-kernel bisection
+                valid = (jnp.all(jnp.isfinite(m), axis=1)
+                         & (m[:, 0] != 0.0) & (m[:, 1] != 0.0))
+                return pk.knn_adjacency_pallas(jnp.where(valid[:, None], m, 0.0),
+                                               valid, 3 * k_basis, metric="l1")
             valid = jnp.all(jnp.isfinite(m), axis=1)
             return pk.knn_adjacency_pallas(jnp.where(valid[:, None], m, 0.0),
                                            valid, max(1, k_basis) - 1,
@@ -288,7 +293,7 @@ class StreamingEngine:
             if pad:
                 from mused_tpu.engine.batch import _pad_window_features
                 features = _pad_window_features(features, pad)
-            cols = ba.standard_columns(features)
+            cols = ba.standard_columns(features, cfg.features)
         else:
             mats = [np.pad(np.asarray(m, np.float32), ((0, pad), (0, 0)),
                            constant_values=np.nan) if pad else m

@@ -40,22 +40,28 @@ class Columns(NamedTuple):
         return self.tensors[0].shape[0]
 
 
-def standard_columns(wf) -> Columns:
+def standard_columns(wf, features_cfg=None) -> Columns:
     """Columns for the 5 standard modalities from a (Sparse)WindowFeatures
     batch.  Sparse tokens scatter to dense ON DEVICE (affinity.counts_from_
-    tokens) so only the small id/count tensors cross the interconnect."""
+    tokens) so only the small id/count tensors cross the interconnect.
+
+    ``features_cfg`` MUST be the pipeline's FeatureConfig when the window was
+    hashed with non-default dims: the scatter target is sized from it, and
+    ids >= the target dim would be silently dropped by JAX's out-of-bounds
+    scatter semantics (wrong adjacency, no error)."""
     from mused_tpu.data.features import SparseWindowFeatures
     loc = jnp.asarray(wf.location)
     tim = jnp.asarray(wf.times)
     uid = jnp.asarray(wf.user_ids)
     if isinstance(wf, SparseWindowFeatures):
-        from mused_tpu.utils.config import FeatureConfig
-        fc = FeatureConfig()
+        if features_cfg is None:
+            from mused_tpu.utils.config import FeatureConfig
+            features_cfg = FeatureConfig()
         tags = affinity.counts_from_tokens(jnp.asarray(wf.tags_ids), None,
-                                           fc.tags_hash_dim)
+                                           features_cfg.tags_hash_dim)
         text = affinity.counts_from_tokens(jnp.asarray(wf.text_ids),
                                            jnp.asarray(wf.text_cnt),
-                                           fc.text_hash_dim)
+                                           features_cfg.text_hash_dim)
     else:
         tags = jnp.asarray(wf.tags).astype(jnp.float32)
         text = jnp.asarray(wf.text).astype(jnp.float32)
@@ -203,6 +209,10 @@ def _blocked_fd_impl(tensors, valids, idf, *, kinds, ell: int, block: int,
     from mused_tpu.ops import fd
     cols = Columns(kinds=kinds, tensors=tensors, valids=valids, idf=idf)
     n = cols.n
+    # _scan_blocks clamps the last block's start when block does not divide
+    # n, recomputing overlap rows — the FD fold would absorb those twice and
+    # silently bias the sketch (callers pad rows upstream, like blocked_svd)
+    assert n % block == 0, "choose block dividing n (pad rows upstream)"
 
     def f(state, fused, start):
         return fd.update_stream(state, fused)

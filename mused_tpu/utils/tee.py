@@ -1,75 +1,125 @@
-"""Tee logging: duplicate stdout/stderr to console + timestamped file.
+"""Console capture: mirror stdout/stderr into a timestamped run log.
 
-Rebuilds reference tee.py (Tee :6-26, setup_logging :28-52) with the same
-behavior: write-through to every stream, swallow closed-stream errors,
-atexit-safe close.  One deviation fixed: the reference logs to ``log/`` while
-its metric dumps go to ``logs/`` (SURVEY.md §5.5 flags the inconsistency) —
-default here is ``logs/`` with the directory configurable.
+Provides the observability contract of reference tee.py (every byte printed
+during a sweep also lands in a log file; broken/closed sinks never crash the
+experiment; the file is closed even on abnormal exit) with an original
+design: a fan-out stream plus a ``LogSession`` handle that owns install,
+restore, and close, instead of module-global redirection only.  One
+reference inconsistency resolved: it tees into ``log/`` while its metric
+dumps go to ``logs/`` (SURVEY.md §5.5) — default here is ``logs/``,
+configurable.
 """
 from __future__ import annotations
 
 import atexit
+import io
 import os
 import sys
 from datetime import datetime
 
+_SINK_ERRORS = (ValueError, OSError)   # closed file / broken pipe
 
-class Tee:
-    """Write-through fan-out to multiple streams; closed streams are ignored."""
 
-    def __init__(self, *streams):
-        self.streams = streams
+class Fanout(io.TextIOBase):
+    """Text stream that repeats every write to each sink, best-effort.
 
-    def write(self, message):
-        for stream in self.streams:
+    A sink that raises (closed file, broken pipe) is skipped for that call —
+    logging must never take the experiment down with it.
+    """
+
+    def __init__(self, *sinks):
+        super().__init__()
+        self._sinks = tuple(sinks)
+
+    def write(self, data) -> int:
+        for sink in self._sinks:
             try:
-                stream.write(message)
-                stream.flush()
-            except (OSError, ValueError):
-                pass
+                sink.write(data)
+                sink.flush()
+            except _SINK_ERRORS:
+                continue
+        return len(data)
 
-    def flush(self):
-        for stream in self.streams:
+    def flush(self) -> None:
+        for sink in self._sinks:
             try:
-                stream.flush()
-            except (OSError, ValueError):
-                pass
+                sink.flush()
+            except _SINK_ERRORS:
+                continue
 
-    def isatty(self):
+    def isatty(self) -> bool:
+        head = self._sinks[0] if self._sinks else None
         try:
-            return self.streams[0].isatty()
-        except (AttributeError, OSError, ValueError):
+            return bool(head and head.isatty())
+        except _SINK_ERRORS:
             return False
 
+    def writable(self) -> bool:
+        return True
 
-def setup_logging(log_dir: str = "logs"):
-    """Redirect stdout+stderr through a Tee into a timestamped file.
 
-    Returns the opened log file; close it (or rely on the atexit hook) when
-    the experiment ends — mirrors the reference's usage at main.py:326-338.
+class LogSession:
+    """An installed stdout/stderr mirror; restore() puts the world back."""
+
+    def __init__(self, path: str, file):
+        self.path = path
+        self.file = file
+        self._saved = (sys.stdout, sys.stderr)
+        atexit.register(self.close)
+
+    def restore(self) -> None:
+        sys.stdout, sys.stderr = sys.__stdout__, sys.__stderr__
+        self.close()
+
+    def close(self) -> None:
+        f = self.file
+        if f is None or f.closed:
+            return
+        try:
+            f.close()
+        except Exception as exc:     # noqa: BLE001 — never die in teardown
+            sys.__stderr__.write(f"[tee] could not close {self.path}: {exc}\n")
+
+    # file-like conveniences so callers can treat the session as the file
+    @property
+    def closed(self) -> bool:
+        return self.file is None or self.file.closed
+
+
+def setup_logging(log_dir: str = "logs") -> LogSession:
+    """Start mirroring stdout+stderr into ``log_dir/<timestamp>.txt``.
+
+    Returns a LogSession; call ``.restore()`` when the sweep ends (or rely on
+    the atexit close).  Covers reference tee.py:28-52 usage at main.py:326.
     """
     os.makedirs(log_dir, exist_ok=True)
-    log_filename = os.path.join(
-        log_dir, f"{datetime.now().strftime('%Y-%m-%d_%H-%M-%S')}.txt")
-    log_file = open(log_filename, "w")
-    sys.stdout = Tee(sys.__stdout__, log_file)
-    sys.stderr = Tee(sys.__stderr__, log_file)
-    atexit.register(lambda: safe_close(log_file))
-    return log_file
+    stamp = datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+    path = os.path.join(log_dir, f"{stamp}.txt")
+    handle = open(path, "w")
+    session = LogSession(path, handle)
+    sys.stdout = Fanout(sys.__stdout__, handle)
+    sys.stderr = Fanout(sys.__stderr__, handle)
+    return session
 
 
-def teardown_logging(log_file=None):
-    """Restore the original stdout/stderr (the reference never restores;
-    provided so sweeps can be nested safely)."""
-    sys.stdout = sys.__stdout__
-    sys.stderr = sys.__stderr__
-    if log_file is not None:
-        safe_close(log_file)
+def teardown_logging(session=None) -> None:
+    """Undo setup_logging (the reference never restores; sweeps here nest)."""
+    if isinstance(session, LogSession):
+        session.restore()
+        return
+    sys.stdout, sys.stderr = sys.__stdout__, sys.__stderr__
+    if session is not None:
+        safe_close(session)
 
 
 def safe_close(file) -> None:
+    """Close a raw file object without letting teardown raise."""
     try:
-        if file and not file.closed:
+        if file is not None and not file.closed:
             file.close()
-    except Exception as e:      # noqa: BLE001 - mirror reference robustness
-        print(f"Error closing log file: {e}", file=sys.__stderr__)
+    except Exception as exc:         # noqa: BLE001 — never die in teardown
+        sys.__stderr__.write(f"[tee] close failed: {exc}\n")
+
+
+# Back-compat alias: round-1 callers/tests used the class name Tee
+Tee = Fanout

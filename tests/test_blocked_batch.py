@@ -157,3 +157,33 @@ def test_huge_window_density_and_spectral(stream, approach):
         step_window_ratio=1, noise_rate=0.5, label_mode="binary",
         sorting=True, eps=1.0, min_samples=2, cfg=cfg)
     assert len(results["f1_score"]) == 1
+
+
+def test_standard_columns_honors_nondefault_hash_dims(stream):
+    """Regression (ADVICE r1): standard_columns must size the sparse->dense
+    scatter from the pipeline's FeatureConfig, not a default one — ids hashed
+    modulo a larger dim would be silently dropped by out-of-bounds scatter."""
+    from mused_tpu.engine.streaming import StreamingEngine
+    mods, mtypes, _ = stream
+    fc = FeatureConfig(tags_hash_dim=4096, text_hash_dim=8192)
+    cfg = PipelineConfig(window_size=256, k_basis=3, features=fc)
+    dense = np.asarray(StreamingEngine(cfg).fused_adjacency(mods, mtypes))
+
+    loc, tim, user, tags, text = mods
+    wf = feat.featurize_window(loc, tim, user, tags, text, fc)
+    cols = ba.standard_columns(wf, fc)
+    assert cols.tensors[3].shape[1] == 4096
+    assert cols.tensors[4].shape[1] == 8192
+    blk = np.asarray(ba.fused_rowblock(cols, jnp.int32(0), 256, 3))
+    np.testing.assert_array_equal(blk, dense)
+
+
+def test_blocked_fd_sketch_rejects_nondividing_block(stream):
+    """Regression (ADVICE r1): the FD fold over clamped last-block overlap
+    rows would silently absorb them twice — reject instead."""
+    mods, _, _ = stream
+    loc, tim, user, tags, text = mods
+    wf = feat.featurize_window(loc, tim, user, tags, text, FeatureConfig())
+    cols = ba.standard_columns(wf)
+    with pytest.raises(AssertionError):
+        ba.blocked_fd_sketch(cols, ell=8, block=100, k_basis=3)

@@ -95,3 +95,21 @@ def test_engine_pallas_path_runs():
             sorting=False, eps=1.5, min_samples=2, cfg=cfg)
         out[flag] = results["nmi_score"][0]
     assert abs(out[True] - out[False]) < 0.2
+
+
+def test_time_metric_nan_padded_rows(rng):
+    """Regression (VERDICT r1 weak #3): NaN-padded rows (the blocked/batch
+    padding convention) must be invalid under the Pallas time path exactly as
+    under the XLA path — and must not poison the in-kernel bisection."""
+    from mused_tpu.engine.streaming import _fuse_generic
+    n = 64
+    m = np.abs(rng.normal(size=(n, 2))).astype(np.float32) + 0.1
+    m[50:] = np.nan          # padding rows
+    m[7] = 0.0               # reference zero-timestamp invalid row
+    got = np.asarray(_fuse_generic((jnp.asarray(m),), k_basis=2,
+                                   types=("time",), use_pallas=True))
+    want = np.asarray(_fuse_generic((jnp.asarray(m),), k_basis=2,
+                                    types=("time",), use_pallas=False))
+    assert np.all(np.isfinite(got))
+    assert got[50:].sum() == 0 and got[:, 50:].sum() == 0
+    np.testing.assert_array_equal(got, want)
