@@ -250,6 +250,26 @@ class StreamingEngine:
         self.prev_centroid_labels = None
         self.swfd_R: float | None = None   # recorded like reference main.py:61
         self.timer = profiling.SpanTimer()  # per-phase spans (SURVEY.md §5.1)
+        # multi-chip: every window step runs SPMD over this mesh's "data" axis
+        # (parallel/sharded.sharded_engine_step); None = single-chip
+        self.mesh = None
+        if cfg.data_shards > 1:
+            from mused_tpu.parallel import mesh as mesh_mod
+            if cfg.window_size % cfg.data_shards:
+                raise ValueError(
+                    f"window_size={cfg.window_size} must be divisible by "
+                    f"data_shards={cfg.data_shards} (rows shard evenly)")
+            if len(jax.devices()) < cfg.data_shards:
+                raise ValueError(
+                    f"data_shards={cfg.data_shards} but only "
+                    f"{len(jax.devices())} devices visible")
+            if cfg.window_size > LARGE_WINDOW_ROWS or cfg.force_blocked_window:
+                raise ValueError(
+                    "data_shards>1 is the dense-window SPMD path; the "
+                    "rematerialized huge-window path is single-chip — drop "
+                    "force_blocked_window or use window_size <= "
+                    f"{LARGE_WINDOW_ROWS}")
+            self.mesh = mesh_mod.make_mesh(n_data=cfg.data_shards)
 
     # ------------------------------------------------------------------
     def host_snapshot(self) -> dict:
@@ -404,8 +424,51 @@ class StreamingEngine:
             return self._process_window_large(features, modality_types,
                                               window_true_labels,
                                               window_index, prev_clusters)
+        verbose = cfg.verbose and cfg.window_size <= 1000
+        if verbose:   # small-subset debug oracles (ref main.py:35-37)
+            print(f"[window {window_index}] true labels: "
+                  f"{np.asarray(window_true_labels)}")
+
+        n_clusters = int(len(np.unique(window_true_labels)))
+        key = jax.random.fold_in(jax.random.key(cfg.seed), window_index)
+
+        if self.mesh is not None:
+            from mused_tpu.parallel import sharded as shard_mod
+            if isinstance(features, feat.SparseWindowFeatures):
+                types = ("standard_sparse",)
+            elif isinstance(features, feat.WindowFeatures):
+                types = ("standard",)
+            else:
+                types = tuple(modality_types)
+            with self.timer.span("device_step",
+                                 sync=lambda: (labels if cfg.approach not in
+                                               ("DBSCAN_incr", "DBSCAN_centr")
+                                               else reduced)):
+                new_swfd, new_mb, reduced, labels, r_norm = \
+                    shard_mod.sharded_engine_step(
+                        self.state.swfd, self.state.minibatch,
+                        tuple(jnp.asarray(f) for f in features),
+                        jnp.int32(n_clusters), key, approach=cfg.approach,
+                        k_basis=cfg.k_basis, reduced_dim=cfg.reduced_dim,
+                        k_max=self.k_max, window=cfg.window_size,
+                        fd_shrink=cfg.fd_shrink, types=types,
+                        tags_dim=cfg.features.tags_hash_dim,
+                        text_dim=cfg.features.text_hash_dim, mesh=self.mesh,
+                        topology=cfg.merge_topology)
+                self.state = StreamState(swfd=new_swfd, minibatch=new_mb)
+            if cfg.approach == "SWFDMC" and self.swfd_R is None:
+                self.swfd_R = float(r_norm)   # pmax'd (ref main.py:61)
+            if verbose:   # ref main.py:99-103 oracle
+                print(f"[window {window_index}] reduced:\n"
+                      f"{np.asarray(reduced)}")
+            return self._cluster_and_match(reduced, labels, window_index,
+                                           prev_clusters, verbose)
+
         with self.timer.span("fuse"):
             fused = self.fuse_from_features(features, modality_types)
+        if verbose:   # ref main.py:51-53 oracle (adjacency/fused matrices)
+            print(f"[window {window_index}] fused adjacency "
+                  f"(sum={float(jnp.sum(fused)):.0f}):\n{np.asarray(fused)}")
 
         if cfg.approach == "SWFDMC" and self.swfd_R is None:
             # reference sizes the sketch with the first window's max squared
@@ -413,8 +476,6 @@ class StreamingEngine:
             # record it for parity/diagnostics
             self.swfd_R = float(jnp.max(jnp.sum(fused * fused, axis=1)))
 
-        n_clusters = int(len(np.unique(window_true_labels)))
-        key = jax.random.fold_in(jax.random.key(cfg.seed), window_index)
         with self.timer.span("device_step",
                              sync=lambda: (labels if cfg.approach not in
                                            ("DBSCAN_incr", "DBSCAN_centr")
@@ -425,7 +486,16 @@ class StreamingEngine:
                 reduced_dim=cfg.reduced_dim, k_max=self.k_max,
                 window=cfg.window_size, block_rows=self.block_rows,
                 fd_shrink=cfg.fd_shrink)
+        if verbose:   # ref main.py:99-103 oracle
+            print(f"[window {window_index}] reduced:\n{np.asarray(reduced)}")
+        return self._cluster_and_match(reduced, labels, window_index,
+                                       prev_clusters, verbose)
 
+    def _cluster_and_match(self, reduced, labels, window_index: int,
+                           prev_clusters, verbose: bool = False) -> np.ndarray:
+        """Host clustering glue + cross-window matching + failure fallback —
+        shared by the single-chip and SPMD device steps."""
+        cfg = self.cfg
         if cfg.approach == "DBSCAN_incr":
             if self.incr_clusterer is None:
                 self.incr_clusterer = dbscan.IncrementalDBSCAN(
@@ -454,6 +524,9 @@ class StreamingEngine:
         if clusters is None or len(clusters) == 0:
             # clustering-failure fallback: all-noise window (main.py:114-116)
             clusters = np.full(cfg.window_size, 0)
+        if verbose:   # ref main.py:107-112 oracle (matched labels)
+            print(f"[window {window_index}] matched clusters: "
+                  f"{np.asarray(clusters)}")
         return np.asarray(clusters)
 
 
@@ -463,12 +536,17 @@ def process_streaming_data(results, data_modalities, modality_types,
                            step_window_ratio, noise_rate, label_mode, sorting,
                            eps, min_samples, cfg: PipelineConfig | None = None,
                            checkpoint_dir: str | None = None,
-                           checkpoint_every: int = 1):
+                           checkpoint_every: int = 1, data_shards: int = 1,
+                           merge_topology: str = "allgather",
+                           verbose: bool = False):
     """Drop-in equivalent of reference main.py:13-130.
 
     New over the reference: pass ``checkpoint_dir`` to checkpoint the full
     stream state every ``checkpoint_every`` windows and auto-resume from the
-    latest checkpoint found there (window-boundary recovery, SURVEY.md §5.4).
+    latest checkpoint found there (window-boundary recovery, SURVEY.md §5.4);
+    pass ``data_shards=p`` to run every window step SPMD over a p-device mesh
+    (sharded affinity + ICI sketch merge / distributed SVD + psum'd KMeans);
+    ``verbose`` enables the reference's small-subset debug oracles.
     """
     total_start = metrics_mod.now_ns()
 
@@ -481,7 +559,9 @@ def process_streaming_data(results, data_modalities, modality_types,
             window_size=window_size, reduced_dim=reduced_dim, k_basis=k_basis,
             step_window_ratio=step_window_ratio, approach=approach,
             eps=eps, min_samples=min_samples,
-            n_clusters_override=int(n_clusters_total))
+            n_clusters_override=int(n_clusters_total),
+            data_shards=data_shards, merge_topology=merge_topology,
+            verbose=verbose)
 
     engine = StreamingEngine(cfg)
     all_clusters: list[np.ndarray] = []
@@ -520,7 +600,8 @@ def process_streaming_data(results, data_modalities, modality_types,
     # would otherwise silently skip saving)
     if (batch_w > 1 and cfg.approach in BATCHABLE_APPROACHES
             and step_window_ratio == 1 and not cfg.force_blocked_window
-            and window_size <= LARGE_WINDOW_ROWS and not checkpoint_dir):
+            and window_size <= LARGE_WINDOW_ROWS and not checkpoint_dir
+            and cfg.data_shards == 1):   # sharded mode is per-window SPMD
         return _run_batched(results, engine, cfg, todo, data_modalities,
                             modality_types, complete_true_labels, prev_clusters,
                             all_clusters, all_true_labels, window_size,

@@ -52,7 +52,8 @@ DEFAULT_PARAMS = {
 
 
 def run_experiment(df, experiment_type, variable_values, approaches,
-                   fixed_params, count, log_dir="logs/", plot_dir="plots/"):
+                   fixed_params, count, log_dir="logs/", plot_dir="plots/",
+                   engine_opts: dict | None = None):
     """One sweep: variable x approaches (reference main.py:169-256)."""
     print(f"Running {experiment_type} experiment.")
     print(f"Fixed params: {fixed_params}")
@@ -113,7 +114,7 @@ def run_experiment(df, experiment_type, variable_values, approaches,
                     step_window_ratio=params["step_window_ratio"],
                     noise_rate=params["noise_rate"],
                     label_mode=params["label_mode"], sorting=params["sorting"],
-                    eps=eps, min_samples=min_samples)
+                    eps=eps, min_samples=min_samples, **(engine_opts or {}))
 
         approach_sec = (time.time_ns() - approach_start) / 1e9
         print(f"Processed with {approach} approach for {approach_sec} seconds")
@@ -165,6 +166,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log-dir", default="logs/")
     p.add_argument("--plot-dir", default="plots/")
     p.add_argument("--no-tee", action="store_true")
+    p.add_argument("--data-shards", type=int, default=1,
+                   help="run every streaming window step SPMD over this many "
+                        "devices (sharded affinity + ICI sketch merge; "
+                        "window_size must be divisible by it)")
+    p.add_argument("--merge-topology", choices=["allgather", "ring"],
+                   default="allgather",
+                   help="multi-chip FD sketch merge collective")
+    p.add_argument("--verbose", action="store_true",
+                   help="small-window debug oracles: print true labels, "
+                        "fused/reduced matrices, matched clusters per window "
+                        "(the reference's subset<1000 prints, main.py:35-103)")
     return p
 
 
@@ -212,7 +224,12 @@ def cli(argv=None) -> int:
                 count = run_experiment(df, experiment_type, variable_values,
                                        args.approaches, fixed, count,
                                        log_dir=args.log_dir,
-                                       plot_dir=args.plot_dir)
+                                       plot_dir=args.plot_dir,
+                                       engine_opts={
+                                           "data_shards": args.data_shards,
+                                           "merge_topology": args.merge_topology,
+                                           "verbose": args.verbose,
+                                       })
             finally:
                 if log_file is not None:
                     tee.teardown_logging(log_file)

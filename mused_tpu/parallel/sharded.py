@@ -107,6 +107,219 @@ def _row_shard_fused_adjacency(loc_s, time_s, uid_s, tags_s, text_s,
     return affinity.fuse(mats)      # (m, n) fused shard
 
 
+def _gather_rows(x, axis_name: str = "data"):
+    """(m, ...) shard -> (n, ...) replicated row concatenation."""
+    g = jax.lax.all_gather(x, axis_name)
+    return g.reshape((-1,) + g.shape[2:])
+
+
+def _generic_fused_shard(mats_s, types, k_basis: int,
+                         axis_name: str = "data"):
+    """Fused (m, n) adjacency shard for numeric modalities — the sharded
+    mirror of engine.streaming._fuse_generic (embedding / location / time /
+    default kNN conventions identical to ops.affinity)."""
+    m = mats_s[0].shape[0]
+    row_offset = jax.lax.axis_index(axis_name) * m
+    out = []
+    for x_s, t in zip(mats_s, types):
+        x_f = _gather_rows(x_s, axis_name)
+        if t == "embedding":
+            def prep(x):
+                fin = jnp.all(jnp.isfinite(x), axis=1)
+                safe = jnp.where(fin[:, None], x, 0.0)
+                norm = jnp.linalg.norm(safe, axis=1, keepdims=True)
+                return safe / jnp.maximum(norm, 1e-12), fin & (norm[:, 0] > 0)
+            xr, v_r = prep(x_s)
+            xc, v_c = prep(x_f)
+            sim = jnp.dot(xr, xc.T, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+            out.append(knn_adjacency_block(sim, v_r, v_c, k_basis, row_offset))
+        elif t == "location":
+            v_r = jnp.all(jnp.isfinite(x_s), axis=1)
+            v_c = jnp.all(jnp.isfinite(x_f), axis=1)
+            sim = -affinity.haversine_block(
+                jnp.where(v_r[:, None], x_s, 0.0),
+                jnp.where(v_c[:, None], x_f, 0.0))
+            out.append(knn_adjacency_block(sim, v_r, v_c, k_basis, row_offset))
+        elif t == "time":
+            def tvalid(x):
+                return (jnp.all(jnp.isfinite(x), axis=1)
+                        & (x[:, 0] != 0.0) & (x[:, 1] != 0.0))
+            v_r, v_c = tvalid(x_s), tvalid(x_f)
+            xs = jnp.where(v_r[:, None], x_s, 0.0)
+            xf = jnp.where(v_c[:, None], x_f, 0.0)
+            sim = -(jnp.abs(xs[:, :1] - xf[:, 0][None, :])
+                    + jnp.abs(xs[:, 1:2] - xf[:, 1][None, :]))
+            out.append(knn_adjacency_block(sim, v_r, v_c, 3 * k_basis,
+                                           row_offset))
+        else:   # default euclidean: k_basis includes self (ref :112-119)
+            v_r = jnp.all(jnp.isfinite(x_s), axis=1)
+            v_c = jnp.all(jnp.isfinite(x_f), axis=1)
+            safe_r = jnp.where(v_r[:, None], x_s, 0.0)
+            safe_c = jnp.where(v_c[:, None], x_f, 0.0)
+            d2 = (jnp.sum(safe_r * safe_r, axis=1)[:, None]
+                  + jnp.sum(safe_c * safe_c, axis=1)[None, :]
+                  - 2.0 * jnp.dot(safe_r, safe_c.T,
+                                  preferred_element_type=jnp.float32,
+                                  precision=jax.lax.Precision.HIGHEST))
+            out.append(knn_adjacency_block(-jnp.maximum(d2, 0.0), v_r, v_c,
+                                           max(1, k_basis) - 1, row_offset))
+    return affinity.fuse(out)
+
+
+def _features_to_fused_shard(feat_shards, types, k_basis: int, tags_dim: int,
+                             text_dim: int, axis_name: str = "data"):
+    """Dispatch a tuple of per-chip feature shards to the right fused-shard
+    builder.  ``types`` mirrors engine.streaming._run_batched's encoding:
+    ("standard_sparse", tags_dim, text_dim) | ("standard",) | generic types."""
+    if types[0] == "standard_sparse":
+        loc, tim, uid, tags_ids, text_ids, text_cnt = feat_shards
+        tags = affinity.counts_from_tokens(tags_ids, None, tags_dim)
+        text = affinity.counts_from_tokens(text_ids, text_cnt, text_dim)
+        return _row_shard_fused_adjacency(loc, tim, uid.astype(jnp.int32),
+                                          tags, text, k_basis, axis_name)
+    if types == ("standard",):
+        loc, tim, uid, tags, text = feat_shards
+        return _row_shard_fused_adjacency(
+            loc, tim, uid.astype(jnp.int32), tags.astype(jnp.float32),
+            text.astype(jnp.float32), k_basis, axis_name)
+    return _generic_fused_shard(feat_shards, types, k_basis, axis_name)
+
+
+def _dist_svd_reduce(fused_s, key, reduced_dim: int, *, n_iter: int = 4,
+                     oversample: int = 10, axis_name: str = "data"):
+    """Distributed reduction.svd_reduce: randomized truncated SVD of the
+    row-sharded (m, n) fused adjacency.
+
+    Collective pattern: the sketch Y = A @ Omega is computed shard-locally
+    (Omega is replicated — same key everywhere), gathered to (n, k) for the
+    tall-skinny QR (tiny: k = rank+oversample), and A^T-products psum over
+    the data axis.  Per-chip redundant QR work is O(n k^2) — negligible next
+    to the O(n^2/p (d_feat+k)) shard work.  Matches single-chip svd_reduce
+    semantics: r = min(reduced_dim, d-1) components, zero-padded back.
+    """
+    m, n = fused_s.shape
+    r = min(reduced_dim, n - 1)
+    k = min(r + oversample, n)
+    omega = jax.random.normal(key, (n, k), jnp.float32)
+    p_idx = jax.lax.axis_index(axis_name)
+
+    def my_rows(full):               # (n, k) replicated -> this chip's (m, k)
+        return jax.lax.dynamic_slice_in_dim(full, p_idx * m, m, axis=0)
+
+    y = _gather_rows(jnp.dot(fused_s, omega,
+                             preferred_element_type=jnp.float32), axis_name)
+    q, _ = jnp.linalg.qr(y)
+
+    def power_step(q, _):
+        z = jax.lax.psum(jnp.dot(fused_s.T, my_rows(q),
+                                 preferred_element_type=jnp.float32),
+                         axis_name)
+        z, _ = jnp.linalg.qr(z)
+        y = _gather_rows(jnp.dot(fused_s, z,
+                                 preferred_element_type=jnp.float32),
+                         axis_name)
+        q, _ = jnp.linalg.qr(y)
+        return q, None
+
+    q, _ = jax.lax.scan(power_step, q, None, length=n_iter)
+    b = jax.lax.psum(jnp.dot(my_rows(q).T, fused_s,
+                             preferred_element_type=jnp.float32), axis_name)
+    ub, s, _ = jnp.linalg.svd(b, full_matrices=False)     # (k, n) small
+    out = (q @ ub)[:, :r] * s[None, :r]
+    if r < reduced_dim:
+        out = jnp.concatenate(
+            [out, jnp.zeros((n, reduced_dim - r), out.dtype)], axis=1)
+    return out                        # (n, reduced_dim) replicated
+
+
+def _feat_specs(feats):
+    return tuple(P(*(("data",) + (None,) * (f.ndim - 1))) for f in feats)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("approach", "k_basis", "reduced_dim", "k_max", "window",
+                     "fd_shrink", "types", "tags_dim", "text_dim", "mesh",
+                     "topology"),
+    donate_argnames=("swfd_state",))
+def sharded_engine_step(swfd_state, minibatch_state, feats: tuple,
+                        n_clusters, key, *, approach: str, k_basis: int,
+                        reduced_dim: int, k_max: int, window: int,
+                        fd_shrink: str, types: tuple, tags_dim: int,
+                        text_dim: int, mesh, topology: str = "allgather"):
+    """Multi-chip mirror of engine.streaming._window_step — the full
+    per-window device step with every collective riding the mesh "data" axis.
+
+    Pipeline per chip (SURVEY.md §7.2 step 7):
+      fused (m, n) adjacency shard (all_gather'd column features, psum'd IDF)
+      -> SWFDMC: local FD of the shard -> ICI sketch merge -> replicated
+         SWFD ring absorb/query (tiny ell x n state)
+         else: distributed randomized SVD (psum'd A^T-products)
+      -> row-sharded KMeans (psum'd centroid accumulation) | replicated
+         MiniBatch step | host-glued density clustering on the reduced rows.
+
+    Returns (new_swfd, new_minibatch, reduced (n, dim), labels (n,), R) with
+    the same contract as the single-chip step (R = pmax'd max squared row
+    norm, reference main.py:61).
+    """
+    from mused_tpu.ops import swfd as swfd_mod
+
+    def body(*feat_shards):
+        fused_s = _features_to_fused_shard(feat_shards, types, k_basis,
+                                           tags_dim, text_dim)
+        r_norm = sketch_merge.global_max_row_norm(fused_s)
+        if approach == "SWFDMC":
+            ell = swfd_state.blocks.shape[1]
+            blk, sq_fro, _ = fd.hierarchical_sketch(fused_s, ell=ell, lanes=1,
+                                                    mode=fd_shrink)
+            if topology == "ring":
+                merged = sketch_merge.ring_merge(blk)
+            else:
+                merged = sketch_merge.allgather_merge(blk, ell)
+            sq_fro = jax.lax.psum(sq_fro, "data")
+            return (merged[None], jnp.reshape(sq_fro, (1,)),
+                    jnp.reshape(r_norm, (1,)), fused_s)
+        reduced = _dist_svd_reduce(fused_s, key, reduced_dim)
+        return (reduced[None], jnp.zeros((1,), jnp.float32),
+                jnp.reshape(r_norm, (1,)), fused_s)
+
+    out, aux, r_norm, fused = shard_map(
+        body, mesh=mesh,
+        in_specs=_feat_specs(feats),
+        out_specs=(P("data", None, None), P("data"), P("data"),
+                   P("data", None)),
+        check_vma=False,
+    )(*feats)
+    r_norm = r_norm[0]
+
+    state = swfd_state
+    if approach == "SWFDMC":
+        n = fused.shape[0]
+        state = swfd_mod.absorb_summary(swfd_state, out[0], jnp.int32(n),
+                                        aux[0])
+        sketch, _, _, _ = swfd_mod.query(state, window=window,
+                                         sketch_dim=reduced_dim)
+        reduced = sketch.T          # rows index datapoints (ref main.py:73-76)
+    else:
+        reduced = out[0]
+
+    new_mb = minibatch_state
+    if approach == "sSpectral":
+        from mused_tpu.ops import spectral
+        labels = spectral.spectral_clustering(fused, n_clusters, key,
+                                              k_max=k_max)
+    elif approach == "sSVDMC_mini":
+        new_mb, labels = kmeans.minibatch_step(minibatch_state, reduced, key)
+    elif approach in ("DBSCAN_incr", "DBSCAN_centr"):
+        labels = jnp.zeros((reduced.shape[0],), jnp.int32)  # host glue
+    else:
+        from mused_tpu.parallel.kmeans_sharded import kmeans_sharded
+        labels, _ = kmeans_sharded(reduced, n_clusters, key, k_max=k_max,
+                                   mesh=mesh)
+    return state, new_mb, reduced, labels, r_norm
+
+
 @functools.partial(jax.jit,
                    static_argnames=("k_basis", "reduced_dim", "k_max", "mesh"))
 def sharded_window_step(location, times, user_ids, tags, text, n_clusters,

@@ -94,6 +94,14 @@ class PipelineConfig:
     sinkhorn_reg: float = 0.1
     sinkhorn_iters: int = 200
     swfd_target_blocks: int = 8
+    # multi-chip: shard window rows over a ("data","model") mesh of this many
+    # devices; every window step then runs SPMD (sharded affinity, ICI sketch
+    # merge / distributed SVD, psum'd KMeans — parallel/sharded.py).
+    # 1 = single-chip. window_size must be divisible by data_shards.
+    data_shards: int = 1
+    merge_topology: str = "allgather"   # SWFD sketch merge: allgather | ring
+    verbose: bool = False    # small-subset debug oracles (ref main.py:35-37,
+                             # 51-53, 99-103: eyeball-verification prints)
 
     @property
     def n_clusters_total(self) -> int:
