@@ -144,9 +144,10 @@ def _window_step(state: StreamState, fused: jax.Array, n_clusters: jax.Array,
         # available via ops.swfd.update / SeqBasedSWFD.)
         ell = state.swfd.ell
         lanes = _choose_lanes(n, ell)
-        blk, sq_fro, _ = fd.hierarchical_sketch(fused, ell=ell, lanes=lanes,
-                                                mode=fd_shrink)
-        new_swfd = swfd.absorb_summary(state.swfd, blk, jnp.int32(n), sq_fro)
+        blk, sq_fro, loss = fd.hierarchical_sketch(fused, ell=ell, lanes=lanes,
+                                                   mode=fd_shrink)
+        new_swfd = swfd.absorb_summary(state.swfd, blk, jnp.int32(n), sq_fro,
+                                       loss)
         sketch, _, _, _ = swfd.query(new_swfd, window=window,
                                      sketch_dim=reduced_dim)
         # sketch is (reduced_dim, d=n): transpose so rows index datapoints
@@ -328,8 +329,8 @@ class StreamingEngine:
         with self.timer.span("device_step"):
             if cfg.approach == "SWFDMC":
                 ell = min(cfg.reduced_dim, n)
-                sk, sq_fro = ba.blocked_fd_sketch(cols, ell=ell, block=block,
-                                                  k_basis=cfg.k_basis)
+                sk, sq_fro, _loss = ba.blocked_fd_sketch(
+                    cols, ell=ell, block=block, k_basis=cfg.k_basis)
                 # the padded columns are invalid -> their adjacency columns
                 # are zero; slice the sketch back to d=n
                 reduced = sk.T[:n]

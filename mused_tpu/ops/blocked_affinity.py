@@ -194,8 +194,8 @@ def blocked_fd_sketch(cols: Columns, *, ell: int, block: int,
     rematerialized sweep (the huge-window SWFDMC regime, BASELINE.md #3:
     windows too large to materialize even once).
 
-    Returns (sketch, sq_frobenius) — feed to swfd.absorb_summary exactly like
-    fd.hierarchical_sketch's output.
+    Returns (sketch, sq_frobenius, shrink_loss) — feed to swfd.absorb_summary
+    exactly like fd.hierarchical_sketch's output.
     """
     return _blocked_fd_impl(cols.tensors, cols.valids, cols.idf,
                             kinds=cols.kinds, ell=ell, block=block,
@@ -218,7 +218,7 @@ def _blocked_fd_impl(tensors, valids, idf, *, kinds, ell: int, block: int,
         return fd.update_stream(state, fused)
 
     state = _scan_blocks(cols, block, k_basis, f, fd.init(ell, n))
-    return state.sketch, state.sq_frobenius
+    return state.sketch, state.sq_frobenius, state.shrink_loss
 
 
 def blocked_svd_reduce(cols: Columns, key: jax.Array, *, rank: int,

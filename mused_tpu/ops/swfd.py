@@ -43,6 +43,7 @@ class SWFDState(NamedTuple):
     blocks: jax.Array       # (num_slots, ell, d) sealed per-block sketches
     block_end: jax.Array    # (num_slots,) int32 — global row index one past block end; -1 = empty
     block_sqfro: jax.Array  # (num_slots,) float32 — ||block rows||_F^2 (error accounting)
+    block_loss: jax.Array   # (num_slots,) float32 — accumulated shrink deltas of each block
     active: fd.FDState      # FD sketch of the open block
     count: jax.Array        # () int32 — rows seen so far
     seal_cursor: jax.Array  # () int32 — next ring slot to overwrite
@@ -84,6 +85,7 @@ def init(window: int, d: int, ell: int, *, block_rows: int | None = None,
         blocks=jnp.zeros((num_slots, ell, d), dtype),
         block_end=jnp.full((num_slots,), -1, jnp.int32),
         block_sqfro=jnp.zeros((num_slots,), dtype),
+        block_loss=jnp.zeros((num_slots,), dtype),
         active=fd.init(ell, d, dtype),
         count=jnp.zeros((), jnp.int32),
         seal_cursor=jnp.zeros((), jnp.int32),
@@ -97,6 +99,7 @@ def _seal(state: SWFDState) -> SWFDState:
         blocks=state.blocks.at[slot].set(state.active.sketch),
         block_end=state.block_end.at[slot].set(state.count),
         block_sqfro=state.block_sqfro.at[slot].set(state.active.sq_frobenius),
+        block_loss=state.block_loss.at[slot].set(state.active.shrink_loss),
         active=fd.init(state.ell, state.d, state.blocks.dtype),
         count=state.count,
         seal_cursor=state.seal_cursor + 1,
@@ -136,7 +139,8 @@ def update(state: SWFDState, rows: jax.Array, *, window: int, block_rows: int) -
 
 @jax.jit
 def absorb_summary(state: SWFDState, sketch: jax.Array, n_rows: jax.Array,
-                   sq_fro: jax.Array) -> SWFDState:
+                   sq_fro: jax.Array,
+                   loss: jax.Array | float = 0.0) -> SWFDState:
     """Seal a pre-sketched row block (e.g. one whole window sketched by
     ``fd.hierarchical_sketch``) directly into the ring as one block.
 
@@ -153,6 +157,8 @@ def absorb_summary(state: SWFDState, sketch: jax.Array, n_rows: jax.Array,
         blocks=state.blocks.at[slot].set(sketch.astype(state.blocks.dtype)),
         block_end=state.block_end.at[slot].set(count),
         block_sqfro=state.block_sqfro.at[slot].set(sq_fro),
+        block_loss=state.block_loss.at[slot].set(
+            jnp.asarray(loss, state.block_loss.dtype)),
         active=state.active,
         count=count,
         seal_cursor=state.seal_cursor + 1,
@@ -174,7 +180,12 @@ def query(state: SWFDState, *, window: int, sketch_dim: int):
         [masked.reshape(-1, state.d), state.active.sketch], axis=0)
     sketch, delta = fd.shrink(stacked, sketch_dim)
     sq_fro = jnp.sum(jnp.where(live, state.block_sqfro, 0.0)) + state.active.sq_frobenius
-    err = delta + sq_fro / state.ell  # loose: per-block FD error + final shrink
+    # accumulated per-block shrink losses (honest in both eigh and subspace
+    # modes — shrink_fast reports its trace residual) capped by the generic
+    # FD bound ||A||_F^2 / ell, plus the final query shrink's delta
+    loss = (jnp.sum(jnp.where(live, state.block_loss, 0.0))
+            + state.active.shrink_loss)
+    err = delta + jnp.minimum(loss, sq_fro / state.ell)
     return sketch, err, sq_fro, state.count
 
 

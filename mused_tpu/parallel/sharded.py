@@ -271,23 +271,26 @@ def sharded_engine_step(swfd_state, minibatch_state, feats: tuple,
         r_norm = sketch_merge.global_max_row_norm(fused_s)
         if approach == "SWFDMC":
             ell = swfd_state.blocks.shape[1]
-            blk, sq_fro, _ = fd.hierarchical_sketch(fused_s, ell=ell, lanes=1,
-                                                    mode=fd_shrink)
+            blk, sq_fro, loss = fd.hierarchical_sketch(fused_s, ell=ell,
+                                                       lanes=1, mode=fd_shrink)
             if topology == "ring":
                 merged = sketch_merge.ring_merge(blk)
             else:
                 merged = sketch_merge.allgather_merge(blk, ell)
-            sq_fro = jax.lax.psum(sq_fro, "data")
-            return (merged[None], jnp.reshape(sq_fro, (1,)),
+            # honest error accounting across chips: per-shard losses sum, and
+            # the merge shrink adds its own (unknown here) delta <= sq_fro/ell
+            # — swfd.query caps with that bound anyway
+            aux2 = jax.lax.psum(jnp.stack([sq_fro, loss]), "data")
+            return (merged[None], aux2[None],
                     jnp.reshape(r_norm, (1,)), fused_s)
         reduced = _dist_svd_reduce(fused_s, key, reduced_dim)
-        return (reduced[None], jnp.zeros((1,), jnp.float32),
+        return (reduced[None], jnp.zeros((1, 2), jnp.float32),
                 jnp.reshape(r_norm, (1,)), fused_s)
 
     out, aux, r_norm, fused = shard_map(
         body, mesh=mesh,
         in_specs=_feat_specs(feats),
-        out_specs=(P("data", None, None), P("data"), P("data"),
+        out_specs=(P("data", None, None), P("data", None), P("data"),
                    P("data", None)),
         check_vma=False,
     )(*feats)
@@ -297,7 +300,7 @@ def sharded_engine_step(swfd_state, minibatch_state, feats: tuple,
     if approach == "SWFDMC":
         n = fused.shape[0]
         state = swfd_mod.absorb_summary(swfd_state, out[0], jnp.int32(n),
-                                        aux[0])
+                                        aux[0, 0], aux[0, 1])
         sketch, _, _, _ = swfd_mod.query(state, window=window,
                                          sketch_dim=reduced_dim)
         reduced = sketch.T          # rows index datapoints (ref main.py:73-76)

@@ -132,3 +132,25 @@ def test_seqbased_unaligned_fit_blocks(rng):
     w = rows[fed - n:fed]
     err = np.linalg.norm(w.T @ w - B.T @ B, 2)
     assert err <= np.linalg.norm(w, "fro") ** 2 / ell * 2.5
+
+
+@pytest.mark.parametrize("mode", ["eigh", "subspace"])
+def test_query_err_upper_bounds_live_window_error(rng, mode):
+    """swfd.query's err must upper-bound the true covariance error of the
+    live window in BOTH shrink modes (honest loss propagation through
+    absorb_summary and the ring)."""
+    from mused_tpu.ops import fd
+    window, d, ell = 128, 64, 16
+    state = swfd.init(window, d, ell, block_rows=window)
+    seen = []
+    for w in range(4):
+        rows = rng.normal(size=(window, d)).astype(np.float32)
+        seen = [rows]   # tumbling: the live window is exactly this block
+        blk, sq_fro, loss = fd.hierarchical_sketch(
+            jnp.asarray(rows), ell=ell, lanes=1, mode=mode)
+        state = swfd.absorb_summary(state, blk, jnp.int32(window), sq_fro,
+                                    loss)
+        sketch, err, _, _ = swfd.query(state, window=window, sketch_dim=ell)
+        live = np.concatenate(seen)
+        true_err = float(fd.covariance_error(jnp.asarray(live), sketch))
+        assert true_err <= float(err) * 1.01, (w, mode, true_err, float(err))
