@@ -192,4 +192,152 @@ void mused_multihot_tags_sparse(const char** rows, int64_t n, int64_t dim,
     }
 }
 
+// ---------------------------------------------------------------------------
+// Packed-blob ABI (v2): one NUL-separated UTF-8 blob for all n rows instead
+// of an array of n C-string pointers.  The per-string ctypes c_char_p
+// marshalling (a Python object + pointer per row) dominated the v1 call cost
+// at window scale; here Python does ONE join + ONE encode and passes two
+// scalars and one buffer.  Row walk: rows are separated by '\0' (n rows,
+// n-1 separators; the caller guarantees no embedded NULs).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// advance to the end of the current row: [*pos, end) of blob
+inline int64_t row_end(const char* blob, int64_t blob_len, int64_t start) {
+    int64_t p = start;
+    while (p < blob_len && blob[p] != '\0') p++;
+    return p;
+}
+
+}  // namespace
+
+void mused_hash_text_counts_packed(const char* blob, int64_t blob_len,
+                                   int64_t n, int64_t dim, float* out) {
+    crc_init();
+    int64_t pos = 0;
+    for (int64_t i = 0; i < n; i++) {
+        const int64_t end = row_end(blob, blob_len, pos);
+        float* row = out + i * dim;
+        uint32_t crc = 0xFFFFFFFFu;
+        size_t tok_len = 0;
+        for (int64_t p = pos; p <= end; p++) {
+            char ch = (p < end) ? to_lower_ascii(blob[p]) : '\0';
+            if (ch && is_token_char(ch)) {
+                crc = crc_table[(crc ^ static_cast<unsigned char>(ch)) & 0xFF]
+                      ^ (crc >> 8);
+                tok_len++;
+            } else {
+                if (tok_len >= 2)
+                    row[(crc ^ 0xFFFFFFFFu) % dim] += 1.0f;
+                crc = 0xFFFFFFFFu;
+                tok_len = 0;
+            }
+        }
+        pos = end + 1;
+    }
+}
+
+void mused_multihot_tags_packed(const char* blob, int64_t blob_len,
+                                int64_t n, int64_t dim, float* out) {
+    crc_init();
+    int64_t pos = 0;
+    for (int64_t i = 0; i < n; i++) {
+        const int64_t end = row_end(blob, blob_len, pos);
+        float* row = out + i * dim;
+        int64_t start = pos;
+        for (int64_t p = pos; p <= end; p++) {
+            if (p == end || blob[p] == '\x1f') {
+                if (p > start)
+                    row[crc32_bytes(blob + start, size_t(p - start)) % dim]
+                        = 1.0f;
+                start = p + 1;
+            }
+        }
+        pos = end + 1;
+    }
+}
+
+void mused_hash_text_sparse_packed(const char* blob, int64_t blob_len,
+                                   int64_t n, int64_t dim, int64_t t_cap,
+                                   int32_t* out_ids, uint16_t* out_cnt) {
+    crc_init();
+    const int64_t tab_size = t_cap * 4;
+    int32_t* tab_id = new int32_t[tab_size];
+    int32_t* tab_slot = new int32_t[tab_size];
+    int64_t pos = 0;
+    for (int64_t i = 0; i < n; i++) {
+        const int64_t end = row_end(blob, blob_len, pos);
+        int32_t* ids = out_ids + i * t_cap;
+        uint16_t* cnt = out_cnt + i * t_cap;
+        for (int64_t q = 0; q < tab_size; q++) tab_id[q] = -1;
+        int64_t used = 0;
+        uint32_t crc = 0xFFFFFFFFu;
+        size_t tok_len = 0;
+        for (int64_t p = pos; p <= end; p++) {
+            char ch = (p < end) ? to_lower_ascii(blob[p]) : '\0';
+            if (ch && is_token_char(ch)) {
+                crc = crc_table[(crc ^ static_cast<unsigned char>(ch)) & 0xFF]
+                      ^ (crc >> 8);
+                tok_len++;
+            } else {
+                if (tok_len >= 2) {
+                    int32_t id = int32_t((crc ^ 0xFFFFFFFFu) % uint32_t(dim));
+                    int64_t h = (uint32_t(id) * 2654435761u) % tab_size;
+                    for (;;) {
+                        if (tab_id[h] == id) {
+                            if (cnt[tab_slot[h]] < 65535) cnt[tab_slot[h]]++;
+                            break;
+                        }
+                        if (tab_id[h] == -1) {
+                            if (used < t_cap) {
+                                tab_id[h] = id;
+                                tab_slot[h] = int32_t(used);
+                                ids[used] = id;
+                                cnt[used] = 1;
+                                used++;
+                            }
+                            break;
+                        }
+                        h = (h + kProbe) % tab_size;
+                    }
+                }
+                crc = 0xFFFFFFFFu;
+                tok_len = 0;
+            }
+        }
+        pos = end + 1;
+    }
+    delete[] tab_id;
+    delete[] tab_slot;
+}
+
+void mused_multihot_tags_sparse_packed(const char* blob, int64_t blob_len,
+                                       int64_t n, int64_t dim, int64_t t_cap,
+                                       int32_t* out_ids) {
+    crc_init();
+    int64_t pos = 0;
+    for (int64_t i = 0; i < n; i++) {
+        const int64_t end = row_end(blob, blob_len, pos);
+        int32_t* ids = out_ids + i * t_cap;
+        int64_t used = 0;
+        int64_t start = pos;
+        for (int64_t p = pos; p <= end; p++) {
+            if (p == end || blob[p] == '\x1f') {
+                if (p > start && used < t_cap) {
+                    int32_t id = int32_t(
+                        crc32_bytes(blob + start, size_t(p - start))
+                        % uint32_t(dim));
+                    bool dup = false;
+                    for (int64_t q = 0; q < used; q++)
+                        if (ids[q] == id) { dup = true; break; }
+                    if (!dup) ids[used++] = id;
+                }
+                start = p + 1;
+            }
+        }
+        pos = end + 1;
+    }
+}
+
 }  // extern "C"
