@@ -94,10 +94,15 @@ class WindowFeatures(NamedTuple):
     """Device-ready tensors for one window of n records."""
 
     location: np.ndarray    # (n, 2) float32, NaN = invalid
-    times: np.ndarray       # (n, 2) float32, 0 = invalid
+    times: np.ndarray       # (n, 2) float32, 0 = invalid (window-centered,
+                            # see featurize_window: diffs are shift-invariant)
     user_ids: np.ndarray    # (n,)  int32, -1 = invalid
     tags: np.ndarray        # (n, H_tags) uint8 multi-hot (cast to f32 on device)
     text: np.ndarray        # (n, H_text) uint8 counts (cast to f32 on device)
+    tags_valid: np.ndarray  # (n,) bool — reference quirk (ref :79): a row is
+                            # a tags participant unless its raw cell is the
+                            # EMPTY STRING; an empty tag LIST is still valid
+                            # and emits k zero-similarity argsort edges
 
 
 class SparseWindowFeatures(NamedTuple):
@@ -107,11 +112,12 @@ class SparseWindowFeatures(NamedTuple):
     (affinity.counts_from_tokens)."""
 
     location: np.ndarray    # (n, 2) float32
-    times: np.ndarray       # (n, 2) float32
+    times: np.ndarray       # (n, 2) float32 (window-centered)
     user_ids: np.ndarray    # (n,)  int32
     tags_ids: np.ndarray    # (n, T_tags) int32 hashed tag ids, -1 padding
     text_ids: np.ndarray    # (n, T_text) int32 hashed token ids, -1 padding
     text_cnt: np.ndarray    # (n, T_text) uint16 token counts
+    tags_valid: np.ndarray  # (n,) bool (see WindowFeatures.tags_valid)
 
 
 def hash_text_sparse_py(texts: Sequence[str], dim: int, t_cap: int):
@@ -175,31 +181,47 @@ def featurize_window(location: np.ndarray, times: np.ndarray,
         joined = (t + " " + d).strip()
         title_desc.append(joined)
     loc = np.asarray(location, np.float32)
-    tim = np.asarray(times, np.float32)
+    # Center timestamps per window before the float32 cast: epoch-scale
+    # values (~1e9 s) lose sub-64s precision in f32, which perturbs kNN
+    # tie-breaking vs the reference's float64 diffs (ref :40-53).  Diffs are
+    # shift-invariant, so shift each column so the smallest valid value is
+    # 1.0; invalid rows stay exactly 0 (the reference's invalid sentinel).
+    tim64 = np.asarray(times, np.float64)
+    with np.errstate(invalid="ignore"):
+        t_valid = (np.nan_to_num(tim64[:, 0]) != 0.0) \
+            & (np.nan_to_num(tim64[:, 1]) != 0.0) \
+            & np.isfinite(tim64).all(axis=1)
+    tim = np.zeros_like(tim64, dtype=np.float32)
+    if t_valid.any():
+        shift = tim64[t_valid].min(axis=0) - 1.0
+        tim[t_valid] = (tim64[t_valid] - shift[None, :]).astype(np.float32)
     uids = hash_usernames([u[0] for u in usernames])
+    tag_cells_raw = [t[0] for t in tag_lists]
+    # reference tags validity (ref :79): only the empty STRING is invalid
+    tags_valid = np.array(
+        [not (isinstance(c, str) and c == "") for c in tag_cells_raw], bool)
 
     if cfg.sparse:
         from mused_tpu import native
-        tag_cells = [t[0] for t in tag_lists]
         sp_text = native.hash_text_sparse(title_desc, cfg.text_hash_dim,
                                           cfg.text_token_cap)
         if sp_text is None:
             sp_text = hash_text_sparse_py(title_desc, cfg.text_hash_dim,
                                           cfg.text_token_cap)
-        sp_tags = native.multihot_tags_sparse(tag_cells, cfg.tags_hash_dim,
+        sp_tags = native.multihot_tags_sparse(tag_cells_raw, cfg.tags_hash_dim,
                                               cfg.tags_token_cap)
         if sp_tags is None:
-            sp_tags = multihot_tags_sparse_py(tag_cells, cfg.tags_hash_dim,
+            sp_tags = multihot_tags_sparse_py(tag_cells_raw, cfg.tags_hash_dim,
                                               cfg.tags_token_cap)
         return SparseWindowFeatures(location=loc, times=tim, user_ids=uids,
                                     tags_ids=sp_tags, text_ids=sp_text[0],
-                                    text_cnt=sp_text[1])
+                                    text_cnt=sp_text[1], tags_valid=tags_valid)
 
     # dense path: uint8 tensors (token counts never approach 255); still 4x
     # smaller transfers than f32, device casts back on arrival
-    tags8 = np.minimum(multihot_tags([t[0] for t in tag_lists],
-                                     cfg.tags_hash_dim), 255).astype(np.uint8)
+    tags8 = np.minimum(multihot_tags(tag_cells_raw, cfg.tags_hash_dim),
+                       255).astype(np.uint8)
     text8 = np.minimum(hash_text_counts(title_desc, cfg.text_hash_dim),
                        255).astype(np.uint8)
     return WindowFeatures(location=loc, times=tim, user_ids=uids,
-                          tags=tags8, text=text8)
+                          tags=tags8, text=text8, tags_valid=tags_valid)

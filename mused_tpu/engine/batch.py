@@ -36,6 +36,8 @@ def _pad_window_features(wf, pad: int):
             text_ids=np.pad(wf.text_ids, ((0, pad), (0, 0)),
                             constant_values=-1),
             text_cnt=np.pad(wf.text_cnt, ((0, pad), (0, 0))),
+            tags_valid=np.pad(wf.tags_valid, (0, pad),
+                              constant_values=False),
         )
     return feat.WindowFeatures(
         location=np.pad(wf.location, ((0, pad), (0, 0)),
@@ -44,6 +46,7 @@ def _pad_window_features(wf, pad: int):
         user_ids=np.pad(wf.user_ids, (0, pad), constant_values=-1),
         tags=np.pad(wf.tags, ((0, pad), (0, 0))),
         text=np.pad(wf.text, ((0, pad), (0, 0))),
+        tags_valid=np.pad(wf.tags_valid, (0, pad), constant_values=False),
     )
 
 

@@ -52,22 +52,25 @@ def _choose_lanes(n: int, ell: int) -> int:
     return 1
 
 
-def _fuse_standard(location, times, user_ids, tags, text, k_basis: int):
+def _fuse_standard(location, times, user_ids, tags, text, k_basis: int,
+                   tags_valid=None):
     return affinity.multimodal_fused_adjacency(
-        location, times, user_ids, tags, text, k_basis=k_basis)
+        location, times, user_ids, tags, text, k_basis=k_basis,
+        tags_valid=tags_valid)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("k_basis", "tags_dim", "text_dim"))
 def _fuse_standard_sparse(location, times, user_ids, tags_ids, text_ids,
-                          text_cnt, *, k_basis: int, tags_dim: int,
-                          text_dim: int):
+                          text_cnt, tags_valid, *, k_basis: int,
+                          tags_dim: int, text_dim: int):
     """Sparse-token variant: scatter tokens to dense on device, then the same
     five modality graphs + fusion."""
     tags = affinity.counts_from_tokens(tags_ids, None, tags_dim)
     text = affinity.counts_from_tokens(text_ids, text_cnt, text_dim)
     return affinity.multimodal_fused_adjacency(
-        location, times, user_ids, tags, text, k_basis=k_basis)
+        location, times, user_ids, tags, text, k_basis=k_basis,
+        tags_valid=tags_valid)
 
 
 @functools.partial(jax.jit, static_argnames=("k_basis", "types", "use_pallas"))
@@ -199,15 +202,17 @@ def _batched_window_step(feats_batch: tuple, n_clusters: jax.Array,
 
     def one(feats, k, key):
         if types[0] == "standard_sparse":
-            loc, tim, uid, tags_ids, text_ids, text_cnt = feats
+            loc, tim, uid, tags_ids, text_ids, text_cnt, tags_valid = feats
             fused = _fuse_standard_sparse(
                 loc, tim, uid.astype(jnp.int32), tags_ids, text_ids, text_cnt,
-                k_basis=k_basis, tags_dim=int(types[1]), text_dim=int(types[2]))
+                tags_valid, k_basis=k_basis, tags_dim=int(types[1]),
+                text_dim=int(types[2]))
         elif types == ("standard",):
-            loc, tim, uid, tags, text = feats
+            loc, tim, uid, tags, text, tags_valid = feats
             fused = _fuse_standard(loc, tim, uid.astype(jnp.int32),
                                    tags.astype(jnp.float32),
-                                   text.astype(jnp.float32), k_basis)
+                                   text.astype(jnp.float32), k_basis,
+                                   tags_valid)
         else:
             fused = _fuse_generic(feats, k_basis=k_basis, types=types,
                                   use_pallas=use_pallas)
@@ -393,12 +398,13 @@ class StreamingEngine:
         if isinstance(feats, feat.SparseWindowFeatures):
             return _fuse_standard_sparse(
                 feats.location, feats.times, feats.user_ids, feats.tags_ids,
-                feats.text_ids, feats.text_cnt, k_basis=cfg.k_basis,
-                tags_dim=cfg.features.tags_hash_dim,
+                feats.text_ids, feats.text_cnt, feats.tags_valid,
+                k_basis=cfg.k_basis, tags_dim=cfg.features.tags_hash_dim,
                 text_dim=cfg.features.text_hash_dim)
         if isinstance(feats, feat.WindowFeatures):
             return _fuse_standard(feats.location, feats.times, feats.user_ids,
-                                  feats.tags, feats.text, cfg.k_basis)
+                                  feats.tags, feats.text, cfg.k_basis,
+                                  feats.tags_valid)
         return _fuse_generic(tuple(jnp.asarray(m) for m in feats),
                              k_basis=cfg.k_basis,
                              types=tuple(modality_types),

@@ -125,14 +125,24 @@ def jaccard_matrix(multihot: jax.Array) -> jax.Array:
     return jnp.where(union > 0, inter / jnp.maximum(union, 1e-9), 0.0)
 
 
-def tags_adjacency(tags_multihot: jax.Array, k_basis: int) -> jax.Array:
-    """Top-k Jaccard neighbors; empty tag sets invalid (ref :74-89).
+def tags_adjacency(tags_multihot: jax.Array, k_basis: int,
+                   valid: jax.Array | None = None) -> jax.Array:
+    """Top-k Jaccard neighbors (ref :74-89).
 
     The reference forces self-similarity to -1 (below every real Jaccard) and
-    keeps zero-similarity picks; ``knn_adjacency`` reproduces both.
+    keeps zero-similarity picks; ``knn_adjacency`` reproduces both.  Validity
+    quirk (ref :79): the reference only drops rows whose raw cell is the
+    empty STRING — an empty tag LIST is a valid participant whose Jaccard is
+    0 with everything, so it still emits k argsort-order edges.  Pass
+    ``valid`` (from featurize_window's tags_valid) to reproduce that;
+    without it, fall back to the all-zero-row heuristic.  (Tie ORDER within
+    zero-similarity groups is quicksort-arbitrary in the reference; top_k's
+    lowest-index-first is the closest deterministic match — measured better
+    metric parity than pseudo-random spreading.)
     """
     tags_multihot = tags_multihot.astype(jnp.float32)
-    valid = jnp.sum(tags_multihot, axis=1) > 0
+    if valid is None:
+        valid = jnp.sum(tags_multihot, axis=1) > 0
     sim = jaccard_matrix(tags_multihot)
     return knn_adjacency(sim, valid, k_basis)
 
@@ -253,7 +263,8 @@ def fuse(adjacency_matrices: list[jax.Array]) -> jax.Array:
 @functools.partial(jax.jit, static_argnames=("k_basis",))
 def multimodal_fused_adjacency(location: jax.Array, times: jax.Array,
                                user_ids: jax.Array, tags_multihot: jax.Array,
-                               text_counts: jax.Array, *, k_basis: int) -> jax.Array:
+                               text_counts: jax.Array, *, k_basis: int,
+                               tags_valid: jax.Array | None = None) -> jax.Array:
     """All five modality graphs + OR-fusion in one jitted graph.
 
     XLA fuses the masking/scatter chains; the five similarity matrices are
@@ -263,7 +274,7 @@ def multimodal_fused_adjacency(location: jax.Array, times: jax.Array,
         location_adjacency(location, k_basis),
         time_adjacency(times, k_basis),
         username_adjacency(user_ids),
-        tags_adjacency(tags_multihot, k_basis),
+        tags_adjacency(tags_multihot, k_basis, tags_valid),
         text_adjacency(text_counts, k_basis),
     ]
     return fuse(mats)

@@ -69,6 +69,9 @@ def standard_columns(wf, features_cfg=None) -> Columns:
     n_docs = jnp.maximum(jnp.sum(text_valid.astype(jnp.float32)), 1.0)
     df = jnp.sum((text > 0) & text_valid[:, None], axis=0).astype(jnp.float32)
     idf = jnp.log((1.0 + n_docs) / (1.0 + df)) + 1.0
+    tags_valid = (jnp.asarray(wf.tags_valid)
+                  if getattr(wf, "tags_valid", None) is not None
+                  else jnp.sum(tags, axis=1) > 0)
     return Columns(
         kinds=("location", "time", "username", "tags", "text"),
         tensors=(loc, tim, uid, tags, text),
@@ -76,7 +79,7 @@ def standard_columns(wf, features_cfg=None) -> Columns:
                 jnp.all(jnp.isfinite(tim), axis=1)
                 & (tim[:, 0] != 0.0) & (tim[:, 1] != 0.0),
                 uid >= 0,
-                jnp.sum(tags, axis=1) > 0,
+                tags_valid,
                 text_valid),
         idf=idf,
     )

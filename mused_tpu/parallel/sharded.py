@@ -39,7 +39,8 @@ knn_adjacency_block = affinity.knn_adjacency_block
 
 
 def _row_shard_fused_adjacency(loc_s, time_s, uid_s, tags_s, text_s,
-                               k_basis: int, axis_name: str = "data"):
+                               k_basis: int, axis_name: str = "data",
+                               tags_valid_s=None):
     """Device-local body: fused (m, n) adjacency shard from feature shards.
 
     Every collective is explicit: all_gather for column features, psum for
@@ -79,9 +80,14 @@ def _row_shard_fused_adjacency(loc_s, time_s, uid_s, tags_s, text_s,
     not_self = (row_offset + jnp.arange(m))[:, None] != jnp.arange(uid_f.shape[0])[None, :]
     mats.append((same & not_self).astype(jnp.float32))
 
-    # tags Jaccard (ref :74-89)
-    gv_r = jnp.sum(tags_s, axis=1) > 0
-    gv_c = jnp.sum(tags_f, axis=1) > 0
+    # tags Jaccard (ref :74-89); validity from the raw-cell quirk when the
+    # featurizer provides it (see affinity.tags_adjacency)
+    if tags_valid_s is not None:
+        gv_r = tags_valid_s
+        gv_c = gather(tags_valid_s)
+    else:
+        gv_r = jnp.sum(tags_s, axis=1) > 0
+        gv_c = jnp.sum(tags_f, axis=1) > 0
     inter = jnp.dot(tags_s, tags_f.T, preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST)
     sizes_r, sizes_c = jnp.sum(tags_s, axis=1), jnp.sum(tags_f, axis=1)
@@ -173,16 +179,17 @@ def _features_to_fused_shard(feat_shards, types, k_basis: int, tags_dim: int,
     builder.  ``types`` mirrors engine.streaming._run_batched's encoding:
     ("standard_sparse", tags_dim, text_dim) | ("standard",) | generic types."""
     if types[0] == "standard_sparse":
-        loc, tim, uid, tags_ids, text_ids, text_cnt = feat_shards
+        loc, tim, uid, tags_ids, text_ids, text_cnt, tags_valid = feat_shards
         tags = affinity.counts_from_tokens(tags_ids, None, tags_dim)
         text = affinity.counts_from_tokens(text_ids, text_cnt, text_dim)
         return _row_shard_fused_adjacency(loc, tim, uid.astype(jnp.int32),
-                                          tags, text, k_basis, axis_name)
+                                          tags, text, k_basis, axis_name,
+                                          tags_valid)
     if types == ("standard",):
-        loc, tim, uid, tags, text = feat_shards
+        loc, tim, uid, tags, text, tags_valid = feat_shards
         return _row_shard_fused_adjacency(
             loc, tim, uid.astype(jnp.int32), tags.astype(jnp.float32),
-            text.astype(jnp.float32), k_basis, axis_name)
+            text.astype(jnp.float32), k_basis, axis_name, tags_valid)
     return _generic_fused_shard(feat_shards, types, k_basis, axis_name)
 
 
