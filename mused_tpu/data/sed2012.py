@@ -65,10 +65,19 @@ def parse_ground_truth(lines, ground_truth: dict, class_counter: int = 1) -> int
     return counter
 
 
-def load_sed2012_dataset(dataset_dir: str = DATASET_DIR) -> pd.DataFrame:
+def load_sed2012_dataset(dataset_dir: str = DATASET_DIR,
+                         max_records: int | None = None,
+                         skip_records: int = 0) -> pd.DataFrame:
     """Full reference loader (data_loader.py:9-50): 3 ground-truth files ->
     photoID->eventID map; streamed XML metadata parse; derived is_event /
-    event_type labels; timestamp conversion."""
+    event_type labels; timestamp conversion.
+
+    ``max_records``/``skip_records`` bound and offset the streamed XML parse
+    (the corpus is ~400MB / ~167k photos): validate end-to-end on the first
+    N records immediately, or resume a partial ingest from record
+    ``skip_records`` — the iterparse stream stops early, so a bounded load
+    touches only the prefix of the file.
+    """
     metadata_file = os.path.join(dataset_dir, "sed2012_metadata.xml")
     ground_truth: dict[str, int] = {}
     ranges = {}
@@ -82,7 +91,8 @@ def load_sed2012_dataset(dataset_dir: str = DATASET_DIR) -> pd.DataFrame:
         ranges[name] = (lo, nxt - 1)
         lo = nxt
 
-    df = parse_metadata(metadata_file, ground_truth)
+    df = parse_metadata(metadata_file, ground_truth,
+                        max_records=max_records, skip_records=skip_records)
 
     min_tech, max_tech = ranges["technical"]
     _, max_ind = ranges["indignados"]
@@ -104,11 +114,18 @@ def load_sed2012_dataset(dataset_dir: str = DATASET_DIR) -> pd.DataFrame:
     return df
 
 
-def parse_metadata(metadata_path: str, ground_truth: dict) -> pd.DataFrame:
-    """Streaming equivalent of reference get_modalities (data_loader.py:130-178)."""
+def parse_metadata(metadata_path: str, ground_truth: dict,
+                   max_records: int | None = None,
+                   skip_records: int = 0) -> pd.DataFrame:
+    """Streaming equivalent of reference get_modalities (data_loader.py:130-178).
+
+    ``skip_records`` photos are skipped (cheaply: cleared without field
+    extraction) and at most ``max_records`` are parsed, enabling bounded
+    validation runs and chunked/resumable ingest of the real corpus."""
     rows = []
     context = ET.iterparse(metadata_path, events=("start", "end"))
     root = None
+    seen = 0
     for event, elem in context:
         if event == "start":
             if root is None:
@@ -116,6 +133,14 @@ def parse_metadata(metadata_path: str, ground_truth: dict) -> pd.DataFrame:
             continue
         if elem.tag != "photo":
             continue
+        seen += 1
+        if seen <= skip_records:
+            elem.clear()
+            if root is not None:
+                root.clear()
+            continue
+        if max_records is not None and len(rows) >= max_records:
+            break
         pid = elem.get("id", "")
         event_id = ground_truth.get(pid, 0)
         datetaken = (elem.get("dateTaken") or "").strip()

@@ -144,6 +144,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="sed2012 needs dataset/sed2012/ (see setup_datasets.sh); "
                         "synthetic/demo generate data")
     p.add_argument("--dataset-dir", default=sed2012.DATASET_DIR)
+    p.add_argument("--max-records", type=int, default=None,
+                   help="bound the SED2012 XML parse to the first N photo "
+                        "records (fast end-to-end validation on the real "
+                        "~400MB corpus); see also data.sed2012's "
+                        "skip_records for chunked/resumable ingest")
     p.add_argument("--experiments", nargs="+",
                    default=["subset_size", "label_mode", "noise_rate", "sorting"],
                    choices=list(EXPERIMENT_DEFAULTS))
@@ -182,7 +187,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 def load_dataframe(args):
     if args.dataset == "sed2012":
-        return sed2012.load_sed2012_dataset(args.dataset_dir)
+        return sed2012.load_sed2012_dataset(args.dataset_dir,
+                                            max_records=args.max_records)
     n = min(args.subset_size * 2, 20000) if args.dataset == "synthetic" else 400
     # noise pool must cover the highest sweep noise_rate (0.95) of any subset
     # <= n_rows, since prepare_modalities samples noise without replacement

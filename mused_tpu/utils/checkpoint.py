@@ -11,6 +11,14 @@ fixed-shape pytree (by design), so a checkpoint is one npz file:
 
 Atomic write (tmp + rename) so a crash mid-checkpoint leaves the previous
 checkpoint intact — sketch state is tiny (ell x d), recovery is cheap.
+
+TRUST MODEL: checkpoints are pickle-bearing (treedef + host dict blobs), so
+``load_checkpoint`` executes code embedded in the file — load only
+checkpoints this process (or an equally trusted one) wrote.  In particular,
+``process_streaming_data(checkpoint_dir=...)`` auto-resumes from the newest
+file in that directory: point it only at directories with the same write
+trust as the training job itself (the standard assumption for framework
+checkpoints, same as torch.load / orbax with custom nodes).
 """
 from __future__ import annotations
 
