@@ -224,15 +224,26 @@ def update_block(state: FDState, rows: jax.Array, valid: jax.Array | None = None
 @functools.partial(jax.jit, static_argnames=("block_rows", "mode"))
 def update_stream(state: FDState, rows: jax.Array, *, block_rows: int | None = None,
                   mode: str = "eigh") -> FDState:
-    """Absorb (m, d) rows by scanning over blocks of ``block_rows`` (default ell).
+    """Absorb (m, d) rows by scanning over blocks of ``block_rows``.
 
     The scan body is a single fused (stack → small Gram eigh → matmul) step, so
     the whole stream update is one compiled XLA loop with static shapes.
     ``mode="subspace"`` swaps in the matmul-only adaptive shrink.
+
+    Default block size: ``ell`` for eigh mode (the eigh cost is O(block^2)
+    cubic-ish in the stack, so small blocks win), but LARGER for subspace
+    mode — the NS subspace cost is a few fixed-size matmuls regardless of the
+    stack, so absorbing 8-16x ell rows per shrink both feeds the MXU larger
+    Grams (latency-bound at 128x128) and runs FEWER truncations (lower
+    error).  Measured on v5e at d=1024/ell=64: 560k rows/s err 1075 at
+    block=ell -> 891k rows/s err 304 at block=1024 (docs/fd_roofline.md).
     """
     m, d = rows.shape
     ell = state.ell
-    block = block_rows or ell
+    if block_rows is None:
+        block = ell if mode == "eigh" else max(ell, min(m, 16 * ell, 1024))
+    else:
+        block = block_rows
     n_blocks = -(-m // block)
     pad = n_blocks * block - m
     if pad:
