@@ -13,14 +13,30 @@ vectorized float bisection over the similarity range (VPU compares + row
 sums), then adjacency = sim >= threshold.  Ties at the threshold all pass —
 on continuous similarities (cosine/euclidean/L1-time) ties are measure-zero,
 and the property tests assert exact agreement with the XLA top_k path there.
+The DISCRETE jaccard metric ties constantly (an empty tag set ties with
+everything at 0), so it adds an in-kernel tie-break: a monotone-decreasing
+per-column jitter below the Jaccard quantum, resolving ties lowest-index
+first — exactly lax.top_k's order, so jaccard also matches XLA bit-for-bit
+(valid while set sizes <= ~100, i.e. any realistic tag cap).
 
-Supported metrics (covers every continuous-sim modality):
-  dot        — cosine/embedding (pre-normalized rows), and location via the
-               3D-unit-vector trick: great-circle distance is monotone in the
-               chordal dot product, so haversine kNN == dot kNN on
-               (cos lat cos lon, cos lat sin lon, sin lat)
+Supported metrics (covers every modality on the flagship path):
+  dot        — cosine/embedding (pre-normalized rows), TF-IDF cosine (rows
+               pre-scaled by idf + L2-normalized outside: one O(nd) pass),
+               and location via the 3D-unit-vector trick: great-circle
+               distance is monotone in the chordal dot product, so
+               haversine kNN == dot kNN on (cos lat cos lon, ...)
   euclidean  — default modality (negative squared distance)
   l1         — time modality (negative |dt_taken| + |dt_upload|)
+  jaccard    — tags multi-hot: intersection = one MXU contraction, row set
+               sizes reduced in-kernel, sim = inter / (|r| + |c| - inter)
+
+MXU input dtype: ``input_dtype="bfloat16"`` feeds the contraction bf16
+operands with f32 accumulation (preferred_element_type) — ~4x MXU
+throughput on v5e vs f32 operands.  Exact for 0/1 multi-hot (jaccard) and
+for any input already representable in bf16; for continuous features it
+rounds inputs to 8 mantissa bits, which can flip kNN ranking inside
+near-tie groups (metric-level parity unaffected; the exactness tests use
+f32).
 
 Grid: (n/TM, n/TN), j innermost; the sim strip persists in scratch across the
 j sweep (TPU grids execute sequentially) and the output block flushes once per
@@ -37,20 +53,33 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG = -1e30
-_BISECT_ITERS = 40      # float32 bisection: plenty to isolate the kth value
+# float32 bisection depth: bounds are the row's own [min-1, max+1], so 30
+# halvings resolve (range/2^30) ~ 4e-9 — below the f32 spacing of any data
+# value, i.e. still exact w.r.t. top_k (measured: 40 -> 30 saves ~15% of
+# kernel time; the strip bisection, not the matmul, dominates at d<=4096)
+_BISECT_ITERS = 30
 
 
 def _sim_block(xr, xc, metric: str):
     if metric == "dot":
         return jnp.dot(xr, xc.T, preferred_element_type=jnp.float32)
     if metric == "euclidean":
-        rn = jnp.sum(xr * xr, axis=1, keepdims=True)
-        cn = jnp.sum(xc * xc, axis=1, keepdims=True)
+        xr32 = xr.astype(jnp.float32)
+        xc32 = xc.astype(jnp.float32)
+        rn = jnp.sum(xr32 * xr32, axis=1, keepdims=True)
+        cn = jnp.sum(xc32 * xc32, axis=1, keepdims=True)
         return -(rn + cn.T - 2.0 * jnp.dot(xr, xc.T,
                                            preferred_element_type=jnp.float32))
+    if metric == "jaccard":
+        inter = jnp.dot(xr, xc.T, preferred_element_type=jnp.float32)
+        sz_r = jnp.sum(xr.astype(jnp.float32), axis=1, keepdims=True)
+        sz_c = jnp.sum(xc.astype(jnp.float32), axis=1, keepdims=True)
+        union = sz_r + sz_c.T - inter
+        return jnp.where(union > 0, inter / jnp.maximum(union, 1e-9), 0.0)
     if metric == "l1":
         # feature dim is tiny (2 for the time modality): broadcast on the VPU
-        diff = jnp.abs(xr[:, None, :] - xc[None, :, :])
+        diff = jnp.abs(xr[:, None, :].astype(jnp.float32)
+                       - xc[None, :, :].astype(jnp.float32))
         return -jnp.sum(diff, axis=-1)
     raise ValueError(f"unknown metric {metric}")
 
@@ -70,6 +99,13 @@ def _kernel(x_row_ref, x_col_ref, valid_ref, out_ref, sim_ref, *,
     col_base = j * tn
     col_ids = col_base + jax.lax.broadcasted_iota(jnp.int32, (tm, tn), 1)
     row_ids = i * tm + jax.lax.broadcasted_iota(jnp.int32, (tm, tn), 0)
+    if metric == "jaccard":
+        # discrete ties -> lowest-index-first, matching lax.top_k: add a
+        # monotone-decreasing column jitter (max 5e-5 < the 1/(s*(s+1))
+        # Jaccard quantum for set sizes s <= 100; adjacent-column gap
+        # 5e-5/n stays above the 30-iter bisection resolution for n <= 8k)
+        sim = sim + 5e-5 * (1.0 - col_ids.astype(jnp.float32)
+                            / jnp.float32(n_cols))
     colv = valid_ref[0, pl.ds(col_base, tn)]
     mask = (colv[None, :] > 0) & (row_ids != col_ids) & (col_ids < n_cols)
     sim_ref[:, pl.ds(col_base, tn)] = jnp.where(mask, sim, NEG)
@@ -111,14 +147,18 @@ def _pad_to(x, m, axis):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "metric", "tm", "tn", "interpret"))
+                   static_argnames=("k", "metric", "tm", "tn", "interpret",
+                                    "input_dtype"))
 def knn_adjacency_pallas(x: jax.Array, valid: jax.Array, k: int, *,
-                         metric: str = "dot", tm: int = 128, tn: int = 128,
-                         interpret: bool | None = None) -> jax.Array:
+                         metric: str = "dot", tm: int = 256, tn: int = 256,
+                         interpret: bool | None = None,
+                         input_dtype: str = "float32") -> jax.Array:
     """Directed kNN adjacency (n, n) from (n, d) features, fused in Pallas.
 
     Semantics match ops/affinity.knn_adjacency with exclude_self=True up to
     threshold ties (all sims equal to the k-th value pass).
+    ``input_dtype="bfloat16"`` feeds the MXU bf16 operands (f32 accumulate).
+    Tile defaults (tm=tn=256) measured fastest on v5e at n=2048/d=4096.
     """
     n, d = x.shape
     if interpret is None:
@@ -126,12 +166,16 @@ def knn_adjacency_pallas(x: jax.Array, valid: jax.Array, k: int, *,
     k = max(0, min(k, n - 1))
     if k == 0:
         return jnp.zeros((n, n), jnp.float32)
+    tm = min(tm, max(128, 1 << (n - 1).bit_length()))   # don't overtile tiny n
+    tn = min(tn, max(128, 1 << (n - 1).bit_length()))
 
-    xp = _pad_to(x.astype(jnp.float32), tm, 0)
+    in_dt = jnp.bfloat16 if input_dtype == "bfloat16" else jnp.float32
+    # rows pad to a multiple of BOTH tiles (powers of two: max covers both)
+    xp = _pad_to(x.astype(in_dt), max(tm, tn), 0)
     if metric != "l1":                     # MXU path wants lane-aligned d
         xp = _pad_to(xp, 128, 1)
     np_, dp = xp.shape
-    validp = _pad_to(valid.astype(jnp.float32), tm, 0).reshape(1, np_)
+    validp = _pad_to(valid.astype(jnp.float32), max(tm, tn), 0).reshape(1, np_)
 
     grid = (np_ // tm, np_ // tn)
     out = pl.pallas_call(

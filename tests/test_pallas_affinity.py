@@ -113,3 +113,64 @@ def test_time_metric_nan_padded_rows(rng):
     assert np.all(np.isfinite(got))
     assert got[50:].sum() == 0 and got[:, 50:].sum() == 0
     np.testing.assert_array_equal(got, want)
+
+
+def test_jaccard_metric_matches_xla(rng):
+    """In-kernel Jaccard (tags modality) agrees with the XLA tags path,
+    including the valid-but-empty-set quirk rows."""
+    n, k = 128, 4
+    multihot = (rng.random((n, 64)) < 0.08).astype(np.float32)
+    multihot[5] = 0.0        # empty set, still a valid participant
+    valid = np.ones(n, bool)
+    valid[17] = False        # raw-cell-empty row
+    got = np.asarray(pk.knn_adjacency_pallas(
+        jnp.asarray(multihot), jnp.asarray(valid), k, metric="jaccard"))
+    want = np.asarray(affinity.tags_adjacency(jnp.asarray(multihot), k,
+                                              jnp.asarray(valid)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_standard_pallas_fusion_matches_xla(rng):
+    """The full 5-modality Pallas fusion reproduces the XLA fused adjacency
+    on featurized data (interpret mode; f32 inputs => exact rankings)."""
+    from mused_tpu.data.synthetic import synthetic_events_dataframe
+    from mused_tpu.data.sed2012 import prepare_modalities
+    from mused_tpu.data import features as feat
+    from mused_tpu.engine.streaming import (_fuse_standard_pallas,
+                                            _fuse_standard_sparse)
+    from mused_tpu.utils.config import FeatureConfig
+    df = synthetic_events_dataframe(n_rows=300, n_events=3, noise_rate=0.5,
+                                    seed=1)
+    mods, _, _ = prepare_modalities(df, subset_size=128, binary=True,
+                                    sort_by_uploaded=True, noise_rate=0.4,
+                                    seed=1)
+    fc = FeatureConfig()
+    wf = feat.featurize_window(*mods, fc)
+    kw = dict(k_basis=3, tags_dim=fc.tags_hash_dim, text_dim=fc.text_hash_dim)
+    want = np.asarray(_fuse_standard_sparse(
+        wf.location, wf.times, wf.user_ids, wf.tags_ids, wf.text_ids,
+        wf.text_cnt, wf.tags_valid, **kw))
+    got = np.asarray(_fuse_standard_pallas(
+        jnp.asarray(wf.location), jnp.asarray(wf.times),
+        jnp.asarray(wf.user_ids), jnp.asarray(wf.tags_ids),
+        jnp.asarray(wf.text_ids), jnp.asarray(wf.text_cnt),
+        jnp.asarray(wf.tags_valid), sparse=True, **kw))
+    # haversine-vs-unit-xyz and threshold-tie semantics can differ on exact
+    # ties only; require near-total agreement and identical edge counts/row
+    assert (got != want).mean() < 0.002, (got != want).sum()
+    np.testing.assert_allclose(got.sum(axis=1), want.sum(axis=1), atol=2)
+
+
+def test_bfloat16_inputs_jaccard_exact(rng):
+    """bf16 MXU operands are exact for 0/1 multi-hot Jaccard."""
+    n, k = 96, 3
+    multihot = (rng.random((n, 128)) < 0.1).astype(np.float32)
+    valid = np.ones(n, bool)
+    a = np.asarray(pk.knn_adjacency_pallas(jnp.asarray(multihot),
+                                           jnp.asarray(valid), k,
+                                           metric="jaccard",
+                                           input_dtype="bfloat16"))
+    b = np.asarray(pk.knn_adjacency_pallas(jnp.asarray(multihot),
+                                           jnp.asarray(valid), k,
+                                           metric="jaccard"))
+    np.testing.assert_array_equal(a, b)
