@@ -1,0 +1,234 @@
+"""Full BASELINE.md benchmark table -> BENCH_DETAIL.{md,json}.
+
+bench.py stays the driver's ONE-json-line headline (config #1); this script
+records all five BASELINE.md configs so regressions anywhere in the system
+are visible (VERDICT r1 next #4):
+
+  #1 sketch updates/sec (same workload as bench.py)
+  #2 crisis text+image embedding stream, ell=128 + spectral: windows/s, F1/NMI
+  #3 huge-window regime: 100k-row windows over the blocked rematerialized
+     path: sketch rows/sec/chip
+  #4 d=4096 affinity: Pallas fused kernel GFLOP/s vs the XLA path
+  #5 8-virtual-device CPU mesh: merged-sketch (data_shards=8) F1/NMI delta
+     vs single-chip (run in a subprocess so the host platform can be forced)
+
+Timing uses in-graph repetition + scalar materialization where the remote
+tunnel's ~25ms round trip would otherwise dominate (CLAUDE.md quirks).
+"""
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+RESULTS: dict = {}
+
+
+def _materialize(x):
+    return np.asarray(x)
+
+
+def config1_sketch():
+    import jax, jax.numpy as jnp
+    from mused_tpu.ops import fd, swfd
+    d, ell, window = 1024, 64, 2048
+    n_windows = 32
+    n = window * n_windows
+    rng = np.random.default_rng(0)
+    rows = (rng.random((n, d)) < 0.05).astype(np.float32)
+    windows = jnp.asarray(rows.reshape(n_windows, window, d))
+
+    @jax.jit
+    def run(ws):
+        def step(state, w):
+            st = fd.update_stream(fd.init(ell, d), w, mode="subspace")
+            state = swfd.absorb_summary(state, st.sketch, jnp.int32(window),
+                                        st.sq_frobenius, st.shrink_loss)
+            sketch, _, _, _ = swfd.query(state, window=window, sketch_dim=ell)
+            return state, sketch
+        state = swfd.init(window, d, ell, block_rows=window)
+        _, sketches = jax.lax.scan(step, state, ws)
+        return sketches
+    _materialize(run(windows)[-1])
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        _materialize(run(windows)[-1])
+    rate = n / ((time.perf_counter() - t0) / reps)
+    RESULTS["1_sketch_rows_per_sec"] = round(rate, 1)
+
+
+def config2_crisis_spectral():
+    from mused_tpu import api
+    from mused_tpu.data.synthetic import crisis_embedding_stream
+    from mused_tpu.utils.config import PipelineConfig
+    window, subset = 512, 4096
+    mods, mtypes, labels = crisis_embedding_stream(
+        n_rows=subset, n_events=5, noise_rate=0.3, d_text=256, d_image=256,
+        seed=0)
+    cfg = PipelineConfig(window_size=window, reduced_dim=128, k_basis=8,
+                         approach="sSpectral", label_mode="all",
+                         n_clusters_override=6, eps=1.5, min_samples=2)
+
+    def run():
+        r, _ = api.get_initial_results()
+        t0 = time.perf_counter()
+        r = api.process_streaming_data(
+            results=r, data_modalities=mods, modality_types=mtypes,
+            window_size=window, reduced_dim=128, k_basis=8,
+            n_clusters_total=6, seed=0, approach="sSpectral",
+            complete_true_labels=labels, step_window_ratio=1, noise_rate=0.3,
+            label_mode="all", sorting=False, eps=1.5, min_samples=2, cfg=cfg)
+        return (subset // window) / (time.perf_counter() - t0), r
+    run()                                   # compile/warm
+    wps, r = run()
+    RESULTS["2_crisis_windows_per_sec"] = round(wps, 2)
+    RESULTS["2_crisis_f1"] = round(r["f1_score"][0], 4)
+    RESULTS["2_crisis_nmi"] = round(r["nmi_score"][0], 4)
+
+
+def config3_huge_window():
+    import jax
+    from mused_tpu.data.synthetic import synthetic_events_dataframe
+    from mused_tpu.data.sed2012 import prepare_modalities
+    from mused_tpu.data import features as feat
+    from mused_tpu.ops import blocked_affinity as ba
+    from mused_tpu.utils.config import FeatureConfig
+    window = 98_304                       # 100k-window regime, 2048 | n
+    df = synthetic_events_dataframe(n_rows=window + 64, n_events=6,
+                                    noise_rate=0.9, seed=0)
+    mods, _, _ = prepare_modalities(df, subset_size=window, binary=True,
+                                    sort_by_uploaded=False, noise_rate=0.9,
+                                    seed=0)
+    fc = FeatureConfig()
+    wf = feat.featurize_window(*mods, fc)
+    cols = ba.standard_columns(wf, fc)
+    sk, sq, loss = ba.blocked_fd_sketch(cols, ell=64, block=2048, k_basis=50)
+    _materialize(sk)                      # compile + warm
+    t0 = time.perf_counter()
+    sk, sq, loss = ba.blocked_fd_sketch(cols, ell=64, block=2048, k_basis=50)
+    _materialize(sk)
+    dt = time.perf_counter() - t0
+    RESULTS["3_hugewindow_rows_per_sec_per_chip"] = round(window / dt, 1)
+    RESULTS["3_hugewindow_seconds_per_100k_window"] = round(dt, 2)
+
+
+def config4_affinity_gflops():
+    import jax, jax.numpy as jnp
+    from mused_tpu.ops import affinity
+    from mused_tpu.ops.pallas import affinity_kernel as pk
+    n, d, k, K = 2048, 4096, 50, 16
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    xj = jnp.asarray(x)
+    valid = jnp.ones((n,), bool)
+    flops = 2.0 * n * n * d
+
+    def timeit(fn):
+        @jax.jit
+        def loop(x):
+            def body(i, acc):
+                return acc + jnp.sum(fn(x + acc * 1e-30))
+            return jax.lax.fori_loop(0, K, body, jnp.float32(0.0))
+        _materialize(loop(xj))
+        t0 = time.perf_counter()
+        for _ in range(3):
+            _materialize(loop(xj))
+        return (time.perf_counter() - t0) / 3 / K
+
+    t_xla = timeit(lambda x: affinity.knn_adjacency(
+        jnp.dot(x, x.T, preferred_element_type=jnp.float32), valid, k))
+    t_pl = timeit(lambda x: pk.knn_adjacency_pallas(x, valid, k, metric="dot"))
+    RESULTS["4_affinity_xla_gflops"] = round(flops / t_xla / 1e9, 1)
+    RESULTS["4_affinity_pallas_gflops"] = round(flops / t_pl / 1e9, 1)
+    RESULTS["4_affinity_pallas_speedup_vs_xla"] = round(t_xla / t_pl, 2)
+
+
+_SHARDED_SNIPPET = r"""
+import os
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+import jax; jax.config.update("jax_platforms", "cpu")
+import json, numpy as np
+from mused_tpu import api
+from mused_tpu.data.synthetic import synthetic_events_dataframe
+from mused_tpu.utils.config import PipelineConfig
+df = synthetic_events_dataframe(n_rows=900, n_events=4, noise_rate=0.6, seed=0)
+mods, mtypes, labels = api.prepare_modalities(df, subset_size=512, binary=True,
+    sort_by_uploaded=True, noise_rate=0.5, seed=0)
+out = {}
+for shards in (1, 8):
+    cfg = PipelineConfig(window_size=128, reduced_dim=16, k_basis=4,
+                         approach="SWFDMC", label_mode="binary",
+                         n_clusters_override=2, data_shards=shards,
+                         eps=1.5, min_samples=2)
+    r, _ = api.get_initial_results()
+    r = api.process_streaming_data(results=r, data_modalities=mods,
+        modality_types=mtypes, window_size=128, reduced_dim=16, k_basis=4,
+        n_clusters_total=2, seed=0, approach="SWFDMC",
+        complete_true_labels=labels, step_window_ratio=1, noise_rate=0.5,
+        label_mode="binary", sorting=True, eps=1.5, min_samples=2, cfg=cfg)
+    out[str(shards)] = {"f1": r["f1_score"][0], "nmi": r["nmi_score"][0]}
+print("RESULT " + json.dumps(out))
+"""
+
+
+def config5_merged_sketch_delta():
+    proc = subprocess.run([sys.executable, "-c", _SHARDED_SNIPPET],
+                          capture_output=True, text=True, timeout=1200)
+    for line in proc.stdout.splitlines():
+        if line.startswith("RESULT "):
+            out = json.loads(line[len("RESULT "):])
+            RESULTS["5_mesh8_f1"] = round(out["8"]["f1"], 4)
+            RESULTS["5_singlechip_f1"] = round(out["1"]["f1"], 4)
+            RESULTS["5_merged_sketch_f1_delta"] = round(
+                out["8"]["f1"] - out["1"]["f1"], 4)
+            RESULTS["5_merged_sketch_nmi_delta"] = round(
+                out["8"]["nmi"] - out["1"]["nmi"], 4)
+            return
+    RESULTS["5_error"] = (proc.stderr or proc.stdout)[-400:]
+
+
+def main():
+    from mused_tpu.utils.runtime import enable_compilation_cache
+    enable_compilation_cache()
+    import jax
+    try:
+        jax.devices()
+    except RuntimeError:
+        jax.config.update("jax_platforms", "cpu")
+    RESULTS["backend"] = jax.default_backend()
+
+    for name, fn in [("config1", config1_sketch),
+                     ("config2", config2_crisis_spectral),
+                     ("config3", config3_huge_window),
+                     ("config4", config4_affinity_gflops),
+                     ("config5", config5_merged_sketch_delta)]:
+        try:
+            t0 = time.perf_counter()
+            fn()
+            print(f"{name}: ok ({time.perf_counter() - t0:.1f}s)")
+        except Exception as e:   # noqa: BLE001 — record, keep benching
+            RESULTS[f"{name}_error"] = f"{type(e).__name__}: {e}"[:300]
+            print(f"{name}: FAILED {type(e).__name__}")
+
+    with open("BENCH_DETAIL.json", "w") as f:
+        json.dump(RESULTS, f, indent=1, sort_keys=True)
+    lines = ["# BENCH_DETAIL — all BASELINE.md configs",
+             "",
+             f"Backend: {RESULTS.get('backend')}   "
+             f"(regenerate: `python bench_detail.py` on the TPU host)",
+             "", "| key | value |", "|---|---|"]
+    for k in sorted(RESULTS):
+        if k != "backend":
+            lines.append(f"| {k} | {RESULTS[k]} |")
+    with open("BENCH_DETAIL.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(json.dumps(RESULTS, sort_keys=True))
+
+
+if __name__ == "__main__":
+    main()
