@@ -114,9 +114,12 @@ class SparseWindowFeatures(NamedTuple):
     location: np.ndarray    # (n, 2) float32
     times: np.ndarray       # (n, 2) float32 (window-centered)
     user_ids: np.ndarray    # (n,)  int32
-    tags_ids: np.ndarray    # (n, T_tags) int32 hashed tag ids, -1 padding
-    text_ids: np.ndarray    # (n, T_text) int32 hashed token ids, -1 padding
-    text_cnt: np.ndarray    # (n, T_text) uint16 token counts
+    tags_ids: np.ndarray    # (n, T_tags) hashed tag ids, -1 padding; int16
+                            # when the hash dim fits (halves tunnel traffic)
+    text_ids: np.ndarray    # (n, T_text) hashed token ids, -1 padding; int16
+                            # when the hash dim fits
+    text_cnt: np.ndarray    # (n, T_text) uint8 token counts (saturating at
+                            # 255 — beyond any real per-doc token count)
     tags_valid: np.ndarray  # (n,) bool (see WindowFeatures.tags_valid)
 
 
@@ -213,9 +216,18 @@ def featurize_window(location: np.ndarray, times: np.ndarray,
         if sp_tags is None:
             sp_tags = multihot_tags_sparse_py(tag_cells_raw, cfg.tags_hash_dim,
                                               cfg.tags_token_cap)
+        # halve host->device traffic: ids fit int16 for hash dims < 32768
+        # (the -1 padding survives), counts saturate at uint8
+        def _slim_ids(ids, dim):
+            return ids.astype(np.int16) if dim < 32768 else ids
         return SparseWindowFeatures(location=loc, times=tim, user_ids=uids,
-                                    tags_ids=sp_tags, text_ids=sp_text[0],
-                                    text_cnt=sp_text[1], tags_valid=tags_valid)
+                                    tags_ids=_slim_ids(sp_tags,
+                                                       cfg.tags_hash_dim),
+                                    text_ids=_slim_ids(sp_text[0],
+                                                       cfg.text_hash_dim),
+                                    text_cnt=np.minimum(sp_text[1], 255)
+                                    .astype(np.uint8),
+                                    tags_valid=tags_valid)
 
     # dense path: uint8 tensors (token counts never approach 255); still 4x
     # smaller transfers than f32, device casts back on arrival

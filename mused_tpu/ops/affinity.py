@@ -242,7 +242,7 @@ def counts_from_tokens(ids: jax.Array, counts: jax.Array | None,
     """
     n, t = ids.shape
     valid = ids >= 0
-    safe = jnp.where(valid, ids, 0)
+    safe = jnp.where(valid, ids, 0).astype(jnp.int32)   # ids may arrive int16
     if counts is None:
         vals = valid.astype(jnp.float32)
     else:
