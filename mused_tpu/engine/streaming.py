@@ -474,7 +474,7 @@ class StreamingEngine:
                 return _fuse_standard_pallas(
                     jnp.asarray(feats.location), jnp.asarray(feats.times),
                     jnp.asarray(feats.user_ids), jnp.asarray(feats.tags),
-                    jnp.asarray(feats.text), jnp.asarray(feats.text),
+                    jnp.asarray(feats.text), None,   # text_cnt: sparse only
                     jnp.asarray(feats.tags_valid), k_basis=cfg.k_basis,
                     tags_dim=cfg.features.tags_hash_dim,
                     text_dim=cfg.features.text_hash_dim, sparse=False)

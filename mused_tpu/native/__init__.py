@@ -30,8 +30,14 @@ def _load():
     if _lib is not None or _load_failed:
         return _lib
     try:
-        if not os.path.exists(_LIB_PATH):
-            subprocess.run(["make", "-C", _DIR, "-s"], check=True,
+        src = os.path.join(_DIR, "hasher.cpp")
+        stale = (os.path.exists(_LIB_PATH) and os.path.exists(src)
+                 and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH))
+        if stale or not os.path.exists(_LIB_PATH):
+            # make rebuilds on mtime too, but only if invoked — a library
+            # built against an older ABI would otherwise load and then fail
+            # symbol lookup below
+            subprocess.run(["make", "-C", _DIR, "-s", "-B"], check=True,
                            capture_output=True, timeout=120)
         lib = ctypes.CDLL(_LIB_PATH)
         blob_head = [ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
@@ -46,7 +52,9 @@ def _load():
         lib.mused_multihot_tags_sparse_packed.argtypes = \
             blob_head + [ctypes.c_int64, ctypes.POINTER(ctypes.c_int32)]
         _lib = lib
-    except (OSError, subprocess.SubprocessError):
+    except (OSError, subprocess.SubprocessError, AttributeError):
+        # AttributeError: a stale .so predating the packed-blob ABI — fall
+        # back to Python rather than crash featurization
         _load_failed = True
     return _lib
 

@@ -14,10 +14,10 @@ sums), then adjacency = sim >= threshold.  Ties at the threshold all pass —
 on continuous similarities (cosine/euclidean/L1-time) ties are measure-zero,
 and the property tests assert exact agreement with the XLA top_k path there.
 The DISCRETE jaccard metric ties constantly (an empty tag set ties with
-everything at 0), so it adds an in-kernel tie-break: a monotone-decreasing
-per-column jitter below the Jaccard quantum, resolving ties lowest-index
-first — exactly lax.top_k's order, so jaccard also matches XLA bit-for-bit
-(valid while set sizes <= ~100, i.e. any realistic tag cap).
+everything at 0), so after the value bisection isolates the k-th tie LEVEL
+a second integer bisection over column index keeps exactly the remaining
+quota of tie columns, lowest index first — lax.top_k's order, so jaccard
+matches XLA bit-for-bit at any n.
 
 Supported metrics (covers every modality on the flagship path):
   dot        — cosine/embedding (pre-normalized rows), TF-IDF cosine (rows
@@ -99,13 +99,6 @@ def _kernel(x_row_ref, x_col_ref, valid_ref, out_ref, sim_ref, *,
     col_base = j * tn
     col_ids = col_base + jax.lax.broadcasted_iota(jnp.int32, (tm, tn), 1)
     row_ids = i * tm + jax.lax.broadcasted_iota(jnp.int32, (tm, tn), 0)
-    if metric == "jaccard":
-        # discrete ties -> lowest-index-first, matching lax.top_k: add a
-        # monotone-decreasing column jitter (max 5e-5 < the 1/(s*(s+1))
-        # Jaccard quantum for set sizes s <= 100; adjacent-column gap
-        # 5e-5/n stays above the 30-iter bisection resolution for n <= 8k)
-        sim = sim + 5e-5 * (1.0 - col_ids.astype(jnp.float32)
-                            / jnp.float32(n_cols))
     colv = valid_ref[0, pl.ds(col_base, tn)]
     mask = (colv[None, :] > 0) & (row_ids != col_ids) & (col_ids < n_cols)
     sim_ref[:, pl.ds(col_base, tn)] = jnp.where(mask, sim, NEG)
@@ -133,8 +126,41 @@ def _kernel(x_row_ref, x_col_ref, valid_ref, out_ref, sim_ref, *,
 
         lo, hi = jax.lax.fori_loop(0, _BISECT_ITERS, body, (lo, hi))
         rowv = valid_ref[0, pl.ds(i * tm, tm)]
-        adj = (strip >= lo) & (strip > NEG / 2) & (rowv[:, None] > 0)
-        out_ref[:] = adj.astype(jnp.float32)
+        if metric == "jaccard":
+            # Discrete sims tie constantly (duplicate tag sets tie at 1.0,
+            # empty sets at 0) and the threshold would admit ALL ties.  The
+            # value bisection isolates the k-th LEVEL exactly (adjacent
+            # distinct Jaccards differ by >= 1/(u1*u2), far above the
+            # bisection window), then a SECOND integer bisection over column
+            # index keeps exactly (k - #above) tie columns, lowest index
+            # first — bit-identical to lax.top_k at any n, with no
+            # f32-representability caveat (an additive index jitter cannot
+            # separate ties near sim=1.0 once n > ~500: gap < ulp).
+            finite2 = strip > NEG / 2
+            above = (strip >= hi) & finite2
+            tie = (strip >= lo) & ~above & finite2
+            need = k - jnp.sum(above.astype(jnp.float32), axis=1,
+                               keepdims=True)
+            cols = jax.lax.broadcasted_iota(jnp.int32, strip.shape, 1)
+
+            def jbody(_, lohi_j):
+                lo_j, hi_j = lohi_j
+                mid = (lo_j + hi_j) // 2
+                cnt = jnp.sum((tie & (cols <= mid)).astype(jnp.float32),
+                              axis=1, keepdims=True)
+                take = cnt >= need           # mid keeps enough tie columns
+                return (jnp.where(take, lo_j, mid),
+                        jnp.where(take, mid, hi_j))
+
+            n_full = strip.shape[1]
+            lo_j = jnp.full((tm, 1), -1, jnp.int32)
+            hi_j = jnp.full((tm, 1), n_full - 1, jnp.int32)
+            lo_j, hi_j = jax.lax.fori_loop(0, (n_full - 1).bit_length() + 1,
+                                           jbody, (lo_j, hi_j))
+            adj = above | (tie & (cols <= hi_j) & (need > 0))
+        else:
+            adj = (strip >= lo) & (strip > NEG / 2)
+        out_ref[:] = (adj & (rowv[:, None] > 0)).astype(jnp.float32)
 
 
 def _pad_to(x, m, axis):

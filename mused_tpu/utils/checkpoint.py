@@ -59,7 +59,16 @@ def load_checkpoint(path: str):
         host_state = pickle.loads(z["host"].tobytes())
         n_leaves = sum(1 for k in z.files if k.startswith("leaf_"))
         leaves = [jax.numpy.asarray(z[f"leaf_{i}"]) for i in range(n_leaves)]
-    device_state = jax.tree_util.tree_unflatten(treedef, leaves)
+    try:
+        device_state = jax.tree_util.tree_unflatten(treedef, leaves)
+    except (TypeError, ValueError) as exc:
+        # the pickled treedef references state classes BY NAME; a checkpoint
+        # written before a state-schema change (e.g. SWFDState gaining
+        # block_loss) reconstructs against the new class and fails here
+        raise ValueError(
+            f"checkpoint {path} has an incompatible state schema (written by "
+            f"an older version of mused_tpu?) — delete the checkpoint "
+            f"directory to restart the stream from scratch: {exc}") from exc
     return device_state, host_state
 
 

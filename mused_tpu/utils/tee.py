@@ -68,7 +68,9 @@ class LogSession:
         atexit.register(self.close)
 
     def restore(self) -> None:
-        sys.stdout, sys.stderr = sys.__stdout__, sys.__stderr__
+        # restore what was active when THIS session installed itself, so
+        # nested sessions unwind correctly (an outer tee keeps logging)
+        sys.stdout, sys.stderr = self._saved
         self.close()
 
     def close(self) -> None:
@@ -97,8 +99,10 @@ def setup_logging(log_dir: str = "logs") -> LogSession:
     path = os.path.join(log_dir, f"{stamp}.txt")
     handle = open(path, "w")
     session = LogSession(path, handle)
-    sys.stdout = Fanout(sys.__stdout__, handle)
-    sys.stderr = Fanout(sys.__stderr__, handle)
+    # fan out from the CURRENT streams (not sys.__stdout__) so nesting
+    # chains: an inner session's output still reaches the outer log file
+    sys.stdout = Fanout(session._saved[0], handle)
+    sys.stderr = Fanout(session._saved[1], handle)
     return session
 
 

@@ -60,6 +60,7 @@ def test_visualize_clusters(tmp_path, rng):
 
 def test_tee_roundtrip(tmp_path, capsys):
     import sys
+    before = sys.stdout       # pytest's capture wrapper, not sys.__stdout__
     log = tee.setup_logging(str(tmp_path))
     try:
         print("hello-tee")
@@ -68,7 +69,9 @@ def test_tee_roundtrip(tmp_path, capsys):
     files = os.listdir(tmp_path)
     assert len(files) == 1
     assert "hello-tee" in open(os.path.join(tmp_path, files[0])).read()
-    assert sys.stdout is sys.__stdout__
+    # restore() unwinds to whatever was active at setup (so outer tees /
+    # pytest capture keep working), not blindly to sys.__stdout__
+    assert sys.stdout is before
 
 
 def test_cli_demo_sweep(tmp_path, monkeypatch):

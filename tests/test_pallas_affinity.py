@@ -174,3 +174,21 @@ def test_bfloat16_inputs_jaccard_exact(rng):
                                            jnp.asarray(valid), k,
                                            metric="jaccard"))
     np.testing.assert_array_equal(a, b)
+
+
+def test_jaccard_duplicate_sets_large_n(rng):
+    """Regression (r2 review): duplicate tag sets tie at Jaccard 1.0; at
+    n >= ~500 an additive index jitter is below ulp(1.0) and cannot separate
+    them — the in-kernel integer tie bisection must keep exactly k edges per
+    row, matching lax.top_k, even at production n."""
+    n, k = 1024, 3
+    base = (rng.random((8, 64)) < 0.15).astype(np.float32)
+    idx = rng.integers(0, 8, size=n)
+    multihot = base[idx]                  # hundreds of identical rows
+    valid = np.ones(n, bool)
+    got = np.asarray(pk.knn_adjacency_pallas(
+        jnp.asarray(multihot), jnp.asarray(valid), k, metric="jaccard"))
+    want = np.asarray(affinity.tags_adjacency(jnp.asarray(multihot), k,
+                                              jnp.asarray(valid)))
+    np.testing.assert_array_equal(got, want)
+    assert (got.sum(axis=1) == k).all()

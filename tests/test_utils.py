@@ -69,3 +69,26 @@ def test_device_trace_writes(tmp_path):
         jnp.ones((4, 4)).sum().block_until_ready()
     import os
     assert any(os.scandir(str(tmp_path)))
+
+
+def test_tee_sessions_nest(tmp_path, capsys):
+    """Regression (r2 review): an inner log session must chain to the outer
+    one (output reaches both files) and restore() must unwind to the OUTER
+    tee, not to the raw console."""
+    import sys
+    from mused_tpu.utils import tee
+    a = tee.setup_logging(str(tmp_path / "a"))
+    print("line-for-a")
+    b = tee.setup_logging(str(tmp_path / "b"))
+    print("line-for-both")
+    tee.teardown_logging(b)
+    print("line-for-a-again")
+    tee.teardown_logging(a)
+    print("line-for-nobody")
+    log_a = open(a.path).read()
+    log_b = open(b.path).read()
+    assert "line-for-a" in log_a and "line-for-both" in log_a
+    assert "line-for-a-again" in log_a          # outer keeps logging after inner restore
+    assert "line-for-both" in log_b
+    assert "line-for-a-again" not in log_b
+    assert "line-for-nobody" not in log_a + log_b
