@@ -314,6 +314,17 @@ class StreamingEngine:
         self.incr_clusterer: dbscan.IncrementalDBSCAN | None = None
         self.prev_centroids = None
         self.prev_centroid_labels = None
+        # centroid matching (cfg.matching="centroid"): stable-ID registry in
+        # input feature space (ops/matching.CentroidMatcher)
+        self.centroid_matcher = (
+            matching.CentroidMatcher(cfg.centroid_max_dist)
+            if cfg.matching == "centroid" else None)
+        if cfg.matching == "centroid" and (
+                cfg.window_size > LARGE_WINDOW_ROWS or cfg.force_blocked_window):
+            raise ValueError(
+                "matching='centroid' runs on the dense-window path (it needs "
+                "the window's numeric feature matrix); huge windows use the "
+                "reference positional matching or DBSCAN_centr")
         self.swfd_R: float | None = None   # recorded like reference main.py:61
         self.timer = profiling.SpanTimer()  # per-phase spans (SURVEY.md §5.1)
         # multi-chip: every window step runs SPMD over this mesh's "data" axis
@@ -341,12 +352,14 @@ class StreamingEngine:
     def host_snapshot(self) -> dict:
         """Picklable host-side cross-window state (for checkpointing)."""
         inc = self.incr_clusterer
+        cm = self.centroid_matcher
         return {
             "swfd_R": self.swfd_R,
             "prev_centroids": self.prev_centroids,
             "prev_centroid_labels": self.prev_centroid_labels,
             "incr_buf": None if inc is None else inc._buf,
             "incr_labels": None if inc is None else inc._labels,
+            "centroid_matcher": None if cm is None else cm.snapshot(),
         }
 
     def restore(self, device_state: StreamState, host: dict) -> None:
@@ -360,6 +373,9 @@ class StreamingEngine:
                 eps=self.cfg.eps, min_pts=self.cfg.min_samples)
             self.incr_clusterer._buf = host["incr_buf"]
             self.incr_clusterer._labels = host["incr_labels"]
+        if host.get("centroid_matcher") is not None:
+            self.centroid_matcher = matching.CentroidMatcher.from_snapshot(
+                host["centroid_matcher"])
 
     # ------------------------------------------------------------------
     def _process_window_large(self, features, modality_types,
@@ -431,7 +447,7 @@ class StreamingEngine:
                 labels, _ = kmeans.kmeans(reduced, jnp.int32(n_clusters), key,
                                           k_max=self.k_max)
                 clusters = np.asarray(labels)
-        method = "pot" if cfg.approach == "sSVDMC_pot" else "hungarian"
+        method = self._match_method()
         if cfg.approach != "DBSCAN_centr":   # centr does its own matching
             with self.timer.span("matching"):
                 clusters = matching.match_clusters(
@@ -441,6 +457,28 @@ class StreamingEngine:
         if clusters is None or len(clusters) == 0:
             clusters = np.full(cfg.window_size, 0)
         return np.asarray(clusters)
+
+    def _match_method(self) -> str:
+        """Positional-matching method: reference dispatch (main.py:105-112)
+        under matching="auto", otherwise the configured override."""
+        if self.cfg.matching == "auto":
+            return "pot" if self.cfg.approach == "sSVDMC_pot" else "hungarian"
+        return self.cfg.matching
+
+    def _stable_feats(self, features) -> np.ndarray | None:
+        """Per-row matrix in the (window-rotation-free) input feature space,
+        for centroid matching.  None unless cfg.matching="centroid"."""
+        if self.centroid_matcher is None:
+            return None
+        if isinstance(features, (feat.WindowFeatures,
+                                 feat.SparseWindowFeatures)):
+            raise ValueError(
+                "matching='centroid' supports numeric-modality streams "
+                "(embeddings etc.); standard SED2012 streams use the "
+                "reference positional matching or the DBSCAN_centr approach")
+        return np.concatenate(
+            [np.asarray(f, np.float32).reshape(len(f), -1) for f in features],
+            axis=1)
 
     # ------------------------------------------------------------------
     def featurize(self, window_modalities, modality_types):
@@ -514,6 +552,7 @@ class StreamingEngine:
 
         n_clusters = int(len(np.unique(window_true_labels)))
         key = jax.random.fold_in(jax.random.key(cfg.seed), window_index)
+        stable_feats = self._stable_feats(features)
 
         if self.mesh is not None:
             from mused_tpu.parallel import sharded as shard_mod
@@ -545,7 +584,8 @@ class StreamingEngine:
                 print(f"[window {window_index}] reduced:\n"
                       f"{np.asarray(reduced)}")
             return self._cluster_and_match(reduced, labels, window_index,
-                                           prev_clusters, verbose)
+                                           prev_clusters, verbose,
+                                           stable_feats=stable_feats)
 
         with self.timer.span("fuse"):
             fused = self.fuse_from_features(features, modality_types)
@@ -572,12 +612,15 @@ class StreamingEngine:
         if verbose:   # ref main.py:99-103 oracle
             print(f"[window {window_index}] reduced:\n{np.asarray(reduced)}")
         return self._cluster_and_match(reduced, labels, window_index,
-                                       prev_clusters, verbose)
+                                       prev_clusters, verbose,
+                                       stable_feats=stable_feats)
 
     def _cluster_and_match(self, reduced, labels, window_index: int,
-                           prev_clusters, verbose: bool = False) -> np.ndarray:
+                           prev_clusters, verbose: bool = False,
+                           stable_feats: np.ndarray | None = None) -> np.ndarray:
         """Host clustering glue + cross-window matching + failure fallback —
-        shared by the single-chip and SPMD device steps."""
+        shared by the single-chip and SPMD device steps.  ``stable_feats``
+        (n, d) feeds centroid matching when cfg.matching="centroid"."""
         cfg = self.cfg
         if cfg.approach == "DBSCAN_incr":
             if self.incr_clusterer is None:
@@ -595,14 +638,18 @@ class StreamingEngine:
         else:
             clusters = np.asarray(labels)
 
-        # cross-window matching (reference main.py:105-112, min_overlap=3)
-        method = "pot" if cfg.approach == "sSVDMC_pot" else "hungarian"
+        # cross-window matching (reference main.py:105-112, min_overlap=3),
+        # or the centroid-registry matcher under cfg.matching="centroid"
         if cfg.approach != "DBSCAN_centr":   # centr does its own matching
             with self.timer.span("matching"):
-                clusters = matching.match_clusters(
-                    prev_clusters, clusters, method=method, min_overlap=3,
-                    sinkhorn_reg=cfg.sinkhorn_reg,
-                    sinkhorn_iters=cfg.sinkhorn_iters)
+                if self.centroid_matcher is not None:
+                    clusters = self.centroid_matcher.match(
+                        stable_feats, np.asarray(clusters))
+                else:
+                    clusters = matching.match_clusters(
+                        prev_clusters, clusters, method=self._match_method(),
+                        min_overlap=3, sinkhorn_reg=cfg.sinkhorn_reg,
+                        sinkhorn_iters=cfg.sinkhorn_iters)
 
         if clusters is None or len(clusters) == 0:
             # clustering-failure fallback: all-noise window (main.py:114-116)
@@ -621,7 +668,7 @@ def process_streaming_data(results, data_modalities, modality_types,
                            checkpoint_dir: str | None = None,
                            checkpoint_every: int = 1, data_shards: int = 1,
                            merge_topology: str = "allgather",
-                           verbose: bool = False):
+                           verbose: bool = False, matching: str = "auto"):
     """Drop-in equivalent of reference main.py:13-130.
 
     New over the reference: pass ``checkpoint_dir`` to checkpoint the full
@@ -644,7 +691,7 @@ def process_streaming_data(results, data_modalities, modality_types,
             eps=eps, min_samples=min_samples,
             n_clusters_override=int(n_clusters_total),
             data_shards=data_shards, merge_topology=merge_topology,
-            verbose=verbose)
+            verbose=verbose, matching=matching)
 
     engine = StreamingEngine(cfg)
     all_clusters: list[np.ndarray] = []
@@ -684,6 +731,7 @@ def process_streaming_data(results, data_modalities, modality_types,
     if (batch_w > 1 and cfg.approach in BATCHABLE_APPROACHES
             and step_window_ratio == 1 and not cfg.force_blocked_window
             and window_size <= LARGE_WINDOW_ROWS and not checkpoint_dir
+            and cfg.matching != "centroid"   # needs per-window host feats
             and cfg.data_shards == 1):   # sharded mode is per-window SPMD
         return _run_batched(results, engine, cfg, todo, data_modalities,
                             modality_types, complete_true_labels, prev_clusters,
@@ -795,7 +843,7 @@ def _run_batched_loop(results, engine, cfg, todo, feats_iter,
                 # on XLA there unless the caller explicitly forced Pallas
                 # (vmap-of-pallas_call adds a batch grid dim; untested combo)
                 use_pallas=bool(cfg.use_pallas_affinity)))
-        method = "pot" if cfg.approach == "sSVDMC_pot" else "hungarian"
+        method = engine._match_method()
         for pos in range(len(group)):
             clusters = matching.match_clusters(
                 prev_clusters, batch_labels[pos], method=method, min_overlap=3,

@@ -178,6 +178,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--merge-topology", choices=["allgather", "ring"],
                    default="allgather",
                    help="multi-chip FD sketch merge collective")
+    p.add_argument("--matching", default="auto",
+                   choices=["auto", "hungarian", "pot", "centroid"],
+                   help="cross-window cluster-ID matching: auto = reference "
+                        "behavior (positional overlap, pot for sSVDMC_pot "
+                        "else hungarian); centroid = nearest-centroid "
+                        "registry in input feature space (stable IDs on "
+                        "temporally-unsorted numeric streams)")
     p.add_argument("--verbose", action="store_true",
                    help="small-window debug oracles: print true labels, "
                         "fused/reduced matrices, matched clusters per window "
@@ -235,6 +242,7 @@ def cli(argv=None) -> int:
                                            "data_shards": args.data_shards,
                                            "merge_topology": args.merge_topology,
                                            "verbose": args.verbose,
+                                           "matching": args.matching,
                                        })
             finally:
                 if log_file is not None:

@@ -106,3 +106,89 @@ def match_clusters(prev_clusters, new_clusters, method: str = "hungarian",
 
     mapping = {uniq_new[c]: uniq_prev[r] for r, c in pairs}
     return np.array([mapping.get(c, c) for c in new])
+
+
+class CentroidMatcher:
+    """Cross-window ID stabilization by nearest-centroid assignment in a
+    stable feature space.
+
+    Framework extension with no reference analog: the reference's
+    positional-overlap matching (matrix_operations.py:159-172) counts
+    same-position label agreements between consecutive windows, which is
+    meaningful only when the stream is sorted so events persist across window
+    boundaries.  On temporally-unsorted streams (e.g. the BASELINE.md #2
+    crisis embedding stream) positional overlap is random and global metrics
+    collapse even when every per-window clustering is good.  Matching by
+    cluster centroids in the *input feature space* — which, unlike the
+    per-window spectral/SVD embedding, does not rotate between windows —
+    keeps IDs stable regardless of row order.
+
+    Matched clusters inherit the registry ID (centroid refreshed to the new
+    window's mean); unmatched clusters get fresh globally-unique IDs.
+    """
+
+    def __init__(self, max_dist: float | None = None):
+        self.max_dist = max_dist
+        self.centroids: np.ndarray | None = None   # (P, d)
+        self.ids: np.ndarray | None = None         # (P,)
+        self.next_id: int = 0
+
+    def snapshot(self) -> dict:
+        return {"centroids": self.centroids, "ids": self.ids,
+                "next_id": self.next_id, "max_dist": self.max_dist}
+
+    @classmethod
+    def from_snapshot(cls, snap: dict) -> "CentroidMatcher":
+        m = cls(max_dist=snap.get("max_dist"))
+        m.centroids = snap.get("centroids")
+        m.ids = snap.get("ids")
+        m.next_id = int(snap.get("next_id", 0))
+        return m
+
+    def match(self, feats: np.ndarray, clusters: np.ndarray) -> np.ndarray:
+        """Remap this window's cluster labels onto stable global IDs.
+
+        feats: (n, d) stable per-row features; clusters: (n,) window-local
+        cluster labels.  Returns (n,) globally-stable labels and updates the
+        centroid registry.
+        """
+        feats = np.asarray(feats, np.float64)
+        clusters = np.asarray(clusters)
+        uniq, inv = np.unique(clusters, return_inverse=True)
+        cents = np.zeros((len(uniq), feats.shape[1]))
+        np.add.at(cents, inv, feats)
+        cents /= np.bincount(inv)[:, None]
+
+        if self.centroids is None or len(self.centroids) == 0:
+            self.centroids = cents
+            self.ids = uniq.astype(np.int64)
+            self.next_id = int(uniq.max()) + 1 if len(uniq) else 0
+            return clusters
+
+        # Hungarian on pairwise centroid distances (tiny P x Q matrix)
+        diff = self.centroids[:, None, :] - cents[None, :, :]
+        dist = np.sqrt(np.sum(diff * diff, axis=-1))
+        row_ind, col_ind = linear_sum_assignment(dist)
+        mapping: dict[int, int] = {}
+        matched_rows: dict[int, int] = {}
+        for r, c in zip(row_ind, col_ind):
+            if self.max_dist is not None and dist[r, c] > self.max_dist:
+                continue
+            mapping[int(uniq[c])] = int(self.ids[r])
+            matched_rows[int(c)] = int(r)
+
+        new_cents, new_ids = [], []
+        for c, lbl in enumerate(uniq):
+            if c in matched_rows:                 # refresh matched centroid
+                self.centroids[matched_rows[c]] = cents[c]
+            else:                                 # register a fresh cluster
+                mapping[int(lbl)] = self.next_id
+                new_cents.append(cents[c])
+                new_ids.append(self.next_id)
+                self.next_id += 1
+        if new_ids:
+            self.centroids = np.concatenate([self.centroids,
+                                             np.asarray(new_cents)], axis=0)
+            self.ids = np.concatenate([self.ids,
+                                       np.asarray(new_ids, np.int64)])
+        return np.array([mapping[int(c)] for c in clusters])

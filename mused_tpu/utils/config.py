@@ -96,6 +96,16 @@ class PipelineConfig:
     # mode is emulation, only useful for tests).  Explicit True/False wins.
     sinkhorn_reg: float = 0.1
     sinkhorn_iters: int = 200
+    matching: str = "auto"   # cross-window ID matching: "auto" = reference
+                             # behavior (pot for sSVDMC_pot, else hungarian,
+                             # both positional-overlap); "hungarian"/"pot"
+                             # force a method; "centroid" = nearest-centroid
+                             # matching in input feature space (framework
+                             # extension — stabilizes IDs on temporally
+                             # UNSORTED streams where positional overlap is
+                             # random; numeric-modality streams only)
+    centroid_max_dist: float | None = None   # centroid matching: reject
+                             # matches farther than this (None = always match)
     swfd_target_blocks: int = 8
     # multi-chip: shard window rows over a ("data","model") mesh of this many
     # devices; every window step then runs SPMD (sharded affinity, ICI sketch

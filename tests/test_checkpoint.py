@@ -102,3 +102,56 @@ def test_batched_mode_with_checkpointing_falls_back(tmp_path, stream_fixture):
         checkpoint_dir=ckdir)
     assert ckpt.latest_checkpoint(ckdir) is not None
     assert len(results["f1_score"]) == 1
+
+
+def test_crash_resume_with_centroid_matching(tmp_path):
+    """Crash-resume equivalence when the centroid-registry matcher carries
+    cross-window state (snapshot/restore through the checkpoint)."""
+    from mused_tpu.data.synthetic import crisis_embedding_stream
+    from mused_tpu.utils.config import PipelineConfig
+
+    window, subset = 64, 448
+    mods, mtypes, labels = crisis_embedding_stream(
+        n_rows=subset, n_events=3, noise_rate=0.3, d_text=32, d_image=32,
+        seed=0)
+    cfg = PipelineConfig(window_size=window, reduced_dim=16, k_basis=4,
+                         approach="sSpectral", label_mode="all",
+                         n_clusters_override=4, eps=1.5, min_samples=2,
+                         matching="centroid")
+
+    def run(checkpoint_dir=None, stop_after=None):
+        from mused_tpu.engine import streaming
+        results, _ = api.get_initial_results()
+        kwargs = dict(
+            results=results, data_modalities=mods, modality_types=mtypes,
+            window_size=window, reduced_dim=16, k_basis=4, n_clusters_total=4,
+            seed=0, approach="sSpectral", complete_true_labels=labels,
+            step_window_ratio=1, noise_rate=0.3, label_mode="all",
+            sorting=False, eps=1.5, min_samples=2, cfg=cfg,
+            checkpoint_dir=checkpoint_dir)
+        if stop_after is None:
+            return api.process_streaming_data(**kwargs)
+        orig = streaming.StreamingEngine.process_window
+        calls = {"n": 0}
+
+        def bomb(self, *a, **k):
+            if calls["n"] >= stop_after:
+                raise KeyboardInterrupt("simulated crash")
+            calls["n"] += 1
+            return orig(self, *a, **k)
+
+        streaming.StreamingEngine.process_window = bomb
+        try:
+            with pytest.raises(KeyboardInterrupt):
+                api.process_streaming_data(**kwargs)
+        finally:
+            streaming.StreamingEngine.process_window = orig
+        return None
+
+    straight = run()
+    ckdir = str(tmp_path / "centroid")
+    run(checkpoint_dir=ckdir, stop_after=3)
+    assert ckpt.latest_checkpoint(ckdir) is not None
+    resumed = run(checkpoint_dir=ckdir)
+    assert resumed["nmi_score"][-1] == pytest.approx(straight["nmi_score"][-1])
+    assert resumed["f1_score"][-1] == pytest.approx(straight["f1_score"][-1])

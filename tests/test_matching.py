@@ -94,3 +94,80 @@ def test_invalid_method_raises():
     with pytest.raises(ValueError):
         matching.match_clusters(np.array([0, 0, 0]), np.array([1, 1, 1]),
                                 method="nope", min_overlap=1)
+
+
+# ---------------------------------------------------------------------------
+# CentroidMatcher: stable IDs in input feature space (framework extension)
+# ---------------------------------------------------------------------------
+
+def test_centroid_matcher_stable_ids_across_permuted_windows():
+    """Two windows with identical cluster geometry but permuted local labels
+    and shuffled row order map to the SAME global IDs."""
+    rng = np.random.default_rng(0)
+    centers = np.array([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]])
+    m = matching.CentroidMatcher()
+
+    pts1 = np.concatenate([c + rng.normal(size=(20, 2)) * 0.1 for c in centers])
+    lab1 = np.repeat([0, 1, 2], 20)
+    out1 = m.match(pts1, lab1)
+    np.testing.assert_array_equal(out1, lab1)   # first window keeps its ids
+
+    perm = rng.permutation(60)
+    pts2 = np.concatenate([c + rng.normal(size=(20, 2)) * 0.1 for c in centers])[perm]
+    lab2 = np.repeat([2, 0, 1], 20)[perm]       # permuted local labels
+    out2 = m.match(pts2, lab2)
+    want = np.repeat([0, 1, 2], 20)[perm]       # global ids follow geometry
+    np.testing.assert_array_equal(out2, want)
+
+
+def test_centroid_matcher_fresh_ids_for_new_clusters():
+    m = matching.CentroidMatcher(max_dist=1.0)
+    pts1 = np.array([[0.0, 0.0]] * 5 + [[10.0, 0.0]] * 5)
+    out1 = m.match(pts1, np.repeat([0, 1], 5))
+    np.testing.assert_array_equal(out1, np.repeat([0, 1], 5))
+    # second window: cluster near (0,0) persists, a far-away cluster appears
+    pts2 = np.array([[0.1, 0.0]] * 5 + [[50.0, 50.0]] * 5)
+    out2 = m.match(pts2, np.repeat([7, 3], 5))
+    assert list(np.unique(out2[:5])) == [0]      # matched to registry id 0
+    assert out2[5] not in (0, 1)                 # fresh globally-unique id
+    assert len(np.unique(out2)) == 2
+
+
+def test_centroid_matcher_snapshot_roundtrip():
+    m = matching.CentroidMatcher(max_dist=2.5)
+    pts = np.array([[0.0, 0.0]] * 4 + [[5.0, 5.0]] * 4)
+    m.match(pts, np.repeat([0, 1], 4))
+    m2 = matching.CentroidMatcher.from_snapshot(m.snapshot())
+    out = m2.match(pts + 0.01, np.repeat([1, 0], 4))
+    np.testing.assert_array_equal(out, np.repeat([0, 1], 4))
+    assert m2.max_dist == 2.5
+
+
+def test_centroid_matching_recovers_global_nmi_on_unsorted_stream():
+    """BASELINE.md #2 regime: per-window clustering is good but the stream is
+    temporally unsorted, so positional-overlap matching randomizes global IDs;
+    centroid matching must recover global NMI close to per-window NMI."""
+    from mused_tpu import api
+    from mused_tpu.data.synthetic import crisis_embedding_stream
+    from mused_tpu.utils.config import PipelineConfig
+
+    window, subset = 128, 768
+    mods, mtypes, labels = crisis_embedding_stream(
+        n_rows=subset, n_events=4, noise_rate=0.25, d_text=64, d_image=64,
+        seed=0)
+    scores = {}
+    for match in ("auto", "centroid"):
+        cfg = PipelineConfig(window_size=window, reduced_dim=32, k_basis=6,
+                             approach="sSpectral", label_mode="all",
+                             n_clusters_override=5, eps=1.5, min_samples=2,
+                             matching=match)
+        r, _ = api.get_initial_results()
+        r = api.process_streaming_data(
+            results=r, data_modalities=mods, modality_types=mtypes,
+            window_size=window, reduced_dim=32, k_basis=6, n_clusters_total=5,
+            seed=0, approach="sSpectral", complete_true_labels=labels,
+            step_window_ratio=1, noise_rate=0.25, label_mode="all",
+            sorting=False, eps=1.5, min_samples=2, cfg=cfg)
+        scores[match] = r["nmi_score"][0]
+    assert scores["centroid"] > 0.7
+    assert scores["centroid"] > scores["auto"] + 0.2
