@@ -61,6 +61,44 @@ def config1_sketch():
     RESULTS["1_sketch_rows_per_sec"] = round(rate, 1)
 
 
+def config1b_e2e_stream():
+    """Flagship e2e stream (the STATUS headline): SWFDMC, window=2000,
+    k_basis=50, 5 standard modalities — per-window dispatch vs the scanned
+    multi-window dispatch (windows_per_batch=8, numerically identical)."""
+    import time as _t
+    from mused_tpu import api
+    from mused_tpu.data.synthetic import synthetic_events_dataframe
+    from mused_tpu.data.sed2012 import prepare_modalities
+    from mused_tpu.utils.config import PipelineConfig
+    window, n_windows = 2000, 24
+    subset = window * n_windows
+    df = synthetic_events_dataframe(n_rows=subset + 512, n_events=6,
+                                    noise_rate=0.9, seed=0)
+    mods, mtypes, labels = prepare_modalities(
+        df, subset_size=subset, binary=True, sort_by_uploaded=True,
+        noise_rate=0.9, seed=0)
+
+    def run(batch_w):
+        cfg = PipelineConfig(window_size=window, reduced_dim=50, k_basis=50,
+                             approach="SWFDMC", label_mode="binary",
+                             n_clusters_override=2, windows_per_batch=batch_w)
+        r, _ = api.get_initial_results()
+        t0 = _t.perf_counter()
+        api.process_streaming_data(
+            results=r, data_modalities=mods, modality_types=mtypes,
+            window_size=window, reduced_dim=50, k_basis=50,
+            n_clusters_total=2, seed=0, approach="SWFDMC",
+            complete_true_labels=labels, step_window_ratio=1, noise_rate=0.9,
+            label_mode="binary", sorting=True, eps=1.5, min_samples=2,
+            cfg=cfg)
+        return n_windows / (_t.perf_counter() - t0)
+
+    for batch_w, key in ((1, "1b_e2e_windows_per_sec_perwindow"),
+                         (8, "1b_e2e_windows_per_sec_scanned8")):
+        run(batch_w)                         # compile/warm
+        RESULTS[key] = round(run(batch_w), 1)
+
+
 def config2_crisis_spectral():
     from mused_tpu import api
     from mused_tpu.data.synthetic import crisis_embedding_stream
@@ -212,6 +250,7 @@ def main():
     RESULTS["backend"] = jax.default_backend()
 
     for name, fn in [("config1", config1_sketch),
+                     ("config1b", config1b_e2e_stream),
                      ("config2", config2_crisis_spectral),
                      ("config3", config3_huge_window),
                      ("config4", config4_affinity_gflops),

@@ -172,20 +172,16 @@ def _fuse_generic(mats: tuple, *, k_basis: int, types: tuple,
         for m, t in zip(mats, types)])
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("approach", "k_basis", "reduced_dim", "k_max", "window",
-                     "block_rows", "fd_shrink"),
-    donate_argnames=("state",),
-)
-def _window_step(state: StreamState, fused: jax.Array, n_clusters: jax.Array,
-                 key: jax.Array, *, approach: str, k_basis: int,
-                 reduced_dim: int, k_max: int, window: int, block_rows: int,
-                 fd_shrink: str = "subspace"):
+def _window_step_impl(state: StreamState, fused: jax.Array,
+                      n_clusters: jax.Array, key: jax.Array, *, approach: str,
+                      k_basis: int, reduced_dim: int, k_max: int, window: int,
+                      block_rows: int, fd_shrink: str = "subspace"):
     """Device portion of one window given the fused adjacency matrix.
 
     Returns (new_state, reduced (n, reduced_dim or sketch row space), labels
-    (n,) or zeros for host-clustered approaches).
+    (n,) or zeros for host-clustered approaches).  Plain traceable function —
+    jitted per-window as ``_window_step`` and inlined into the scanned
+    multi-window dispatch (``_scanned_window_steps``).
     """
     n = fused.shape[0]
 
@@ -229,63 +225,83 @@ def _window_step(state: StreamState, fused: jax.Array, n_clusters: jax.Array,
     return state, reduced, labels
 
 
+_window_step = functools.partial(jax.jit, static_argnames=(
+    "approach", "k_basis", "reduced_dim", "k_max", "window", "block_rows",
+    "fd_shrink"), donate_argnames=("state",))(_window_step_impl)
+
+
 LARGE_WINDOW_ROWS = 32_768   # beyond this, windows use rematerialized blocks
 LARGE_BLOCK = 2_048
 
-# approaches whose per-window device work carries no sequential device state
-# in the tumbling regime (sketch/reduction/clustering all per-window; only the
-# host-side label matching chains windows) — eligible for batched dispatch
-BATCHABLE_APPROACHES = ("SWFDMC", "sSVDMC", "sSVDMC_hung", "sSVDMC_pot")
+# approaches whose per-window host glue is only the label matching (no
+# per-window host clustering like the DBSCAN family) — eligible for scanned
+# multi-window dispatch; device state (SWFD ring, MiniBatch centroids)
+# threads through the scan carry exactly as in per-window dispatch
+BATCHABLE_APPROACHES = ("SWFDMC", "sSVDMC", "sSVDMC_hung", "sSVDMC_pot",
+                        "sSVDMC_mini", "sSpectral")
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("approach", "k_basis", "reduced_dim", "k_max",
-                     "fd_shrink", "types", "use_pallas"))
-def _batched_window_step(feats_batch: tuple, n_clusters: jax.Array,
-                         keys: jax.Array, *, approach: str, k_basis: int,
-                         reduced_dim: int, k_max: int, fd_shrink: str,
-                         types: tuple, use_pallas: bool):
-    """W independent tumbling windows in ONE dispatch (vmap over windows).
+    static_argnames=("approach", "k_basis", "reduced_dim", "k_max", "window",
+                     "block_rows", "fd_shrink", "types", "use_pallas",
+                     "tags_dim", "text_dim"),
+    donate_argnames=("state",))
+def _scanned_window_steps(state: StreamState, feats_batch: tuple,
+                          n_clusters: jax.Array, keys: jax.Array, *,
+                          approach: str, k_basis: int, reduced_dim: int,
+                          k_max: int, window: int, block_rows: int,
+                          fd_shrink: str, types: tuple, use_pallas: bool,
+                          tags_dim: int, text_dim: int):
+    """W tumbling windows in ONE dispatch: ``lax.scan`` over the window axis.
 
-    Amortizes per-window dispatch latency and host->device transfer batching;
-    valid because in the tumbling regime each window's sketch/reduction/
-    clustering depends only on its own rows (the SWFD query covers exactly
-    the window — see the semantics note in _window_step) and cross-window
-    label matching runs on host afterwards.
+    Amortizes the per-window dispatch round trip (the dominant cost on remote
+    TPU links) while staying numerically identical to per-window dispatch:
+    unlike a vmap batch, the scan (a) threads the real cross-window device
+    state (SWFD ring, MiniBatch centroids) through the carry, (b) keeps
+    ``lax.cond`` a real branch so the subspace shrink's gated eigh fallback
+    stays off the hot path, and (c) supports the fused Pallas affinity kernel
+    (the scan body is traced once — no batch grid dimension).  Host-side
+    label matching chains the returned per-window labels afterwards.
     """
 
-    def one(feats, k, key):
+    def body(state, per_window):
+        feats, k, key = per_window
         if types[0] == "standard_sparse":
             loc, tim, uid, tags_ids, text_ids, text_cnt, tags_valid = feats
-            fused = _fuse_standard_sparse(
-                loc, tim, uid.astype(jnp.int32), tags_ids, text_ids, text_cnt,
-                tags_valid, k_basis=k_basis, tags_dim=int(types[1]),
-                text_dim=int(types[2]))
+            if use_pallas:
+                fused = _fuse_standard_pallas(
+                    loc, tim, uid.astype(jnp.int32), tags_ids, text_ids,
+                    text_cnt, tags_valid, k_basis=k_basis, tags_dim=tags_dim,
+                    text_dim=text_dim, sparse=True)
+            else:
+                fused = _fuse_standard_sparse(
+                    loc, tim, uid.astype(jnp.int32), tags_ids, text_ids,
+                    text_cnt, tags_valid, k_basis=k_basis, tags_dim=tags_dim,
+                    text_dim=text_dim)
         elif types == ("standard",):
             loc, tim, uid, tags, text, tags_valid = feats
-            fused = _fuse_standard(loc, tim, uid.astype(jnp.int32),
-                                   tags.astype(jnp.float32),
-                                   text.astype(jnp.float32), k_basis,
-                                   tags_valid)
+            if use_pallas:
+                fused = _fuse_standard_pallas(
+                    loc, tim, uid.astype(jnp.int32), tags.astype(jnp.float32),
+                    text.astype(jnp.float32), None, tags_valid,
+                    k_basis=k_basis, tags_dim=tags_dim, text_dim=text_dim,
+                    sparse=False)
+            else:
+                fused = _fuse_standard(loc, tim, uid.astype(jnp.int32),
+                                       tags.astype(jnp.float32),
+                                       text.astype(jnp.float32), k_basis,
+                                       tags_valid)
         else:
             fused = _fuse_generic(feats, k_basis=k_basis, types=types,
                                   use_pallas=use_pallas)
-        n = fused.shape[0]
-        if approach == "SWFDMC":
-            ell = min(reduced_dim, n)
-            # the whole step is vmapped over windows, so conds lower to
-            # selects (both shrink branches execute) — use plain eigh here
-            # rather than paying Newton-Schulz on top of it
-            blk, _, _ = fd.hierarchical_sketch(
-                fused, ell=ell, lanes=_choose_lanes(n, ell), mode="eigh")
-            reduced = blk.T
-        else:
-            reduced = reduction.svd_reduce(fused, reduced_dim, key)
-        labels, _ = kmeans.kmeans(reduced, k, key, k_max=k_max)
-        return labels
+        state, _, labels = _window_step_impl(
+            state, fused, k, key, approach=approach, k_basis=k_basis,
+            reduced_dim=reduced_dim, k_max=k_max, window=window,
+            block_rows=block_rows, fd_shrink=fd_shrink)
+        return state, labels
 
-    return jax.vmap(one)(feats_batch, n_clusters, keys)
+    return jax.lax.scan(body, state, (feats_batch, n_clusters, keys))
 
 
 class StreamingEngine:
@@ -340,12 +356,14 @@ class StreamingEngine:
                 raise ValueError(
                     f"data_shards={cfg.data_shards} but only "
                     f"{len(jax.devices())} devices visible")
-            if cfg.window_size > LARGE_WINDOW_ROWS or cfg.force_blocked_window:
+            if ((cfg.window_size > LARGE_WINDOW_ROWS
+                 or cfg.force_blocked_window)
+                    and cfg.approach != "SWFDMC"):
                 raise ValueError(
-                    "data_shards>1 is the dense-window SPMD path; the "
-                    "rematerialized huge-window path is single-chip — drop "
-                    "force_blocked_window or use window_size <= "
-                    f"{LARGE_WINDOW_ROWS}")
+                    "data_shards>1 on the rematerialized huge-window path is "
+                    "supported for SWFDMC (row-sharded blocked FD sweep + ICI "
+                    "sketch merge); other approaches need window_size <= "
+                    f"{LARGE_WINDOW_ROWS} or data_shards=1")
             self.mesh = mesh_mod.make_mesh(n_data=cfg.data_shards)
 
     # ------------------------------------------------------------------
@@ -388,8 +406,11 @@ class StreamingEngine:
         from mused_tpu.data import features as featmod
         cfg = self.cfg
         n = cfg.window_size
-        block = min(LARGE_BLOCK, n)
-        pad = (-n) % block
+        # sharded sweep: each of the p chips needs an equal share of row
+        # blocks, so size blocks from the per-chip range and pad to block*p
+        p = self.mesh.shape["data"] if self.mesh is not None else 1
+        block = min(LARGE_BLOCK, max(n // p, 1))
+        pad = (-n) % (block * p)
         if isinstance(features, (featmod.WindowFeatures,
                                  featmod.SparseWindowFeatures)):
             if pad:
@@ -410,8 +431,23 @@ class StreamingEngine:
         with self.timer.span("device_step"):
             if cfg.approach == "SWFDMC":
                 ell = min(cfg.reduced_dim, n)
-                sk, sq_fro, _loss = ba.blocked_fd_sketch(
-                    cols, ell=ell, block=block, k_basis=cfg.k_basis)
+                if self.mesh is not None:
+                    # row-sharded blocked sweep + ICI sketch merge: each chip
+                    # rematerializes its own range of adjacency row blocks
+                    from mused_tpu.parallel import sharded as shard_mod
+                    n_pad = cols.n
+                    p = self.mesh.shape["data"]
+                    if (n_pad // block) % p:
+                        raise ValueError(
+                            f"huge-window SPMD needs the {n_pad // block} row "
+                            f"blocks (block={block}) to split evenly over "
+                            f"data_shards={p}")
+                    sk, sq_fro, _loss = shard_mod.sharded_blocked_fd_sketch(
+                        cols, ell=ell, block=block, k_basis=cfg.k_basis,
+                        mesh=self.mesh, topology=cfg.merge_topology)
+                else:
+                    sk, sq_fro, _loss = ba.blocked_fd_sketch(
+                        cols, ell=ell, block=block, k_basis=cfg.k_basis)
                 # the padded columns are invalid -> their adjacency columns
                 # are zero; slice the sketch back to d=n
                 reduced = sk.T[:n]
@@ -780,12 +816,11 @@ def _run_batched(results, engine, cfg, todo, data_modalities, modality_types,
                  noise_rate, label_mode, sorting, reduced_dim, k_basis,
                  total_start):
     """Batched-dispatch tumbling stream: W windows per device call
-    (_batched_window_step), host matching chains the labels afterwards."""
+    (_scanned_window_steps), host matching chains the labels afterwards."""
     standard = list(modality_types) == ["location", "time", "username",
                                         "tags", "text"]
     if standard and cfg.features.sparse:
-        types = ("standard_sparse", str(cfg.features.tags_hash_dim),
-                 str(cfg.features.text_hash_dim))
+        types = ("standard_sparse",)
     elif standard:
         types = ("standard",)
     else:
@@ -828,6 +863,14 @@ def _run_batched_loop(results, engine, cfg, todo, feats_iter,
             lo, hi = i - window_size + 1, i + 1
             labels_list.append(complete_true_labels[lo:hi])
             feats_list.append(next(feats_iter))
+        # pad the stream's tail group by repeating the last window so the
+        # scanned step compiles for ONE static W (extra outputs dropped;
+        # state pollution is irrelevant past stream end)
+        n_real = len(group)
+        while len(feats_list) < batch_w:
+            feats_list.append(feats_list[-1])
+            labels_list.append(labels_list[-1])
+            group = group + group[-1:]
         feats_batch = tuple(jnp.stack([f[j] for f in feats_list])
                             for j in range(len(feats_list[0])))
         n_clusters = jnp.asarray([len(np.unique(t)) for t in labels_list],
@@ -835,16 +878,18 @@ def _run_batched_loop(results, engine, cfg, todo, feats_iter,
         keys = jax.vmap(lambda w: jax.random.fold_in(
             jax.random.key(cfg.seed), w))(jnp.asarray([w for w, _ in group]))
         with engine.timer.span("batched_device_step"):
-            batch_labels = np.asarray(_batched_window_step(
-                feats_batch, n_clusters, keys, approach=cfg.approach,
-                k_basis=cfg.k_basis, reduced_dim=cfg.reduced_dim,
-                k_max=engine.k_max, fd_shrink=cfg.fd_shrink, types=types,
-                # the batched step vmaps the whole window: keep the affinity
-                # on XLA there unless the caller explicitly forced Pallas
-                # (vmap-of-pallas_call adds a batch grid dim; untested combo)
-                use_pallas=bool(cfg.use_pallas_affinity)))
+            engine.state, batch_labels = _scanned_window_steps(
+                engine.state, feats_batch, n_clusters, keys,
+                approach=cfg.approach, k_basis=cfg.k_basis,
+                reduced_dim=cfg.reduced_dim, k_max=engine.k_max,
+                window=window_size, block_rows=engine.block_rows,
+                fd_shrink=cfg.fd_shrink, types=types,
+                use_pallas=engine.use_pallas,
+                tags_dim=cfg.features.tags_hash_dim,
+                text_dim=cfg.features.text_hash_dim)
+            batch_labels = np.asarray(batch_labels)
         method = engine._match_method()
-        for pos in range(len(group)):
+        for pos in range(n_real):
             clusters = matching.match_clusters(
                 prev_clusters, batch_labels[pos], method=method, min_overlap=3,
                 sinkhorn_reg=cfg.sinkhorn_reg, sinkhorn_iters=cfg.sinkhorn_iters)

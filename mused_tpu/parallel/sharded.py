@@ -361,3 +361,72 @@ def sharded_window_step(location, times, user_ids, tags, text, n_clusters,
     labels, _ = kmeans_sharded(reduced, n_clusters, key, k_max=k_max,
                                mesh=mesh)
     return labels, reduced
+
+
+# ---------------------------------------------------------------------------
+# sharded huge-window path: rematerialized row blocks, one chip per row range
+# ---------------------------------------------------------------------------
+
+def sharded_blocked_fd_sketch(cols, *, ell: int, block: int, k_basis: int,
+                              mesh, topology: str = "allgather"):
+    """Multi-chip FD sketch of the implicit fused adjacency of a HUGE window.
+
+    The single-chip huge-window path (ops/blocked_affinity.blocked_fd_sketch,
+    BASELINE.md #3) sweeps rematerialized (block, n) adjacency row blocks
+    sequentially; here the sweep is row-sharded over the mesh "data" axis:
+    column feature tensors are replicated (they are the small per-row
+    features, not the O(n^2) matrix), each chip folds a local FD sketch over
+    its contiguous range of row blocks, and the per-chip sketches merge over
+    ICI (allgather or ring — FD mergeability, SURVEY.md §2.8).  Scaling is
+    embarrassing up to the merge: p chips sweep p-fold fewer blocks each.
+
+    Returns (sketch (ell, n), sq_frobenius, shrink_loss) exactly like
+    blocked_fd_sketch.  Requires block | n and p | (n // block).
+    """
+    n = cols.n
+    p = mesh.shape["data"]
+    if n % block:
+        raise ValueError(f"block={block} must divide n={n} (pad upstream)")
+    if (n // block) % p:
+        raise ValueError(
+            f"row blocks ({n // block}) must split evenly over "
+            f"data_shards={p}; choose block so that (n/block) % p == 0")
+    return _sharded_blocked_fd_impl(
+        cols.tensors, cols.valids, cols.idf, kinds=cols.kinds, ell=ell,
+        block=block, k_basis=k_basis, mesh=mesh, topology=topology)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("kinds", "ell", "block", "k_basis",
+                                    "mesh", "topology"))
+def _sharded_blocked_fd_impl(tensors, valids, idf, *, kinds, ell: int,
+                             block: int, k_basis: int, mesh,
+                             topology: str):
+    from mused_tpu.ops import blocked_affinity as ba
+    n = tensors[0].shape[0]
+    starts = jnp.arange(n // block, dtype=jnp.int32) * block
+
+    def body(tensors, valids, idf, starts_s):
+        cols = ba.Columns(kinds=kinds, tensors=tensors, valids=valids,
+                          idf=idf)
+
+        def step(state, start):
+            fused = ba.fused_rowblock(cols, start, block, k_basis)
+            return fd.update_stream(state, fused), None
+
+        st, _ = jax.lax.scan(step, fd.init(ell, n), starts_s)
+        sq = jax.lax.psum(st.sq_frobenius, "data")
+        loss = jax.lax.psum(st.shrink_loss, "data")
+        if topology == "ring":
+            merged = sketch_merge.ring_merge(st.sketch)
+        else:
+            merged = sketch_merge.allgather_merge(st.sketch, ell)
+        return merged[None], sq[None], loss[None]
+
+    merged, sq, loss = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P(), P("data")),
+        out_specs=(P("data", None, None), P("data"), P("data")),
+        check_vma=False,
+    )(tensors, valids, idf, starts)
+    return merged[0], sq[0], loss[0]

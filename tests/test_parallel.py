@@ -268,3 +268,72 @@ def test_engine_sharded_rejects_bad_config(engine_stream):
         StreamingEngine(PipelineConfig(window_size=65, data_shards=8))
     with pytest.raises(ValueError, match="devices"):
         StreamingEngine(PipelineConfig(window_size=512, data_shards=512))
+
+
+# ---------------------------------------------------------------------------
+# sharded huge-window path (rematerialized blocked sweep over the mesh)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("topology", ["allgather", "ring"])
+def test_sharded_blocked_fd_sketch_quality(rng, mesh8, topology):
+    """Row-sharded blocked FD sweep + ICI merge: the merged sketch covers the
+    implicit fused adjacency within the FD merge bound, and matches the
+    single-chip blocked sketch's quality."""
+    from mused_tpu.ops import blocked_affinity as ba
+    n, block, ell, kb = 512, 32, 16, 4
+    mats = [rng.normal(size=(n, 8)).astype(np.float32),
+            rng.normal(size=(n, 12)).astype(np.float32)]
+    cols = ba.generic_columns(mats, ("embedding", "default"))
+    sk, sq, loss = sharded.sharded_blocked_fd_sketch(
+        cols, ell=ell, block=block, k_basis=kb, mesh=mesh8, topology=topology)
+    sk1, sq1, _ = ba.blocked_fd_sketch(cols, ell=ell, block=block, k_basis=kb)
+    assert float(sq) == pytest.approx(float(sq1), rel=1e-5)
+
+    full = np.concatenate([np.asarray(ba.fused_rowblock(cols, s, block, kb))
+                           for s in range(0, n, block)])
+    err = float(fd.covariance_error(jnp.asarray(full), sk))
+    err1 = float(fd.covariance_error(jnp.asarray(full), sk1))
+    bound = 2.0 * np.linalg.norm(full, "fro") ** 2 / ell
+    assert err <= bound
+    assert err <= 2.0 * max(err1, 1e-6) + 0.1 * bound   # comparable quality
+
+
+def test_sharded_blocked_fd_rejects_uneven_blocks(rng, mesh8):
+    from mused_tpu.ops import blocked_affinity as ba
+    mats = [rng.normal(size=(96, 4)).astype(np.float32)]
+    cols = ba.generic_columns(mats, ("default",))
+    with pytest.raises(ValueError):
+        sharded.sharded_blocked_fd_sketch(cols, ell=8, block=32, k_basis=2,
+                                          mesh=mesh8)   # 3 blocks over 8
+
+
+def _run_engine_blocked(engine_stream, approach, shards):
+    from mused_tpu import api
+    from mused_tpu.utils.config import PipelineConfig
+    mods, mtypes, labels = engine_stream
+    cfg = PipelineConfig(window_size=64, reduced_dim=8, k_basis=3,
+                         approach=approach, label_mode="binary",
+                         n_clusters_override=2, data_shards=shards,
+                         force_blocked_window=True)
+    results, _ = api.get_initial_results()
+    return api.process_streaming_data(
+        results=results, data_modalities=mods, modality_types=mtypes,
+        window_size=64, reduced_dim=8, k_basis=3, n_clusters_total=2,
+        seed=0, approach=approach, complete_true_labels=labels,
+        step_window_ratio=1, noise_rate=0.5, label_mode="binary",
+        sorting=True, eps=1.5, min_samples=2, cfg=cfg)
+
+
+def test_engine_huge_window_sharded(engine_stream):
+    """SWFDMC on the forced-blocked (huge-window) path under data_shards=4:
+    runs end-to-end on the mesh and clusters comparably to the single-chip
+    blocked run (different valid sketch structure -> metric-level parity)."""
+    one = _run_engine_blocked(engine_stream, "SWFDMC", 1)
+    four = _run_engine_blocked(engine_stream, "SWFDMC", 4)
+    assert np.isfinite(four["nmi_score"][0])
+    assert four["f1_score"][0] >= one["f1_score"][0] - 0.15
+
+
+def test_engine_huge_window_sharded_rejects_non_swfdmc(engine_stream):
+    with pytest.raises(ValueError):
+        _run_engine_blocked(engine_stream, "sSVDMC", 4)

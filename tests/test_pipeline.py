@@ -145,20 +145,21 @@ def test_reference_opslevel_api(modalities):
     assert set(np.unique(clusters)) <= {0, 1}
 
 
-@pytest.mark.parametrize("approach", ["SWFDMC", "sSVDMC"])
+@pytest.mark.parametrize("approach",
+                         ["SWFDMC", "sSVDMC", "sSVDMC_mini", "sSpectral"])
 def test_batched_windows_match_sequential(modalities, approach):
     """windows_per_batch > 1 must reproduce the sequential engine's metrics
-    (tumbling windows are device-independent; matching chains on host).
-    fd_shrink is pinned to eigh: the batched path is vmapped, which lowers the
-    subspace shrink's health-gate cond to select, so it uses eigh by design."""
+    exactly: the scanned dispatch threads the real device state (SWFD ring,
+    MiniBatch centroids) through the lax.scan carry, keeps the subspace
+    shrink's gated cond a real branch, and pads the stream's tail group
+    (batch_w=3 over 4 windows exercises the padding)."""
     from mused_tpu.utils.config import PipelineConfig
     mods, mtypes, labels = modalities
     out = {}
-    for w in (1, 4):
+    for w in (1, 3):
         cfg = PipelineConfig(window_size=64, reduced_dim=8, k_basis=3,
                              approach=approach, label_mode="binary",
-                             n_clusters_override=2, windows_per_batch=w,
-                             fd_shrink="eigh")
+                             n_clusters_override=2, windows_per_batch=w)
         results, _ = api.get_initial_results()
         results = api.process_streaming_data(
             results=results, data_modalities=mods, modality_types=mtypes,
@@ -167,5 +168,5 @@ def test_batched_windows_match_sequential(modalities, approach):
             step_window_ratio=1, noise_rate=0.5, label_mode="binary",
             sorting=True, eps=1.5, min_samples=2, cfg=cfg)
         out[w] = (results["nmi_score"][0], results["f1_score"][0])
-    assert out[4][0] == pytest.approx(out[1][0], abs=1e-6)
-    assert out[4][1] == pytest.approx(out[1][1], abs=1e-6)
+    assert out[3][0] == pytest.approx(out[1][0], abs=1e-6)
+    assert out[3][1] == pytest.approx(out[1][1], abs=1e-6)
