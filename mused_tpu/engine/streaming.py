@@ -501,9 +501,13 @@ class StreamingEngine:
             return "pot" if self.cfg.approach == "sSVDMC_pot" else "hungarian"
         return self.cfg.matching
 
-    def _stable_feats(self, features) -> np.ndarray | None:
+    def _stable_feats(self, window_modalities, features) -> np.ndarray | None:
         """Per-row matrix in the (window-rotation-free) input feature space,
-        for centroid matching.  None unless cfg.matching="centroid"."""
+        for centroid matching.  None unless cfg.matching="centroid".
+
+        Built from the HOST-side window modalities, not the (prefetcher-
+        device_put) feature tensors — np.asarray on those would pull the
+        window back over the interconnect every window."""
         if self.centroid_matcher is None:
             return None
         if isinstance(features, (feat.WindowFeatures,
@@ -513,8 +517,8 @@ class StreamingEngine:
                 "(embeddings etc.); standard SED2012 streams use the "
                 "reference positional matching or the DBSCAN_centr approach")
         return np.concatenate(
-            [np.asarray(f, np.float32).reshape(len(f), -1) for f in features],
-            axis=1)
+            [np.asarray(m, np.float32).reshape(len(m), -1)
+             for m in window_modalities], axis=1)
 
     # ------------------------------------------------------------------
     def featurize(self, window_modalities, modality_types):
@@ -588,7 +592,7 @@ class StreamingEngine:
 
         n_clusters = int(len(np.unique(window_true_labels)))
         key = jax.random.fold_in(jax.random.key(cfg.seed), window_index)
-        stable_feats = self._stable_feats(features)
+        stable_feats = self._stable_feats(window_modalities, features)
 
         if self.mesh is not None:
             from mused_tpu.parallel import sharded as shard_mod
@@ -762,12 +766,15 @@ def process_streaming_data(results, data_modalities, modality_types,
                                 modality_types)
 
     batch_w = max(int(getattr(cfg, "windows_per_batch", 1)), 1)
+    standard_types = list(modality_types) == ["location", "time", "username",
+                                              "tags", "text"]
     # checkpointing needs the per-window sequential loop (the batched path
-    # would otherwise silently skip saving)
+    # would otherwise silently skip saving); centroid matching works batched
+    # on numeric streams (host modality slices feed the registry)
     if (batch_w > 1 and cfg.approach in BATCHABLE_APPROACHES
             and step_window_ratio == 1 and not cfg.force_blocked_window
             and window_size <= LARGE_WINDOW_ROWS and not checkpoint_dir
-            and cfg.matching != "centroid"   # needs per-window host feats
+            and not (cfg.matching == "centroid" and standard_types)
             and cfg.data_shards == 1):   # sharded mode is per-window SPMD
         return _run_batched(results, engine, cfg, todo, data_modalities,
                             modality_types, complete_true_labels, prev_clusters,
@@ -846,7 +853,8 @@ def _run_batched(results, engine, cfg, todo, data_modalities, modality_types,
             results, engine, cfg, todo, feats_iter, complete_true_labels,
             prev_clusters, all_clusters, all_true_labels, window_size,
             batch_w, subset_size, noise_rate, label_mode, sorting,
-            reduced_dim, k_basis, total_start, types, standard)
+            reduced_dim, k_basis, total_start, types, standard,
+            data_modalities)
     finally:
         prefetcher.close()
 
@@ -855,7 +863,7 @@ def _run_batched_loop(results, engine, cfg, todo, feats_iter,
                       complete_true_labels, prev_clusters, all_clusters,
                       all_true_labels, window_size, batch_w, subset_size,
                       noise_rate, label_mode, sorting, reduced_dim, k_basis,
-                      total_start, types, standard):
+                      total_start, types, standard, data_modalities):
     for base in range(0, len(todo), batch_w):
         group = todo[base:base + batch_w]
         feats_list, labels_list = [], []
@@ -890,9 +898,19 @@ def _run_batched_loop(results, engine, cfg, todo, feats_iter,
             batch_labels = np.asarray(batch_labels)
         method = engine._match_method()
         for pos in range(n_real):
-            clusters = matching.match_clusters(
-                prev_clusters, batch_labels[pos], method=method, min_overlap=3,
-                sinkhorn_reg=cfg.sinkhorn_reg, sinkhorn_iters=cfg.sinkhorn_iters)
+            if engine.centroid_matcher is not None:
+                _, i = group[pos]
+                lo, hi = i - window_size + 1, i + 1
+                stable = np.concatenate(
+                    [np.asarray(m[lo:hi], np.float32).reshape(hi - lo, -1)
+                     for m in data_modalities], axis=1)
+                clusters = engine.centroid_matcher.match(
+                    stable, batch_labels[pos])
+            else:
+                clusters = matching.match_clusters(
+                    prev_clusters, batch_labels[pos], method=method,
+                    min_overlap=3, sinkhorn_reg=cfg.sinkhorn_reg,
+                    sinkhorn_iters=cfg.sinkhorn_iters)
             if clusters is None or len(clusters) == 0:
                 clusters = np.full(window_size, 0)
             prev_clusters = np.asarray(clusters)

@@ -132,8 +132,11 @@ def fused_rowblock(cols: Columns, start, block: int,
                 != jnp.arange(cols.n)[None, :]
             mats.append((same & not_self).astype(jnp.float32))
         elif kind == "tags":
-            inter = jnp.dot(tr, t.T, preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
+            # DEFAULT precision (TPU: bf16 operands, f32 accumulate): EXACT
+            # for the multi-hot count tensors (small ints <= token cap are
+            # bf16-representable) at ~6x the f32-HIGHEST MXU rate — this dot
+            # is the (block, n) sweep's biggest FLOP bucket at 100k windows
+            inter = jnp.dot(tr, t.T, preferred_element_type=jnp.float32)
             s_r, s_c = jnp.sum(tr, axis=1), jnp.sum(t, axis=1)
             union = s_r[:, None] + s_c[None, :] - inter
             sim = jnp.where(union > 0, inter / jnp.maximum(union, 1e-9), 0.0)
@@ -144,8 +147,12 @@ def fused_rowblock(cols: Columns, start, block: int,
             x_c = x_c / jnp.maximum(jnp.linalg.norm(x_c, axis=1, keepdims=True),
                                     1e-12)
             x_r = _rows(x_c, start, block)
-            sim = jnp.dot(x_r, x_c.T, preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
+            # DEFAULT precision: on TPU the idf-scaled operands truncate to
+            # bf16 (f32 accumulate), which can flip kNN ranking inside
+            # near-tie groups — metric-level parity (F1 +-0.5) unaffected,
+            # and the huge-window regime has no dense path to be bit-equal
+            # to; CPU (the test oracle) keeps full f32
+            sim = jnp.dot(x_r, x_c.T, preferred_element_type=jnp.float32)
             mats.append(affinity.knn_adjacency_block(sim, vr, valid, k_basis,
                                                      start))
         elif kind == "embedding":

@@ -171,3 +171,31 @@ def test_centroid_matching_recovers_global_nmi_on_unsorted_stream():
         scores[match] = r["nmi_score"][0]
     assert scores["centroid"] > 0.7
     assert scores["centroid"] > scores["auto"] + 0.2
+
+
+def test_centroid_matching_batched_dispatch_matches_sequential():
+    """matching='centroid' + windows_per_batch>1: the scanned dispatch feeds
+    the centroid registry from host modality slices — results must equal the
+    per-window path exactly."""
+    from mused_tpu import api
+    from mused_tpu.data.synthetic import crisis_embedding_stream
+    from mused_tpu.utils.config import PipelineConfig
+
+    mods, mtypes, labels = crisis_embedding_stream(
+        n_rows=640, n_events=3, noise_rate=0.25, d_text=48, d_image=48,
+        seed=1)
+    out = {}
+    for w in (1, 3):
+        cfg = PipelineConfig(window_size=128, reduced_dim=32, k_basis=6,
+                             approach="sSpectral", label_mode="all",
+                             n_clusters_override=4, matching="centroid",
+                             windows_per_batch=w)
+        r, _ = api.get_initial_results()
+        r = api.process_streaming_data(
+            results=r, data_modalities=mods, modality_types=mtypes,
+            window_size=128, reduced_dim=32, k_basis=6, n_clusters_total=4,
+            seed=0, approach="sSpectral", complete_true_labels=labels,
+            step_window_ratio=1, noise_rate=0.25, label_mode="all",
+            sorting=False, eps=1.5, min_samples=2, cfg=cfg)
+        out[w] = (r["nmi_score"][0], r["f1_score"][0])
+    assert out[3] == pytest.approx(out[1], abs=1e-9)
