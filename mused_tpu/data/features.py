@@ -220,13 +220,28 @@ def featurize_window(location: np.ndarray, times: np.ndarray,
         # (the -1 padding survives), counts saturate at uint8
         def _slim_ids(ids, dim):
             return ids.astype(np.int16) if dim < 32768 else ids
+
+        tags_ids = _slim_ids(sp_tags, cfg.tags_hash_dim)
+        text_ids = _slim_ids(sp_text[0], cfg.text_hash_dim)
+        text_cnt = np.minimum(sp_text[1], 255).astype(np.uint8)
+        if cfg.trim_token_cols:
+            # tokens fill columns left to right, so the columns beyond the
+            # window's max occupancy are pure -1/0 padding: slice them off
+            # (rounded up to a multiple of 8 so widths - and therefore
+            # compiled graphs - stay few).  Typical records carry far fewer
+            # tokens than the worst-case caps; on the transfer-bound remote
+            # link this is the biggest per-window byte saving.
+            def _width(ids):
+                occupied = int((ids >= 0).sum(axis=1).max(initial=0))
+                return min(ids.shape[1], max(8, -(-occupied // 8) * 8))
+            wt = _width(tags_ids)
+            wx = _width(text_ids)
+            tags_ids = tags_ids[:, :wt]
+            text_ids, text_cnt = text_ids[:, :wx], text_cnt[:, :wx]
         return SparseWindowFeatures(location=loc, times=tim, user_ids=uids,
-                                    tags_ids=_slim_ids(sp_tags,
-                                                       cfg.tags_hash_dim),
-                                    text_ids=_slim_ids(sp_text[0],
-                                                       cfg.text_hash_dim),
-                                    text_cnt=np.minimum(sp_text[1], 255)
-                                    .astype(np.uint8),
+                                    tags_ids=tags_ids,
+                                    text_ids=text_ids,
+                                    text_cnt=text_cnt,
                                     tags_valid=tags_valid)
 
     # dense path: uint8 tensors (token counts never approach 255); still 4x

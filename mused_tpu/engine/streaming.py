@@ -879,8 +879,22 @@ def _run_batched_loop(results, engine, cfg, todo, feats_iter,
             feats_list.append(feats_list[-1])
             labels_list.append(labels_list[-1])
             group = group + group[-1:]
-        feats_batch = tuple(jnp.stack([f[j] for f in feats_list])
-                            for j in range(len(feats_list[0])))
+        def _stack(j):
+            parts = [f[j] for f in feats_list]
+            widths = {p.shape[1] for p in parts if p.ndim == 2}
+            if len(widths) > 1:
+                # trimmed token tensors can differ in width across the
+                # group's windows: pad to the group max (ids pad with the
+                # -1 invalid sentinel, counts with 0)
+                w = max(widths)
+                fill = (-1 if jnp.issubdtype(parts[0].dtype, jnp.signedinteger)
+                        else 0)   # signed = token ids; uint8 counts pad 0
+                parts = [jnp.pad(p, ((0, 0), (0, w - p.shape[1])),
+                                 constant_values=fill) if p.shape[1] < w
+                         else p for p in parts]
+            return jnp.stack(parts)
+
+        feats_batch = tuple(_stack(j) for j in range(len(feats_list[0])))
         n_clusters = jnp.asarray([len(np.unique(t)) for t in labels_list],
                                  jnp.int32)
         keys = jax.vmap(lambda w: jax.random.fold_in(

@@ -51,6 +51,10 @@ class FeatureConfig:
     sparse: bool = True
     tags_token_cap: int = 24
     text_token_cap: int = 96
+    trim_token_cols: bool = True   # slice each window's (n, T) id/count
+                                   # tensors down to the max occupied width
+                                   # (multiple of 8): same results, far fewer
+                                   # bytes over the interconnect
 
 
 @dataclasses.dataclass(frozen=True)

@@ -137,3 +137,42 @@ def test_sparse_native_matches_python(rng):
     p_ids, p_cnt = feat.hash_text_sparse_py(texts, 512, 16)
     np.testing.assert_array_equal(n_ids, p_ids)
     np.testing.assert_array_equal(n_cnt, p_cnt)
+
+
+def test_trim_token_cols_preserves_scatter():
+    """trim_token_cols slices only all-padding columns: the dense scatter of
+    trimmed and untrimmed sparse features is identical, and the trimmed
+    width tracks the window's max occupancy (multiple of 8)."""
+    import jax.numpy as jnp
+    from mused_tpu.data import features as feat
+    from mused_tpu.ops import affinity
+    from mused_tpu.utils.config import FeatureConfig
+
+    n = 32
+    rng = np.random.default_rng(0)
+    loc = rng.uniform(-10, 10, size=(n, 2))
+    times = np.stack([rng.uniform(1e9, 1.1e9, n)] * 2, axis=1)
+    users = np.array([[f"u{i % 5}"] for i in range(n)], object)
+    tags = np.array([[["a", "b", f"t{i % 3}"]] for i in range(n)], object)
+    texts = np.array([[f"short text {i % 4} words here", "desc"]
+                      for i in range(n)], object)
+
+    base = dict(tags_hash_dim=64, text_hash_dim=128, sparse=True)
+    trimmed = feat.featurize_window(loc, times, users, tags, texts,
+                                    FeatureConfig(**base))
+    full = feat.featurize_window(loc, times, users, tags, texts,
+                                 FeatureConfig(**base, trim_token_cols=False))
+    assert trimmed.text_ids.shape[1] <= 16 < full.text_ids.shape[1]
+    assert trimmed.tags_ids.shape[1] % 8 == 0
+    for tr, fu, w in ((trimmed.tags_ids, full.tags_ids, None),
+                      ((trimmed.text_ids, trimmed.text_cnt),
+                       (full.text_ids, full.text_cnt), True)):
+        if w is None:
+            a = affinity.counts_from_tokens(jnp.asarray(tr), None, 64)
+            b = affinity.counts_from_tokens(jnp.asarray(fu), None, 64)
+        else:
+            a = affinity.counts_from_tokens(jnp.asarray(tr[0]),
+                                            jnp.asarray(tr[1]), 128)
+            b = affinity.counts_from_tokens(jnp.asarray(fu[0]),
+                                            jnp.asarray(fu[1]), 128)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
