@@ -708,7 +708,8 @@ def process_streaming_data(results, data_modalities, modality_types,
                            checkpoint_dir: str | None = None,
                            checkpoint_every: int = 1, data_shards: int = 1,
                            merge_topology: str = "allgather",
-                           verbose: bool = False, matching: str = "auto"):
+                           verbose: bool = False, matching: str = "auto",
+                           windows_per_batch: int = 1):
     """Drop-in equivalent of reference main.py:13-130.
 
     New over the reference: pass ``checkpoint_dir`` to checkpoint the full
@@ -731,7 +732,8 @@ def process_streaming_data(results, data_modalities, modality_types,
             eps=eps, min_samples=min_samples,
             n_clusters_override=int(n_clusters_total),
             data_shards=data_shards, merge_topology=merge_topology,
-            verbose=verbose, matching=matching)
+            verbose=verbose, matching=matching,
+            windows_per_batch=windows_per_batch)
 
     engine = StreamingEngine(cfg)
     all_clusters: list[np.ndarray] = []
