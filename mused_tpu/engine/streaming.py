@@ -444,10 +444,12 @@ class StreamingEngine:
                             f"data_shards={p}")
                     sk, sq_fro, _loss = shard_mod.sharded_blocked_fd_sketch(
                         cols, ell=ell, block=block, k_basis=cfg.k_basis,
-                        mesh=self.mesh, topology=cfg.merge_topology)
+                        mesh=self.mesh, topology=cfg.merge_topology,
+                        mode=cfg.fd_shrink)
                 else:
                     sk, sq_fro, _loss = ba.blocked_fd_sketch(
-                        cols, ell=ell, block=block, k_basis=cfg.k_basis)
+                        cols, ell=ell, block=block, k_basis=cfg.k_basis,
+                        mode=cfg.fd_shrink)
                 # the padded columns are invalid -> their adjacency columns
                 # are zero; slice the sketch back to d=n
                 reduced = sk.T[:n]

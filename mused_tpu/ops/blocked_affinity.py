@@ -199,23 +199,28 @@ def _scan_blocks(cols: Columns, block: int, k_basis: int, f, init):
 
 
 def blocked_fd_sketch(cols: Columns, *, ell: int, block: int,
-                      k_basis: int):
+                      k_basis: int, mode: str = "subspace"):
     """FD sketch (ell, n) of the implicit fused adjacency's rows, one
     rematerialized sweep (the huge-window SWFDMC regime, BASELINE.md #3:
     windows too large to materialize even once).
+
+    ``mode`` selects the shrink (ops/fd.py): "subspace" (default — the
+    engine's matmul-only adaptive shrink; measured the eigh-mode fold was
+    ~half the per-block time at 100k windows) or "eigh" (classic FD).
 
     Returns (sketch, sq_frobenius, shrink_loss) — feed to swfd.absorb_summary
     exactly like fd.hierarchical_sketch's output.
     """
     return _blocked_fd_impl(cols.tensors, cols.valids, cols.idf,
                             kinds=cols.kinds, ell=ell, block=block,
-                            k_basis=k_basis)
+                            k_basis=k_basis, mode=mode)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("kinds", "ell", "block", "k_basis"))
+                   static_argnames=("kinds", "ell", "block", "k_basis",
+                                    "mode"))
 def _blocked_fd_impl(tensors, valids, idf, *, kinds, ell: int, block: int,
-                     k_basis: int):
+                     k_basis: int, mode: str = "subspace"):
     from mused_tpu.ops import fd
     cols = Columns(kinds=kinds, tensors=tensors, valids=valids, idf=idf)
     n = cols.n
@@ -225,7 +230,7 @@ def _blocked_fd_impl(tensors, valids, idf, *, kinds, ell: int, block: int,
     assert n % block == 0, "choose block dividing n (pad rows upstream)"
 
     def f(state, fused, start):
-        return fd.update_stream(state, fused)
+        return fd.update_stream(state, fused, mode=mode)
 
     state = _scan_blocks(cols, block, k_basis, f, fd.init(ell, n))
     return state.sketch, state.sq_frobenius, state.shrink_loss

@@ -368,7 +368,8 @@ def sharded_window_step(location, times, user_ids, tags, text, n_clusters,
 # ---------------------------------------------------------------------------
 
 def sharded_blocked_fd_sketch(cols, *, ell: int, block: int, k_basis: int,
-                              mesh, topology: str = "allgather"):
+                              mesh, topology: str = "allgather",
+                              mode: str = "subspace"):
     """Multi-chip FD sketch of the implicit fused adjacency of a HUGE window.
 
     The single-chip huge-window path (ops/blocked_affinity.blocked_fd_sketch,
@@ -393,15 +394,16 @@ def sharded_blocked_fd_sketch(cols, *, ell: int, block: int, k_basis: int,
             f"data_shards={p}; choose block so that (n/block) % p == 0")
     return _sharded_blocked_fd_impl(
         cols.tensors, cols.valids, cols.idf, kinds=cols.kinds, ell=ell,
-        block=block, k_basis=k_basis, mesh=mesh, topology=topology)
+        block=block, k_basis=k_basis, mesh=mesh, topology=topology,
+        mode=mode)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("kinds", "ell", "block", "k_basis",
-                                    "mesh", "topology"))
+                                    "mesh", "topology", "mode"))
 def _sharded_blocked_fd_impl(tensors, valids, idf, *, kinds, ell: int,
                              block: int, k_basis: int, mesh,
-                             topology: str):
+                             topology: str, mode: str = "subspace"):
     from mused_tpu.ops import blocked_affinity as ba
     n = tensors[0].shape[0]
     starts = jnp.arange(n // block, dtype=jnp.int32) * block
@@ -412,7 +414,7 @@ def _sharded_blocked_fd_impl(tensors, valids, idf, *, kinds, ell: int,
 
         def step(state, start):
             fused = ba.fused_rowblock(cols, start, block, k_basis)
-            return fd.update_stream(state, fused), None
+            return fd.update_stream(state, fused, mode=mode), None
 
         st, _ = jax.lax.scan(step, fd.init(ell, n), starts_s)
         sq = jax.lax.psum(st.sq_frobenius, "data")
