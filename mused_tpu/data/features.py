@@ -231,9 +231,14 @@ def featurize_window(location: np.ndarray, times: np.ndarray,
             # compiled graphs - stay few).  Typical records carry far fewer
             # tokens than the worst-case caps; on the transfer-bound remote
             # link this is the biggest per-window byte saving.
+            # Width rounds up to a POWER OF TWO (>= 8, capped at the config
+            # cap): every distinct width compiles a fresh XLA graph (minutes
+            # each on the remote compiler), so widths must be few and sticky
+            # even when per-window occupancy drifts.
             def _width(ids):
                 occupied = int((ids >= 0).sum(axis=1).max(initial=0))
-                return min(ids.shape[1], max(8, -(-occupied // 8) * 8))
+                return min(ids.shape[1],
+                           1 << max(3, (max(occupied, 1) - 1).bit_length()))
             wt = _width(tags_ids)
             wx = _width(text_ids)
             tags_ids = tags_ids[:, :wt]

@@ -518,9 +518,7 @@ class StreamingEngine:
                 "matching='centroid' supports numeric-modality streams "
                 "(embeddings etc.); standard SED2012 streams use the "
                 "reference positional matching or the DBSCAN_centr approach")
-        return np.concatenate(
-            [np.asarray(m, np.float32).reshape(len(m), -1)
-             for m in window_modalities], axis=1)
+        return stable_feature_matrix(window_modalities)
 
     # ------------------------------------------------------------------
     def featurize(self, window_modalities, modality_types):
@@ -702,6 +700,15 @@ class StreamingEngine:
         return np.asarray(clusters)
 
 
+def stable_feature_matrix(window_modalities) -> np.ndarray:
+    """(n, d) input-feature-space matrix for centroid matching — shared by
+    the sequential (_stable_feats) and batched (_run_batched_loop) paths so
+    the registry sees one feature space."""
+    return np.concatenate(
+        [np.asarray(m, np.float32).reshape(len(m), -1)
+         for m in window_modalities], axis=1)
+
+
 def process_streaming_data(results, data_modalities, modality_types,
                            window_size, reduced_dim, k_basis, n_clusters_total,
                            seed, approach, complete_true_labels,
@@ -772,6 +779,13 @@ def process_streaming_data(results, data_modalities, modality_types,
     batch_w = max(int(getattr(cfg, "windows_per_batch", 1)), 1)
     standard_types = list(modality_types) == ["location", "time", "username",
                                               "tags", "text"]
+    if cfg.matching == "centroid" and standard_types:
+        # fail fast (matching the other config validations) instead of from
+        # _stable_feats at the first processed window
+        raise ValueError(
+            "matching='centroid' supports numeric-modality streams "
+            "(embeddings etc.); standard SED2012 streams use the reference "
+            "positional matching or the DBSCAN_centr approach")
     # checkpointing needs the per-window sequential loop (the batched path
     # would otherwise silently skip saving); centroid matching works batched
     # on numeric streams (host modality slices feed the registry)
@@ -919,11 +933,10 @@ def _run_batched_loop(results, engine, cfg, todo, feats_iter,
             if engine.centroid_matcher is not None:
                 _, i = group[pos]
                 lo, hi = i - window_size + 1, i + 1
-                stable = np.concatenate(
-                    [np.asarray(m[lo:hi], np.float32).reshape(hi - lo, -1)
-                     for m in data_modalities], axis=1)
                 clusters = engine.centroid_matcher.match(
-                    stable, batch_labels[pos])
+                    stable_feature_matrix([m[lo:hi]
+                                           for m in data_modalities]),
+                    batch_labels[pos])
             else:
                 clusters = matching.match_clusters(
                     prev_clusters, batch_labels[pos], method=method,

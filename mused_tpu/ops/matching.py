@@ -124,25 +124,39 @@ class CentroidMatcher:
     keeps IDs stable regardless of row order.
 
     Matched clusters inherit the registry ID (centroid refreshed to the new
-    window's mean); unmatched clusters get fresh globally-unique IDs.
+    window's mean); unmatched clusters get fresh globally-unique IDs.  The
+    registry is bounded: beyond ``max_registry`` entries the least recently
+    matched clusters are evicted (their IDs stay retired — `next_id` never
+    reuses them).
     """
 
-    def __init__(self, max_dist: float | None = None):
+    def __init__(self, max_dist: float | None = None,
+                 max_registry: int = 4096):
         self.max_dist = max_dist
+        self.max_registry = max_registry
         self.centroids: np.ndarray | None = None   # (P, d)
         self.ids: np.ndarray | None = None         # (P,)
+        self.last_used: np.ndarray | None = None   # (P,) window stamp
         self.next_id: int = 0
+        self.window: int = 0
 
     def snapshot(self) -> dict:
         return {"centroids": self.centroids, "ids": self.ids,
-                "next_id": self.next_id, "max_dist": self.max_dist}
+                "next_id": self.next_id, "max_dist": self.max_dist,
+                "max_registry": self.max_registry,
+                "last_used": self.last_used, "window": self.window}
 
     @classmethod
     def from_snapshot(cls, snap: dict) -> "CentroidMatcher":
-        m = cls(max_dist=snap.get("max_dist"))
+        m = cls(max_dist=snap.get("max_dist"),
+                max_registry=snap.get("max_registry", 4096))
         m.centroids = snap.get("centroids")
         m.ids = snap.get("ids")
         m.next_id = int(snap.get("next_id", 0))
+        m.window = int(snap.get("window", 0))
+        m.last_used = snap.get("last_used")
+        if m.last_used is None and m.ids is not None:
+            m.last_used = np.zeros(len(m.ids), np.int64)
         return m
 
     def match(self, feats: np.ndarray, clusters: np.ndarray) -> np.ndarray:
@@ -150,24 +164,34 @@ class CentroidMatcher:
 
         feats: (n, d) stable per-row features; clusters: (n,) window-local
         cluster labels.  Returns (n,) globally-stable labels and updates the
-        centroid registry.
+        centroid registry.  Rows with non-finite features (the engine's
+        invalid-row convention) are excluded from centroid estimation.
         """
         feats = np.asarray(feats, np.float64)
         clusters = np.asarray(clusters)
         uniq, inv = np.unique(clusters, return_inverse=True)
+        row_ok = np.isfinite(feats).all(axis=1)
         cents = np.zeros((len(uniq), feats.shape[1]))
-        np.add.at(cents, inv, feats)
-        cents /= np.bincount(inv)[:, None]
+        np.add.at(cents, inv[row_ok], feats[row_ok])
+        counts = np.bincount(inv[row_ok], minlength=len(uniq))
+        # a cluster with no finite rows keeps a zero centroid (it can only
+        # arise from all-invalid padding; zero keeps every distance finite)
+        cents /= np.maximum(counts, 1)[:, None]
+        self.window += 1
 
         if self.centroids is None or len(self.centroids) == 0:
             self.centroids = cents
             self.ids = uniq.astype(np.int64)
+            self.last_used = np.full(len(uniq), self.window, np.int64)
             self.next_id = int(uniq.max()) + 1 if len(uniq) else 0
             return clusters
 
-        # Hungarian on pairwise centroid distances (tiny P x Q matrix)
-        diff = self.centroids[:, None, :] - cents[None, :, :]
-        dist = np.sqrt(np.sum(diff * diff, axis=-1))
+        # Hungarian on pairwise centroid distances (P x Q via the norm
+        # identity - no (P, Q, d) broadcast temporary)
+        p_sq = np.sum(self.centroids ** 2, axis=1)[:, None]
+        q_sq = np.sum(cents ** 2, axis=1)[None, :]
+        d2 = p_sq + q_sq - 2.0 * (self.centroids @ cents.T)
+        dist = np.sqrt(np.maximum(d2, 0.0))
         row_ind, col_ind = linear_sum_assignment(dist)
         mapping: dict[int, int] = {}
         matched_rows: dict[int, int] = {}
@@ -180,7 +204,9 @@ class CentroidMatcher:
         new_cents, new_ids = [], []
         for c, lbl in enumerate(uniq):
             if c in matched_rows:                 # refresh matched centroid
-                self.centroids[matched_rows[c]] = cents[c]
+                r = matched_rows[c]
+                self.centroids[r] = cents[c]
+                self.last_used[r] = self.window
             else:                                 # register a fresh cluster
                 mapping[int(lbl)] = self.next_id
                 new_cents.append(cents[c])
@@ -191,4 +217,13 @@ class CentroidMatcher:
                                              np.asarray(new_cents)], axis=0)
             self.ids = np.concatenate([self.ids,
                                        np.asarray(new_ids, np.int64)])
+            self.last_used = np.concatenate(
+                [self.last_used, np.full(len(new_ids), self.window, np.int64)])
+        if len(self.ids) > self.max_registry:     # evict stalest clusters
+            keep = np.argsort(self.last_used)[len(self.ids)
+                                              - self.max_registry:]
+            keep.sort()
+            self.centroids = self.centroids[keep]
+            self.ids = self.ids[keep]
+            self.last_used = self.last_used[keep]
         return np.array([mapping[int(c)] for c in clusters])

@@ -199,3 +199,32 @@ def test_centroid_matching_batched_dispatch_matches_sequential():
             sorting=False, eps=1.5, min_samples=2, cfg=cfg)
         out[w] = (r["nmi_score"][0], r["f1_score"][0])
     assert out[3] == pytest.approx(out[1], abs=1e-9)
+
+
+def test_centroid_matcher_tolerates_nonfinite_rows():
+    """Rows with non-finite features (the engine's invalid-row convention,
+    e.g. NaN padding) are excluded from centroid estimation instead of
+    poisoning the mean / crashing the Hungarian solver."""
+    m = matching.CentroidMatcher()
+    pts1 = np.array([[0.0, 0.0]] * 5 + [[10.0, 0.0]] * 5)
+    m.match(pts1, np.repeat([0, 1], 5))
+    pts2 = np.array([[0.1, 0.0]] * 4 + [[np.nan, np.inf]]
+                    + [[10.1, 0.0]] * 5)
+    out = m.match(pts2, np.repeat([1, 0], 5))     # NaN row rides cluster 1
+    np.testing.assert_array_equal(out, np.repeat([0, 1], 5))
+
+
+def test_centroid_matcher_registry_eviction():
+    """The registry stays bounded: least-recently-matched clusters evict
+    beyond max_registry, and retired IDs are never reused."""
+    m = matching.CentroidMatcher(max_dist=0.5, max_registry=4)
+    seen_ids = set()
+    for w in range(8):
+        # every window presents two brand-new far-apart clusters
+        base = 100.0 * (w + 1)
+        pts = np.array([[base, 0.0]] * 3 + [[0.0, base]] * 3)
+        out = m.match(pts, np.repeat([0, 1], 3))
+        assert len(m.ids) <= 4
+        ids = set(np.unique(out).tolist())
+        assert not (ids & seen_ids), "retired IDs must not be reused"
+        seen_ids |= ids
