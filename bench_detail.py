@@ -153,10 +153,13 @@ def config3_huge_window():
     fc = FeatureConfig()
     wf = feat.featurize_window(*mods, fc)
     cols = ba.standard_columns(wf, fc)
-    sk, sq, loss = ba.blocked_fd_sketch(cols, ell=64, block=2048, k_basis=50)
+    # approx_knn=True is the engine's huge-window default (PipelineConfig)
+    sk, sq, loss = ba.blocked_fd_sketch(cols, ell=64, block=2048, k_basis=50,
+                                        approx_knn=True)
     _materialize(sk)                      # compile + warm
     t0 = time.perf_counter()
-    sk, sq, loss = ba.blocked_fd_sketch(cols, ell=64, block=2048, k_basis=50)
+    sk, sq, loss = ba.blocked_fd_sketch(cols, ell=64, block=2048, k_basis=50,
+                                        approx_knn=True)
     _materialize(sk)
     dt = time.perf_counter() - t0
     RESULTS["3_hugewindow_rows_per_sec_per_chip"] = round(window / dt, 1)

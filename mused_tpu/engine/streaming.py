@@ -445,19 +445,21 @@ class StreamingEngine:
                     sk, sq_fro, _loss = shard_mod.sharded_blocked_fd_sketch(
                         cols, ell=ell, block=block, k_basis=cfg.k_basis,
                         mesh=self.mesh, topology=cfg.merge_topology,
-                        mode=cfg.fd_shrink)
+                        mode=cfg.fd_shrink,
+                        approx_knn=cfg.huge_window_approx_knn)
                 else:
                     sk, sq_fro, _loss = ba.blocked_fd_sketch(
                         cols, ell=ell, block=block, k_basis=cfg.k_basis,
-                        mode=cfg.fd_shrink)
+                        mode=cfg.fd_shrink,
+                        approx_knn=cfg.huge_window_approx_knn)
                 # the padded columns are invalid -> their adjacency columns
                 # are zero; slice the sketch back to d=n
                 reduced = sk.T[:n]
             else:
-                reduced = ba.blocked_svd_reduce(cols, key,
-                                                rank=cfg.reduced_dim,
-                                                block=block,
-                                                k_basis=cfg.k_basis)[:n]
+                reduced = ba.blocked_svd_reduce(
+                    cols, key, rank=cfg.reduced_dim, block=block,
+                    k_basis=cfg.k_basis,
+                    approx_knn=cfg.huge_window_approx_knn)[:n]
             if cfg.approach == "sSVDMC_mini":
                 new_mbk, labels = kmeans.minibatch_step(
                     self.state.minibatch, reduced, key)

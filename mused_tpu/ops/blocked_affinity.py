@@ -108,9 +108,11 @@ def _rows(t, start, size):
 
 
 def fused_rowblock(cols: Columns, start, block: int,
-                   k_basis: int) -> jax.Array:
+                   k_basis: int, approx: bool = False) -> jax.Array:
     """(block, n) fused adjacency rows [start, start+block) — pure function of
-    the feature tensors; `start` may be traced (used inside lax.scan)."""
+    the feature tensors; `start` may be traced (used inside lax.scan).
+    ``approx`` selects approx_max_k for the kNN selections (see
+    affinity.knn_adjacency_block)."""
     mats = []
     for kind, t, valid in zip(cols.kinds, cols.tensors, cols.valids):
         tr = _rows(t, start, block)
@@ -120,12 +122,13 @@ def fused_rowblock(cols: Columns, start, block: int,
             safe_c = jnp.where(valid[:, None], t, 0.0)
             sim = -affinity.haversine_block(safe_r, safe_c)
             mats.append(affinity.knn_adjacency_block(sim, vr, valid, k_basis,
-                                                     start))
+                                                     start, approx))
         elif kind == "time":
             sim = -(jnp.abs(tr[:, :1] - t[:, 0][None, :])
                     + jnp.abs(tr[:, 1:2] - t[:, 1][None, :]))
             mats.append(affinity.knn_adjacency_block(sim, vr, valid,
-                                                     3 * k_basis, start))
+                                                     3 * k_basis, start,
+                                                     approx))
         elif kind == "username":
             same = (tr[:, None] == t[None, :]) & vr[:, None] & valid[None, :]
             not_self = (start + jnp.arange(tr.shape[0]))[:, None] \
@@ -141,7 +144,7 @@ def fused_rowblock(cols: Columns, start, block: int,
             union = s_r[:, None] + s_c[None, :] - inter
             sim = jnp.where(union > 0, inter / jnp.maximum(union, 1e-9), 0.0)
             mats.append(affinity.knn_adjacency_block(sim, vr, valid, k_basis,
-                                                     start))
+                                                     start, approx))
         elif kind == "text":
             x_c = t * cols.idf[None, :]
             x_c = x_c / jnp.maximum(jnp.linalg.norm(x_c, axis=1, keepdims=True),
@@ -154,7 +157,7 @@ def fused_rowblock(cols: Columns, start, block: int,
             # to; CPU (the test oracle) keeps full f32
             sim = jnp.dot(x_r, x_c.T, preferred_element_type=jnp.float32)
             mats.append(affinity.knn_adjacency_block(sim, vr, valid, k_basis,
-                                                     start))
+                                                     start, approx))
         elif kind == "embedding":
             x_c = t / jnp.maximum(jnp.linalg.norm(t, axis=1, keepdims=True),
                                   1e-12)
@@ -162,7 +165,7 @@ def fused_rowblock(cols: Columns, start, block: int,
             sim = jnp.dot(x_r, x_c.T, preferred_element_type=jnp.float32,
                           precision=jax.lax.Precision.HIGHEST)
             mats.append(affinity.knn_adjacency_block(sim, vr, valid, k_basis,
-                                                     start))
+                                                     start, approx))
         else:   # default: euclidean, self included in k (ref :112-119)
             safe_c = jnp.where(valid[:, None], t, 0.0)
             safe_r = jnp.where(vr[:, None], tr, 0.0)
@@ -172,7 +175,8 @@ def fused_rowblock(cols: Columns, start, block: int,
                 safe_r, safe_c.T, preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)
             mats.append(affinity.knn_adjacency_block(
-                -jnp.maximum(d2, 0.0), vr, valid, max(1, k_basis) - 1, start))
+                -jnp.maximum(d2, 0.0), vr, valid, max(1, k_basis) - 1, start,
+                approx))
     return affinity.fuse(mats)
 
 
@@ -180,7 +184,8 @@ def fused_rowblock(cols: Columns, start, block: int,
 # blocked randomized SVD of the implicit fused adjacency
 # ---------------------------------------------------------------------------
 
-def _scan_blocks(cols: Columns, block: int, k_basis: int, f, init):
+def _scan_blocks(cols: Columns, block: int, k_basis: int, f, init,
+                 approx: bool = False):
     """fold f(carry, fused_block, start) over all row blocks via lax.scan."""
     n = cols.n
     n_blocks = -(-n // block)
@@ -191,7 +196,7 @@ def _scan_blocks(cols: Columns, block: int, k_basis: int, f, init):
         # rows are recomputed identically and masked by the caller via
         # row-index arithmetic where needed
         start = jnp.minimum(start, n - block)
-        fused = fused_rowblock(cols, start, block, k_basis)
+        fused = fused_rowblock(cols, start, block, k_basis, approx)
         return f(carry, fused, start), None
 
     carry, _ = jax.lax.scan(body, init, jnp.arange(n_blocks))
@@ -199,7 +204,8 @@ def _scan_blocks(cols: Columns, block: int, k_basis: int, f, init):
 
 
 def blocked_fd_sketch(cols: Columns, *, ell: int, block: int,
-                      k_basis: int, mode: str = "subspace"):
+                      k_basis: int, mode: str = "subspace",
+                      approx_knn: bool = False):
     """FD sketch (ell, n) of the implicit fused adjacency's rows, one
     rematerialized sweep (the huge-window SWFDMC regime, BASELINE.md #3:
     windows too large to materialize even once).
@@ -213,14 +219,16 @@ def blocked_fd_sketch(cols: Columns, *, ell: int, block: int,
     """
     return _blocked_fd_impl(cols.tensors, cols.valids, cols.idf,
                             kinds=cols.kinds, ell=ell, block=block,
-                            k_basis=k_basis, mode=mode)
+                            k_basis=k_basis, mode=mode,
+                            approx_knn=approx_knn)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("kinds", "ell", "block", "k_basis",
-                                    "mode"))
+                                    "mode", "approx_knn"))
 def _blocked_fd_impl(tensors, valids, idf, *, kinds, ell: int, block: int,
-                     k_basis: int, mode: str = "subspace"):
+                     k_basis: int, mode: str = "subspace",
+                     approx_knn: bool = False):
     from mused_tpu.ops import fd
     cols = Columns(kinds=kinds, tensors=tensors, valids=valids, idf=idf)
     n = cols.n
@@ -232,13 +240,15 @@ def _blocked_fd_impl(tensors, valids, idf, *, kinds, ell: int, block: int,
     def f(state, fused, start):
         return fd.update_stream(state, fused, mode=mode)
 
-    state = _scan_blocks(cols, block, k_basis, f, fd.init(ell, n))
+    state = _scan_blocks(cols, block, k_basis, f, fd.init(ell, n),
+                         approx=approx_knn)
     return state.sketch, state.sq_frobenius, state.shrink_loss
 
 
 def blocked_svd_reduce(cols: Columns, key: jax.Array, *, rank: int,
                        block: int, k_basis: int, n_iter: int = 2,
-                       oversample: int = 8) -> jax.Array:
+                       oversample: int = 8,
+                       approx_knn: bool = False) -> jax.Array:
     """TruncatedSVD.fit_transform of the implicit fused adjacency, computed
     with (2 + 2*n_iter) rematerialized sweeps over row blocks.
 
@@ -249,15 +259,15 @@ def blocked_svd_reduce(cols: Columns, key: jax.Array, *, rank: int,
     return _blocked_svd_impl(
         cols.tensors, cols.valids, cols.idf, key, kinds=cols.kinds,
         rank=rank, block=block, k_basis=k_basis, n_iter=n_iter,
-        oversample=oversample)
+        oversample=oversample, approx_knn=approx_knn)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("kinds", "block", "k_basis", "rank",
-                                    "n_iter", "oversample"))
+                                    "n_iter", "oversample", "approx_knn"))
 def _blocked_svd_impl(tensors, valids, idf, key, *, kinds, rank: int,
                       block: int, k_basis: int, n_iter: int,
-                      oversample: int) -> jax.Array:
+                      oversample: int, approx_knn: bool = False) -> jax.Array:
     cols = Columns(kinds=kinds, tensors=tensors, valids=valids, idf=idf)
     n = cols.n
     assert n % block == 0, "choose block dividing n (pad rows upstream)"
@@ -269,14 +279,16 @@ def _blocked_svd_impl(tensors, valids, idf, key, *, kinds, rank: int,
             return jax.lax.dynamic_update_slice_in_dim(
                 acc, jnp.dot(fused, v, preferred_element_type=jnp.float32),
                 start, axis=0)
-        return _scan_blocks(cols, block, k_basis, f, jnp.zeros((n, r)))
+        return _scan_blocks(cols, block, k_basis, f, jnp.zeros((n, r)),
+                            approx=approx_knn)
 
     def mul_AT(v):         # A^T @ v via block sweep: (n, r)
         def f(acc, fused, start):
             vb = jax.lax.dynamic_slice_in_dim(v, start, block, axis=0)
             return acc + jnp.dot(fused.T, vb,
                                  preferred_element_type=jnp.float32)
-        return _scan_blocks(cols, block, k_basis, f, jnp.zeros((n, r)))
+        return _scan_blocks(cols, block, k_basis, f, jnp.zeros((n, r)),
+                            approx=approx_knn)
 
     q, _ = jnp.linalg.qr(mul_A(omega))
     for _ in range(n_iter):

@@ -369,7 +369,8 @@ def sharded_window_step(location, times, user_ids, tags, text, n_clusters,
 
 def sharded_blocked_fd_sketch(cols, *, ell: int, block: int, k_basis: int,
                               mesh, topology: str = "allgather",
-                              mode: str = "subspace"):
+                              mode: str = "subspace",
+                              approx_knn: bool = False):
     """Multi-chip FD sketch of the implicit fused adjacency of a HUGE window.
 
     The single-chip huge-window path (ops/blocked_affinity.blocked_fd_sketch,
@@ -395,15 +396,17 @@ def sharded_blocked_fd_sketch(cols, *, ell: int, block: int, k_basis: int,
     return _sharded_blocked_fd_impl(
         cols.tensors, cols.valids, cols.idf, kinds=cols.kinds, ell=ell,
         block=block, k_basis=k_basis, mesh=mesh, topology=topology,
-        mode=mode)
+        mode=mode, approx_knn=approx_knn)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("kinds", "ell", "block", "k_basis",
-                                    "mesh", "topology", "mode"))
+                                    "mesh", "topology", "mode",
+                                    "approx_knn"))
 def _sharded_blocked_fd_impl(tensors, valids, idf, *, kinds, ell: int,
                              block: int, k_basis: int, mesh,
-                             topology: str, mode: str = "subspace"):
+                             topology: str, mode: str = "subspace",
+                             approx_knn: bool = False):
     from mused_tpu.ops import blocked_affinity as ba
     n = tensors[0].shape[0]
     starts = jnp.arange(n // block, dtype=jnp.int32) * block
@@ -413,7 +416,8 @@ def _sharded_blocked_fd_impl(tensors, valids, idf, *, kinds, ell: int,
                           idf=idf)
 
         def step(state, start):
-            fused = ba.fused_rowblock(cols, start, block, k_basis)
+            fused = ba.fused_rowblock(cols, start, block, k_basis,
+                                      approx_knn)
             return fd.update_stream(state, fused, mode=mode), None
 
         st, _ = jax.lax.scan(step, fd.init(ell, n), starts_s)

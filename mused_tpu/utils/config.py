@@ -89,6 +89,12 @@ class PipelineConfig:
     windows_per_batch: int = 1   # >1: dispatch W independent tumbling windows
                                  # per device call (KMeans-family approaches;
                                  # amortizes dispatch + transfer batching)
+    huge_window_approx_knn: bool = True
+    # huge-window (rematerialized blocked) path only: use lax.approx_max_k
+    # for the per-block kNN selections — measured 2x exact top_k at n~100k
+    # cols (the per-block wall) at ~98.5% edge recall, far below the
+    # OR-fusion/sketch noise floor.  The dense-window paths stay exact.
+    # False restores exact top_k everywhere.
     fd_shrink: str = "subspace"  # "subspace": matmul-only adaptive shrink
                                  # (gated eigh fallback; ~4.5x faster sketch
                                  # streams) | "eigh": guaranteed classic FD
