@@ -150,12 +150,14 @@ def fused_rowblock(cols: Columns, start, block: int,
             x_c = x_c / jnp.maximum(jnp.linalg.norm(x_c, axis=1, keepdims=True),
                                     1e-12)
             x_r = _rows(x_c, start, block)
-            # DEFAULT precision: on TPU the idf-scaled operands truncate to
-            # bf16 (f32 accumulate), which can flip kNN ranking inside
-            # near-tie groups — metric-level parity (F1 +-0.5) unaffected,
-            # and the huge-window regime has no dense path to be bit-equal
-            # to; CPU (the test oracle) keeps full f32
-            sim = jnp.dot(x_r, x_c.T, preferred_element_type=jnp.float32)
+            # Precision.HIGH (TPU: 3-pass bf16): measured on a real 32k
+            # window, DEFAULT single-pass bf16 perturbs idf-scaled sims by
+            # up to 5e-3, flipping ~24% of text kNN edges as genuine rank
+            # inversions (not tie churn) — HIGH restores ~f32 ranking at a
+            # third of the HIGHEST cost.  CPU (the test oracle) is exact
+            # f32 under every setting.
+            sim = jnp.dot(x_r, x_c.T, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGH)
             mats.append(affinity.knn_adjacency_block(sim, vr, valid, k_basis,
                                                      start, approx))
         elif kind == "embedding":
