@@ -81,7 +81,8 @@ def _blocked_reduce(data_modalities, modality_types, cfg, key):
     n = len(data_modalities[0])
     cols, block = _blocked_columns(data_modalities, modality_types, cfg)
     reduced = ba.blocked_svd_reduce(cols, key, rank=cfg.reduced_dim,
-                                    block=block, k_basis=cfg.k_basis)
+                                    block=block, k_basis=cfg.k_basis,
+                                    approx_knn=cfg.huge_window_approx_knn)
     return reduced[:n]
 
 
@@ -111,7 +112,8 @@ def process_batch_data(results, data_modalities, modality_types, reduced_dim,
             cols, block = _blocked_columns(data_modalities, modality_types, cfg)
             labels = spectral_clustering_blocked(
                 cols, int(n_clusters), key, k_max=max(int(n_clusters), 2),
-                block=block, k_basis=k_basis, n_real=subset_size)
+                block=block, k_basis=k_basis, n_real=subset_size,
+                approx_knn=cfg.huge_window_approx_knn)
             total_end = metrics_mod.now_ns()
             return metrics_mod.compute_all_metrics(
                 results, subset_size, noise_rate, label_mode, sorting,

@@ -471,7 +471,7 @@ class StreamingEngine:
                 labels = spectral_clustering_blocked(
                     cols, int(len(np.unique(window_true_labels))), key,
                     k_max=self.k_max, block=block, k_basis=cfg.k_basis,
-                    n_real=n)
+                    n_real=n, approx_knn=cfg.huge_window_approx_knn)
                 clusters = np.asarray(labels)
             elif cfg.approach == "DBSCAN_centr":
                 from mused_tpu.ops.blocked_dbscan import dbscan_blocked

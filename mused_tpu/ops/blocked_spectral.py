@@ -26,8 +26,10 @@ from mused_tpu.ops import kmeans as kmeans_mod
 HIGH = jax.lax.Precision.HIGHEST
 
 
-@functools.partial(jax.jit, static_argnames=("kinds", "block", "k_basis"))
-def _degrees(tensors, valids, idf, *, kinds, block: int, k_basis: int):
+@functools.partial(jax.jit, static_argnames=("kinds", "block", "k_basis",
+                                              "approx_knn"))
+def _degrees(tensors, valids, idf, *, kinds, block: int, k_basis: int,
+             approx_knn: bool = False):
     cols = ba.Columns(kinds=kinds, tensors=tensors, valids=valids, idf=idf)
     n = cols.n
 
@@ -38,12 +40,15 @@ def _degrees(tensors, valids, idf, *, kinds, block: int, k_basis: int):
         return row_sums, col_sums + jnp.sum(fused, axis=0)
 
     row_sums, col_sums = ba._scan_blocks(
-        cols, block, k_basis, f, (jnp.zeros(n), jnp.zeros(n)))
+        cols, block, k_basis, f, (jnp.zeros(n), jnp.zeros(n)),
+        approx=approx_knn)
     return 0.5 * (row_sums + col_sums)
 
 
-@functools.partial(jax.jit, static_argnames=("kinds", "block", "k_basis"))
-def _sym_matmul(tensors, valids, idf, v, *, kinds, block: int, k_basis: int):
+@functools.partial(jax.jit, static_argnames=("kinds", "block", "k_basis",
+                                              "approx_knn"))
+def _sym_matmul(tensors, valids, idf, v, *, kinds, block: int, k_basis: int,
+                approx_knn: bool = False):
     """((A + A^T)/2) @ v via two accumulating block sweeps; v is (n, m)."""
     cols = ba.Columns(kinds=kinds, tensors=tensors, valids=valids, idf=idf)
     n = cols.n
@@ -56,14 +61,16 @@ def _sym_matmul(tensors, valids, idf, v, *, kinds, block: int, k_basis: int):
         return av, atv + jnp.dot(fused.T, vb, precision=HIGH)
 
     av, atv = ba._scan_blocks(cols, block, k_basis, f,
-                              (jnp.zeros_like(v), jnp.zeros_like(v)))
+                              (jnp.zeros_like(v), jnp.zeros_like(v)),
+                              approx=approx_knn)
     return 0.5 * (av + atv)
 
 
 def spectral_clustering_blocked(cols: ba.Columns, n_clusters: int,
                                 key: jax.Array, *, k_max: int, block: int,
                                 k_basis: int, n_real: int | None = None,
-                                n_iter: int = 6, oversample: int = 8):
+                                n_iter: int = 6, oversample: int = 8,
+                                approx_knn: bool = False):
     """Labels (n_real,) — blocked normalized-cuts spectral clustering.
 
     ``cols`` from blocked_affinity.standard_columns / generic_columns with
@@ -78,7 +85,7 @@ def spectral_clustering_blocked(cols: ba.Columns, n_clusters: int,
     assert n % block == 0, "pad rows to a block multiple upstream"
     kinds = cols.kinds
     deg = _degrees(cols.tensors, cols.valids, cols.idf, kinds=kinds,
-                   block=block, k_basis=k_basis)
+                   block=block, k_basis=k_basis, approx_knn=approx_knn)
     inv_sqrt = jnp.where(deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1e-12)), 0.0)
 
     m = min(k_max + oversample, n)
@@ -86,12 +93,14 @@ def spectral_clustering_blocked(cols: ba.Columns, n_clusters: int,
     for _ in range(n_iter):
         u = v * inv_sqrt[:, None]
         av = _sym_matmul(cols.tensors, cols.valids, cols.idf, u, kinds=kinds,
-                         block=block, k_basis=k_basis)
+                         block=block, k_basis=k_basis,
+                         approx_knn=approx_knn)
         v, _ = jnp.linalg.qr(av * inv_sqrt[:, None])
     # Rayleigh-Ritz on the projected matrix
     u = v * inv_sqrt[:, None]
     mv = _sym_matmul(cols.tensors, cols.valids, cols.idf, u, kinds=kinds,
-                     block=block, k_basis=k_basis) * inv_sqrt[:, None]
+                     block=block, k_basis=k_basis,
+                     approx_knn=approx_knn) * inv_sqrt[:, None]
     t = jnp.dot(v.T, mv, precision=HIGH)
     lam, w = jnp.linalg.eigh(0.5 * (t + t.T))
     ritz = jnp.dot(v, w[:, ::-1], precision=HIGH)    # descending eigenvalue order
