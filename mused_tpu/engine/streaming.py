@@ -267,34 +267,9 @@ def _scanned_window_steps(state: StreamState, feats_batch: tuple,
 
     def body(state, per_window):
         feats, k, key = per_window
-        if types[0] == "standard_sparse":
-            loc, tim, uid, tags_ids, text_ids, text_cnt, tags_valid = feats
-            if use_pallas:
-                fused = _fuse_standard_pallas(
-                    loc, tim, uid.astype(jnp.int32), tags_ids, text_ids,
-                    text_cnt, tags_valid, k_basis=k_basis, tags_dim=tags_dim,
-                    text_dim=text_dim, sparse=True)
-            else:
-                fused = _fuse_standard_sparse(
-                    loc, tim, uid.astype(jnp.int32), tags_ids, text_ids,
-                    text_cnt, tags_valid, k_basis=k_basis, tags_dim=tags_dim,
-                    text_dim=text_dim)
-        elif types == ("standard",):
-            loc, tim, uid, tags, text, tags_valid = feats
-            if use_pallas:
-                fused = _fuse_standard_pallas(
-                    loc, tim, uid.astype(jnp.int32), tags.astype(jnp.float32),
-                    text.astype(jnp.float32), None, tags_valid,
-                    k_basis=k_basis, tags_dim=tags_dim, text_dim=text_dim,
-                    sparse=False)
-            else:
-                fused = _fuse_standard(loc, tim, uid.astype(jnp.int32),
-                                       tags.astype(jnp.float32),
-                                       text.astype(jnp.float32), k_basis,
-                                       tags_valid)
-        else:
-            fused = _fuse_generic(feats, k_basis=k_basis, types=types,
-                                  use_pallas=use_pallas)
+        fused = _fuse_dispatch(feats, types=types, use_pallas=use_pallas,
+                               k_basis=k_basis, tags_dim=tags_dim,
+                               text_dim=text_dim)
         state, _, labels = _window_step_impl(
             state, fused, k, key, approach=approach, k_basis=k_basis,
             reduced_dim=reduced_dim, k_max=k_max, window=window,
@@ -302,6 +277,66 @@ def _scanned_window_steps(state: StreamState, feats_batch: tuple,
         return state, labels
 
     return jax.lax.scan(body, state, (feats_batch, n_clusters, keys))
+
+
+def _fuse_dispatch(feats: tuple, *, types: tuple, use_pallas: bool,
+                   k_basis: int, tags_dim: int, text_dim: int) -> jax.Array:
+    """Traceable fused-adjacency dispatch over the three feature layouts —
+    shared by the scanned multi-window body and the combined single-window
+    step.  ``types``: ("standard_sparse",) | ("standard",) | generic
+    modality-type tuple."""
+    if types[0] == "standard_sparse":
+        loc, tim, uid, tags_ids, text_ids, text_cnt, tags_valid = feats
+        if use_pallas:
+            return _fuse_standard_pallas(
+                loc, tim, uid.astype(jnp.int32), tags_ids, text_ids,
+                text_cnt, tags_valid, k_basis=k_basis, tags_dim=tags_dim,
+                text_dim=text_dim, sparse=True)
+        return _fuse_standard_sparse(
+            loc, tim, uid.astype(jnp.int32), tags_ids, text_ids,
+            text_cnt, tags_valid, k_basis=k_basis, tags_dim=tags_dim,
+            text_dim=text_dim)
+    if types == ("standard",):
+        loc, tim, uid, tags, text, tags_valid = feats
+        if use_pallas:
+            return _fuse_standard_pallas(
+                loc, tim, uid.astype(jnp.int32), tags.astype(jnp.float32),
+                text.astype(jnp.float32), None, tags_valid,
+                k_basis=k_basis, tags_dim=tags_dim, text_dim=text_dim,
+                sparse=False)
+        return _fuse_standard(loc, tim, uid.astype(jnp.int32),
+                              tags.astype(jnp.float32),
+                              text.astype(jnp.float32), k_basis, tags_valid)
+    return _fuse_generic(feats, k_basis=k_basis, types=types,
+                         use_pallas=use_pallas)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("approach", "k_basis", "reduced_dim", "k_max", "window",
+                     "block_rows", "fd_shrink", "types", "use_pallas",
+                     "tags_dim", "text_dim"),
+    donate_argnames=("state",))
+def _combined_window_step(state: StreamState, feats: tuple,
+                          n_clusters: jax.Array, key: jax.Array, *,
+                          approach: str, k_basis: int, reduced_dim: int,
+                          k_max: int, window: int, block_rows: int,
+                          fd_shrink: str, types: tuple, use_pallas: bool,
+                          tags_dim: int, text_dim: int):
+    """Fusion + window step in ONE dispatch (the per-window default path):
+    on remote TPU links each jitted call carries fixed serialization/round-
+    trip cost, so folding the adjacency build into the window step halves
+    the per-window dispatch count.  Also returns the fused matrix's max
+    squared row norm (the reference's sketch bound R, main.py:61)."""
+    fused = _fuse_dispatch(feats, types=types, use_pallas=use_pallas,
+                           k_basis=k_basis, tags_dim=tags_dim,
+                           text_dim=text_dim)
+    r_norm = jnp.max(jnp.sum(fused * fused, axis=1))
+    state, reduced, labels = _window_step_impl(
+        state, fused, n_clusters, key, approach=approach, k_basis=k_basis,
+        reduced_dim=reduced_dim, k_max=k_max, window=window,
+        block_rows=block_rows, fd_shrink=fd_shrink)
+    return state, reduced, labels, r_norm
 
 
 class StreamingEngine:
@@ -629,30 +664,56 @@ class StreamingEngine:
                                            prev_clusters, verbose,
                                            stable_feats=stable_feats)
 
-        with self.timer.span("fuse"):
-            fused = self.fuse_from_features(features, modality_types)
-        if verbose:   # ref main.py:51-53 oracle (adjacency/fused matrices)
+        if verbose:
+            # two-dispatch path: the fused-adjacency oracle print
+            # (ref main.py:51-53) needs the intermediate matrix on host
+            with self.timer.span("fuse"):
+                fused = self.fuse_from_features(features, modality_types)
             print(f"[window {window_index}] fused adjacency "
                   f"(sum={float(jnp.sum(fused)):.0f}):\n{np.asarray(fused)}")
+            if cfg.approach == "SWFDMC" and self.swfd_R is None:
+                self.swfd_R = float(jnp.max(jnp.sum(fused * fused, axis=1)))
+            with self.timer.span("device_step",
+                                 sync=lambda: (labels if cfg.approach not in
+                                               ("DBSCAN_incr", "DBSCAN_centr")
+                                               else reduced)):
+                self.state, reduced, labels = _window_step(
+                    self.state, fused, jnp.int32(n_clusters), key,
+                    approach=cfg.approach, k_basis=cfg.k_basis,
+                    reduced_dim=cfg.reduced_dim, k_max=self.k_max,
+                    window=cfg.window_size, block_rows=self.block_rows,
+                    fd_shrink=cfg.fd_shrink)
+            print(f"[window {window_index}] reduced:\n{np.asarray(reduced)}")
+            return self._cluster_and_match(reduced, labels, window_index,
+                                           prev_clusters, verbose,
+                                           stable_feats=stable_feats)
 
-        if cfg.approach == "SWFDMC" and self.swfd_R is None:
-            # reference sizes the sketch with the first window's max squared
-            # row norm (main.py:61); our block ring doesn't need it, but we
-            # record it for parity/diagnostics
-            self.swfd_R = float(jnp.max(jnp.sum(fused * fused, axis=1)))
-
+        # default: fusion + window step in ONE dispatch (halves the
+        # per-window call count on remote links); the fused matrix stays
+        # on device, only its max row norm (the reference's R) comes back
+        if isinstance(features, feat.SparseWindowFeatures):
+            types = ("standard_sparse",)
+        elif isinstance(features, feat.WindowFeatures):
+            types = ("standard",)
+        else:
+            types = tuple(modality_types)
         with self.timer.span("device_step",
                              sync=lambda: (labels if cfg.approach not in
                                            ("DBSCAN_incr", "DBSCAN_centr")
                                            else reduced)):
-            self.state, reduced, labels = _window_step(
-                self.state, fused, jnp.int32(n_clusters), key,
-                approach=cfg.approach, k_basis=cfg.k_basis,
-                reduced_dim=cfg.reduced_dim, k_max=self.k_max,
-                window=cfg.window_size, block_rows=self.block_rows,
-                fd_shrink=cfg.fd_shrink)
-        if verbose:   # ref main.py:99-103 oracle
-            print(f"[window {window_index}] reduced:\n{np.asarray(reduced)}")
+            self.state, reduced, labels, r_norm = _combined_window_step(
+                self.state, tuple(jnp.asarray(f) for f in features),
+                jnp.int32(n_clusters), key, approach=cfg.approach,
+                k_basis=cfg.k_basis, reduced_dim=cfg.reduced_dim,
+                k_max=self.k_max, window=cfg.window_size,
+                block_rows=self.block_rows, fd_shrink=cfg.fd_shrink,
+                types=types, use_pallas=self.use_pallas,
+                tags_dim=cfg.features.tags_hash_dim,
+                text_dim=cfg.features.text_hash_dim)
+        if cfg.approach == "SWFDMC" and self.swfd_R is None:
+            # reference sizes the sketch with the first window's max squared
+            # row norm (main.py:61); recorded for parity/diagnostics
+            self.swfd_R = float(r_norm)
         return self._cluster_and_match(reduced, labels, window_index,
                                        prev_clusters, verbose,
                                        stable_feats=stable_feats)
