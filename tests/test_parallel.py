@@ -337,3 +337,51 @@ def test_engine_huge_window_sharded(engine_stream):
 def test_engine_huge_window_sharded_rejects_non_swfdmc(engine_stream):
     with pytest.raises(ValueError):
         _run_engine_blocked(engine_stream, "sSVDMC", 4)
+
+
+def test_elastic_resume_across_mesh_sizes(tmp_path, engine_stream):
+    """Elastic recovery (SURVEY.md §5.3): a stream checkpointed under an
+    8-device mesh resumes under a 4-device mesh (or single-chip).  For a
+    deterministic-reduction approach the elastic resume reproduces the
+    uninterrupted 8-device run's metrics exactly — the checkpointed device
+    state is replicated, so it is mesh-shape-free."""
+    from mused_tpu import api
+    from mused_tpu.engine import streaming
+    mods, mtypes, labels = engine_stream
+
+    def run(shards, ckdir=None, stop_after=None):
+        results, _ = api.get_initial_results()
+        kwargs = dict(results=results, data_modalities=mods,
+                      modality_types=mtypes, window_size=64, reduced_dim=8,
+                      k_basis=3, n_clusters_total=2, seed=0,
+                      approach="sSVDMC", complete_true_labels=labels,
+                      step_window_ratio=1, noise_rate=0.5,
+                      label_mode="binary", sorting=True, eps=1.5,
+                      min_samples=2, data_shards=shards,
+                      checkpoint_dir=ckdir)
+        if stop_after is None:
+            return api.process_streaming_data(**kwargs)
+        orig = streaming.StreamingEngine.process_window
+        calls = {"n": 0}
+
+        def bomb(self, *a, **k):
+            if calls["n"] >= stop_after:
+                raise KeyboardInterrupt()
+            calls["n"] += 1
+            return orig(self, *a, **k)
+
+        streaming.StreamingEngine.process_window = bomb
+        try:
+            with pytest.raises(KeyboardInterrupt):
+                api.process_streaming_data(**kwargs)
+        finally:
+            streaming.StreamingEngine.process_window = orig
+
+    straight = run(8)
+    ckdir = str(tmp_path / "elastic")
+    run(8, ckdir=ckdir, stop_after=2)
+    shrunk = run(4, ckdir=ckdir)          # resume on a SMALLER mesh
+    assert shrunk["nmi_score"][-1] == pytest.approx(straight["nmi_score"][-1],
+                                                    abs=1e-6)
+    assert shrunk["f1_score"][-1] == pytest.approx(straight["f1_score"][-1],
+                                                   abs=1e-6)
