@@ -132,6 +132,97 @@ def multihot_tags_sparse(tag_lists, dim: int, t_cap: int):
     return ids
 
 
+_SED_LIB_PATH = os.path.join(_DIR, "libmused_sed2012.so")
+_sed_lib = None
+_sed_load_failed = False
+
+
+def _load_sed():
+    global _sed_lib, _sed_load_failed
+    if _sed_lib is not None or _sed_load_failed:
+        return _sed_lib
+    try:
+        src = os.path.join(_DIR, "sed2012_parser.cpp")
+        stale = (os.path.exists(_SED_LIB_PATH) and os.path.exists(src)
+                 and os.path.getmtime(src) > os.path.getmtime(_SED_LIB_PATH))
+        if stale or not os.path.exists(_SED_LIB_PATH):
+            subprocess.run(["make", "-C", _DIR, "-s", "-B",
+                            "libmused_sed2012.so"], check=True,
+                           capture_output=True, timeout=120)
+        lib = ctypes.CDLL(_SED_LIB_PATH)
+        lib.mused_parse_sed2012.restype = ctypes.c_int64
+        lib.mused_parse_sed2012.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_char)),
+            ctypes.POINTER(ctypes.c_int64)]
+        lib.mused_free_blob.argtypes = [ctypes.POINTER(ctypes.c_char)]
+        _sed_lib = lib
+    except (OSError, subprocess.SubprocessError, AttributeError):
+        _sed_load_failed = True
+    return _sed_lib
+
+
+def parse_sed2012(path: str, skip_records: int = 0,
+                  max_records: int | None = None):
+    """Native SED2012 metadata scan (sed2012_parser.cpp) -> list of raw
+    record tuples (pid, dateTaken, dateUploaded, username, lat_str, lon_str,
+    title, description, tags:list[str]) or None when the library is
+    unavailable.  All text is raw (entity-decoded) — downstream cleaning,
+    float/NaN conversion and label derivation stay in data/sed2012.py so
+    both loaders share one behavior definition."""
+    lib = _load_sed()
+    if lib is None:
+        return None
+    blob_p = ctypes.POINTER(ctypes.c_char)()
+    blob_len = ctypes.c_int64(0)
+    n = lib.mused_parse_sed2012(
+        path.encode(), skip_records,
+        -1 if max_records is None else max_records,
+        ctypes.byref(blob_p), ctypes.byref(blob_len))
+    if n < 0:
+        return None
+    try:
+        raw = ctypes.string_at(blob_p, blob_len.value)
+    finally:
+        lib.mused_free_blob(blob_p)
+
+    # column-oriented decode: numpy views for numerics, ONE decode + ONE
+    # split per string column (no per-field Python loop)
+    import struct
+    off = 0
+    (nrec,) = struct.unpack_from("<Q", raw, off)
+    off += 8
+    lat = np.frombuffer(raw, "<f8", nrec, off).copy()
+    off += 8 * nrec
+    lon = np.frombuffer(raw, "<f8", nrec, off).copy()
+    off += 8 * nrec
+    str_cols = []
+    for _ in range(6):
+        (blen,) = struct.unpack_from("<Q", raw, off)
+        off += 8
+        blob = raw[off:off + blen]
+        off += blen
+        items = blob.decode("utf-8", "replace").split("\x00") if nrec else []
+        str_cols.append(items)
+    tag_counts = np.frombuffer(raw, "<u4", nrec, off)
+    off += 4 * nrec
+    (tlen,) = struct.unpack_from("<Q", raw, off)
+    off += 8
+    total_tags = int(tag_counts.sum()) if nrec else 0
+    tag_items = (raw[off:off + tlen].decode("utf-8", "replace")
+                 .split("\x00") if total_tags else [])
+    ids, taken, uploaded, username, title, desc = str_cols
+    for col in str_cols:
+        if len(col) != nrec:
+            return None     # framing mismatch: fall back to the Python parser
+    if len(tag_items) != total_tags:
+        return None
+    return {"n": int(nrec), "id": ids, "taken": taken, "uploaded": uploaded,
+            "username": username, "title": title, "description": desc,
+            "lat": lat, "lon": lon, "tag_counts": tag_counts,
+            "tags": tag_items}
+
+
 def multihot_tags(tag_lists, dim: int) -> np.ndarray | None:
     lib = _load()
     if lib is None:

@@ -1,0 +1,314 @@
+// Native SED2012 metadata scanner: the data-loader tier of the native
+// runtime (the reference's slowest I/O is its full-corpus XML DOM parse,
+// reference data_loader.py:130-178; SURVEY.md §3.1).
+//
+// This is NOT a general XML parser: the corpus schema is fixed
+// (<photo attrs><location .../><title/><description/><tags><tag/>...</tags>
+// </photo>) and this scanner walks the byte stream once, extracting exactly
+// those fields.  Entity references (&amp; &lt; &gt; &quot; &apos; &#NN;
+// &#xHH;) and CDATA sections are decoded so output text matches Python's
+// ElementTree byte-for-byte; all higher-level semantics (clean_text, float
+// parsing with NaN fallback, label derivation) stay in Python so the two
+// loaders share one behavior definition (data/sed2012.py) and the parity
+// test can assert identical DataFrames.
+//
+// ABI (plain C, ctypes): COLUMN-oriented so Python decodes without a
+// per-field loop (the v1 length-prefixed-record layout cost ~1 s of Python
+// framing at 50k records).  One malloc'd blob:
+//   u64 n_records
+//   n x f64 latitude   (strtod with NaN fallback, = Python float()-or-NaN)
+//   n x f64 longitude
+//   6 string columns (id, dateTaken, dateUploaded, username, title,
+//     description), each:  u64 byte_len + NUL-separated UTF-8 items (n of
+//     them) — Python decodes a column with ONE .decode + ONE .split('\0')
+//   n x u32 tag counts
+//   u64 byte_len + NUL-separated tag texts (sum(counts) items)
+// Decoded XML text cannot contain NUL (numeric refs <= 0 are dropped), so
+// the separator is safe.  A missing attribute/element yields an empty item;
+// a missing <location> yields NaN lat/lon.  Tags with no text are skipped
+// (ElementTree's `.text is None` convention).
+//
+// Build: make -C mused_tpu/native  (libmused_sed2012.so)
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+// growable column stores for the column-oriented output blob
+struct Columns {
+    std::vector<double> lat, lon;
+    std::string strs[6];           // NUL-separated: id, taken, uploaded,
+                                   // username, title, description
+    size_t str_items[6] = {0, 0, 0, 0, 0, 0};
+    std::vector<uint32_t> tag_counts;
+    std::string tag_blob;          // NUL-separated tag texts
+    size_t tag_items = 0;
+
+    void str_item(int col, const std::string& s) {
+        if (str_items[col]++) strs[col].push_back('\0');
+        strs[col].append(s);
+    }
+    void tag_item(const std::string& s) {
+        if (tag_items++) tag_blob.push_back('\0');
+        tag_blob.append(s);
+    }
+};
+
+double parse_double_or_nan(const std::string& s) {
+    if (s.empty()) return __builtin_nan("");
+    const char* c = s.c_str();
+    char* end = nullptr;
+    double v = strtod(c, &end);
+    if (end == c) return __builtin_nan("");
+    while (*end && isspace(static_cast<unsigned char>(*end))) end++;
+    if (*end) return __builtin_nan("");   // trailing junk: float() would raise
+    return v;
+}
+
+// decode XML entity references and numeric character refs into UTF-8
+void decode_entities(const char* s, size_t len, std::string& out) {
+    out.clear();
+    out.reserve(len);
+    size_t i = 0;
+    while (i < len) {
+        if (s[i] != '&') { out.push_back(s[i++]); continue; }
+        // find ';' within a short window
+        size_t j = i + 1, end = (i + 12 < len) ? i + 12 : len;
+        while (j < end && s[j] != ';') j++;
+        if (j >= len || s[j] != ';') { out.push_back(s[i++]); continue; }
+        std::string ent(s + i + 1, j - i - 1);
+        if (ent == "amp") out.push_back('&');
+        else if (ent == "lt") out.push_back('<');
+        else if (ent == "gt") out.push_back('>');
+        else if (ent == "quot") out.push_back('"');
+        else if (ent == "apos") out.push_back('\'');
+        else if (!ent.empty() && ent[0] == '#') {
+            long cp = (ent.size() > 1 && (ent[1] == 'x' || ent[1] == 'X'))
+                ? strtol(ent.c_str() + 2, nullptr, 16)
+                : strtol(ent.c_str() + 1, nullptr, 10);
+            if (cp <= 0 || cp > 0x10FFFF) { i = j + 1; continue; }
+            // encode code point as UTF-8
+            if (cp < 0x80) out.push_back(static_cast<char>(cp));
+            else if (cp < 0x800) {
+                out.push_back(static_cast<char>(0xC0 | (cp >> 6)));
+                out.push_back(static_cast<char>(0x80 | (cp & 0x3F)));
+            } else if (cp < 0x10000) {
+                out.push_back(static_cast<char>(0xE0 | (cp >> 12)));
+                out.push_back(static_cast<char>(0x80 | ((cp >> 6) & 0x3F)));
+                out.push_back(static_cast<char>(0x80 | (cp & 0x3F)));
+            } else {
+                out.push_back(static_cast<char>(0xF0 | (cp >> 18)));
+                out.push_back(static_cast<char>(0x80 | ((cp >> 12) & 0x3F)));
+                out.push_back(static_cast<char>(0x80 | ((cp >> 6) & 0x3F)));
+                out.push_back(static_cast<char>(0x80 | (cp & 0x3F)));
+            }
+        } else { out.push_back(s[i++]); continue; }  // unknown entity: literal
+        i = j + 1;
+    }
+}
+
+// element text between pos and the closing tag, with CDATA + entity decode;
+// ElementTree's .text semantics: only the text BEFORE the first child tag
+// (our schema has no children inside title/description/tag).
+// Returns decoded text; *found=false when no closing tag before limit.
+std::string element_text(const char* data, size_t pos, size_t limit,
+                         const char* close_tag, bool* found) {
+    std::string raw, out;
+    size_t close_len = strlen(close_tag);
+    *found = false;
+    size_t i = pos;
+    while (i < limit) {
+        if (data[i] == '<') {
+            if (i + 9 <= limit && memcmp(data + i, "<![CDATA[", 9) == 0) {
+                size_t j = i + 9;
+                while (j + 3 <= limit && memcmp(data + j, "]]>", 3) != 0) j++;
+                raw.append(data + i + 9, j - (i + 9));
+                i = (j + 3 <= limit) ? j + 3 : limit;
+                continue;
+            }
+            if (i + close_len <= limit
+                    && memcmp(data + i, close_tag, close_len) == 0) {
+                *found = true;
+                break;
+            }
+            // unexpected child tag: ElementTree .text stops here
+            *found = true;
+            break;
+        }
+        raw.push_back(data[i++]);
+    }
+    decode_entities(raw.data(), raw.size(), out);
+    return out;
+}
+
+// attribute value by name within a start tag spanning [pos, tag_end)
+std::string attr_value(const char* data, size_t pos, size_t tag_end,
+                       const char* name, bool* present) {
+    size_t nlen = strlen(name);
+    *present = false;
+    for (size_t i = pos; i + nlen + 2 < tag_end; i++) {
+        if (memcmp(data + i, name, nlen) != 0) continue;
+        // must be preceded by whitespace and followed by optional ws + '='
+        if (i > 0 && !isspace(static_cast<unsigned char>(data[i - 1])))
+            continue;
+        size_t j = i + nlen;
+        while (j < tag_end && isspace(static_cast<unsigned char>(data[j]))) j++;
+        if (j >= tag_end || data[j] != '=') continue;
+        j++;
+        while (j < tag_end && isspace(static_cast<unsigned char>(data[j]))) j++;
+        if (j >= tag_end || (data[j] != '"' && data[j] != '\'')) continue;
+        char q = data[j++];
+        size_t k = j;
+        while (k < tag_end && data[k] != q) k++;
+        std::string out;
+        decode_entities(data + j, k - j, out);
+        *present = true;
+        return out;
+    }
+    return "";
+}
+
+size_t find(const char* data, size_t pos, size_t limit, const char* pat) {
+    size_t plen = strlen(pat);
+    if (plen == 0 || limit < plen) return limit;
+    const char* hit = static_cast<const char*>(
+        memmem(data + pos, limit - pos, pat, plen));
+    return hit ? static_cast<size_t>(hit - data) : limit;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns the number of records written (>= 0), or -1 on I/O failure.
+// *out_blob receives a malloc'd buffer (caller frees via mused_free_blob);
+// *out_len its byte length.
+int64_t mused_parse_sed2012(const char* path, int64_t skip_records,
+                            int64_t max_records, char** out_blob,
+                            int64_t* out_len) {
+    FILE* f = fopen(path, "rb");
+    if (!f) return -1;
+    fseek(f, 0, SEEK_END);
+    long size = ftell(f);
+    fseek(f, 0, SEEK_SET);
+    if (size < 0) { fclose(f); return -1; }
+    std::vector<char> body(static_cast<size_t>(size));
+    if (size > 0 && fread(body.data(), 1, size, f) != static_cast<size_t>(size)) {
+        fclose(f);
+        return -1;
+    }
+    fclose(f);
+    const char* data = body.data();
+    size_t n = body.size();
+
+    Columns cols;
+    int64_t seen = 0, written = 0;
+    size_t pos = 0;
+    while (pos < n) {
+        size_t p = find(data, pos, n, "<photo");
+        if (p >= n) break;
+        size_t after = p + 6;
+        if (after < n && data[after] != ' ' && data[after] != '\t'
+                && data[after] != '\n' && data[after] != '\r'
+                && data[after] != '>' && data[after] != '/') {
+            pos = after;           // e.g. "<photos>" — not a photo element
+            continue;
+        }
+        size_t tag_end = find(data, p, n, ">");
+        if (tag_end >= n) break;
+        size_t photo_end = find(data, tag_end, n, "</photo>");
+        bool self_closed = data[tag_end - 1] == '/';
+        size_t body_end = self_closed ? tag_end : photo_end;
+
+        seen++;
+        if (seen <= skip_records) {
+            pos = (self_closed ? tag_end : photo_end + 8);
+            continue;
+        }
+        if (max_records >= 0 && written >= max_records) break;
+
+        bool present;
+        cols.str_item(0, attr_value(data, p, tag_end, "id", &present));
+        cols.str_item(1, attr_value(data, p, tag_end, "dateTaken", &present));
+        cols.str_item(2, attr_value(data, p, tag_end, "dateUploaded",
+                                    &present));
+        cols.str_item(3, attr_value(data, p, tag_end, "username", &present));
+
+        std::string lat, lon;
+        size_t loc = find(data, tag_end, body_end, "<location");
+        if (loc < body_end) {
+            size_t loc_end = find(data, loc, body_end, ">");
+            lat = attr_value(data, loc, loc_end, "latitude", &present);
+            if (!present) lat.clear();
+            lon = attr_value(data, loc, loc_end, "longitude", &present);
+            if (!present) lon.clear();
+        }
+        cols.lat.push_back(parse_double_or_nan(lat));
+        cols.lon.push_back(parse_double_or_nan(lon));
+
+        bool found;
+        std::string title, desc;
+        size_t t = find(data, tag_end, body_end, "<title>");
+        if (t < body_end)
+            title = element_text(data, t + 7, body_end, "</title>", &found);
+        size_t d = find(data, tag_end, body_end, "<description>");
+        if (d < body_end)
+            desc = element_text(data, d + 13, body_end, "</description>",
+                                &found);
+        cols.str_item(4, title);
+        cols.str_item(5, desc);
+
+        uint32_t tag_count = 0;
+        size_t tp = tag_end;
+        while (true) {
+            tp = find(data, tp, body_end, "<tag>");
+            if (tp >= body_end) break;
+            std::string txt = element_text(data, tp + 5, body_end, "</tag>",
+                                           &found);
+            if (!txt.empty()) {    // ElementTree: empty element -> text None
+                cols.tag_item(txt);
+                tag_count++;
+            }
+            tp += 5;
+        }
+        cols.tag_counts.push_back(tag_count);
+
+        written++;
+        pos = (self_closed ? tag_end : photo_end + 8);
+    }
+
+    // pack the column-oriented blob (see ABI comment above)
+    std::string out_s;
+    uint64_t nrec = static_cast<uint64_t>(written);
+    out_s.append(reinterpret_cast<const char*>(&nrec), 8);
+    out_s.append(reinterpret_cast<const char*>(cols.lat.data()),
+                 cols.lat.size() * 8);
+    out_s.append(reinterpret_cast<const char*>(cols.lon.data()),
+                 cols.lon.size() * 8);
+    for (int c = 0; c < 6; c++) {
+        uint64_t len = cols.strs[c].size();
+        out_s.append(reinterpret_cast<const char*>(&len), 8);
+        out_s.append(cols.strs[c]);
+    }
+    out_s.append(reinterpret_cast<const char*>(cols.tag_counts.data()),
+                 cols.tag_counts.size() * 4);
+    uint64_t tlen = cols.tag_blob.size();
+    out_s.append(reinterpret_cast<const char*>(&tlen), 8);
+    out_s.append(cols.tag_blob);
+
+    char* out = static_cast<char*>(malloc(out_s.size()));
+    if (!out && !out_s.empty()) return -1;
+    memcpy(out, out_s.data(), out_s.size());
+    *out_blob = out;
+    *out_len = static_cast<int64_t>(out_s.size());
+    return written;
+}
+
+void mused_free_blob(char* blob) { free(blob); }
+
+}  // extern "C"

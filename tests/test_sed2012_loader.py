@@ -107,3 +107,74 @@ def test_max_records_and_skip_records(dataset_dir):
     tail = sed2012.load_sed2012_dataset(dataset_dir, skip_records=3)
     assert len(tail) == len(full) - 3
     assert list(tail["id"]) == list(full["id"].iloc[3:])
+
+
+# ---------------------------------------------------------------------------
+# native C++ scanner (mused_tpu/native/sed2012_parser.cpp)
+# ---------------------------------------------------------------------------
+
+GNARLY_XML = """<?xml version="1.0" encoding="UTF-8"?>
+<photos>
+  <photo id="42" dateTaken="2012-01-01 00:00:00.0"
+         dateUploaded='2012-01-02 00:00:00.0' username="&quot;ana&quot;">
+    <location latitude="-3.5e1" longitude="  2.0  "/>
+    <title><![CDATA[raw <b>cdata</b> & stuff]]> plus &#x41;&#66; text</title>
+    <description>line one
+line two &amp;&amp;</description>
+    <tags><tag> spaced </tag><tag></tag><tag>caf&#233;</tag></tags>
+  </photo>
+  <photo id="43" dateTaken="" dateUploaded="" username=""/>
+  <photo id="44" dateTaken="2012-02-02 02:02:02.0" dateUploaded="2012-02-02 03:02:02.0" username="bob">
+    <location latitude="1.0" longitude="junk"/>
+    <description></description>
+  </photo>
+</photos>
+"""
+
+
+def _parity_frames(xml, tmp_path, **kw):
+    from mused_tpu import native
+    if not native._load_sed():
+        pytest.skip("native toolchain unavailable")
+    p = tmp_path / "m.xml"
+    p.write_text(xml)
+    gt = {"42": 7}
+    py = sed2012.parse_metadata(str(p), gt, use_native=False, **kw)
+    nat = sed2012.parse_metadata(str(p), gt, use_native=True, **kw)
+    pd.testing.assert_frame_equal(nat, py)
+    return nat
+
+
+def test_native_parser_matches_python_on_fixture(tmp_path):
+    df = _parity_frames(XML, tmp_path)
+    assert len(df) == 3
+
+
+def test_native_parser_entities_cdata_missing_fields(tmp_path):
+    """CDATA segments, named/decimal/hex entities, quote styles, multi-line
+    text, self-closed photos, unparseable floats — the native scanner must
+    reproduce ElementTree + the loader's cleanup byte-for-byte."""
+    df = _parity_frames(GNARLY_XML, tmp_path)
+    assert len(df) == 3
+    row = df[df["id"] == 42].iloc[0]
+    assert "cdata" in row["title"] and "ab text" in row["title"]
+    assert row["tags"] == ["spaced", "caf"]      # clean_text strips accents
+    assert row["event_id"] == 7
+    # joint lat/lon try semantics (ref :144-149): bad longitude voids both
+    row44 = df[df["id"] == 44].iloc[0]
+    assert np.isnan(row44["latitude"]) and np.isnan(row44["longitude"])
+
+
+def test_native_parser_bounded_and_skip(tmp_path):
+    df_b = _parity_frames(XML, tmp_path, max_records=2)
+    assert list(df_b["id"]) == [1000000001, 1000000002]
+    df_s = _parity_frames(XML, tmp_path, skip_records=1)
+    assert list(df_s["id"]) == [1000000002, 1000000003]
+
+
+def test_native_parser_env_optout(tmp_path, monkeypatch):
+    monkeypatch.setenv("MUSED_TPU_NO_NATIVE_PARSER", "1")
+    p = tmp_path / "m.xml"
+    p.write_text(XML)
+    df = sed2012.parse_metadata(str(p), {})    # must take the Python path
+    assert len(df) == 3
