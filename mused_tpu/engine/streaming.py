@@ -279,6 +279,15 @@ def _scanned_window_steps(state: StreamState, feats_batch: tuple,
     return jax.lax.scan(body, state, (feats_batch, n_clusters, keys))
 
 
+def _types_for(features, modality_types) -> tuple:
+    """Feature-layout tag for the fuse dispatch (see _fuse_dispatch)."""
+    if isinstance(features, feat.SparseWindowFeatures):
+        return ("standard_sparse",)
+    if isinstance(features, feat.WindowFeatures):
+        return ("standard",)
+    return tuple(modality_types)
+
+
 def _fuse_dispatch(feats: tuple, *, types: tuple, use_pallas: bool,
                    k_basis: int, tags_dim: int, text_dim: int) -> jax.Array:
     """Traceable fused-adjacency dispatch over the three feature layouts —
@@ -633,12 +642,7 @@ class StreamingEngine:
 
         if self.mesh is not None:
             from mused_tpu.parallel import sharded as shard_mod
-            if isinstance(features, feat.SparseWindowFeatures):
-                types = ("standard_sparse",)
-            elif isinstance(features, feat.WindowFeatures):
-                types = ("standard",)
-            else:
-                types = tuple(modality_types)
+            types = _types_for(features, modality_types)
             with self.timer.span("device_step",
                                  sync=lambda: (labels if cfg.approach not in
                                                ("DBSCAN_incr", "DBSCAN_centr")
@@ -691,12 +695,7 @@ class StreamingEngine:
         # default: fusion + window step in ONE dispatch (halves the
         # per-window call count on remote links); the fused matrix stays
         # on device, only its max row norm (the reference's R) comes back
-        if isinstance(features, feat.SparseWindowFeatures):
-            types = ("standard_sparse",)
-        elif isinstance(features, feat.WindowFeatures):
-            types = ("standard",)
-        else:
-            types = tuple(modality_types)
+        types = _types_for(features, modality_types)
         with self.timer.span("device_step",
                              sync=lambda: (labels if cfg.approach not in
                                            ("DBSCAN_incr", "DBSCAN_centr")

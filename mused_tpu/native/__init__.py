@@ -37,7 +37,10 @@ def _load():
             # make rebuilds on mtime too, but only if invoked — a library
             # built against an older ABI would otherwise load and then fail
             # symbol lookup below
-            subprocess.run(["make", "-C", _DIR, "-s", "-B"], check=True,
+            # build ONLY the hasher: a sed-parser compile failure must not
+            # disable this library's fast path
+            subprocess.run(["make", "-C", _DIR, "-s", "-B",
+                            "libmused_hasher.so"], check=True,
                            capture_output=True, timeout=120)
         lib = ctypes.CDLL(_LIB_PATH)
         blob_head = [ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,

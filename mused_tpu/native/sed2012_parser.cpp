@@ -30,6 +30,7 @@
 //
 // Build: make -C mused_tpu/native  (libmused_sed2012.so)
 
+#include <cctype>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -118,31 +119,34 @@ void decode_entities(const char* s, size_t len, std::string& out) {
 // Returns decoded text; *found=false when no closing tag before limit.
 std::string element_text(const char* data, size_t pos, size_t limit,
                          const char* close_tag, bool* found) {
-    std::string raw, out;
+    std::string out, seg;
     size_t close_len = strlen(close_tag);
     *found = false;
-    size_t i = pos;
+    size_t i = pos, seg_start = pos;
+    auto flush_segment = [&](size_t end) {
+        // entity references decode only OUTSIDE CDATA (CDATA is literal)
+        decode_entities(data + seg_start, end - seg_start, seg);
+        out.append(seg);
+    };
     while (i < limit) {
         if (data[i] == '<') {
             if (i + 9 <= limit && memcmp(data + i, "<![CDATA[", 9) == 0) {
+                flush_segment(i);
                 size_t j = i + 9;
                 while (j + 3 <= limit && memcmp(data + j, "]]>", 3) != 0) j++;
-                raw.append(data + i + 9, j - (i + 9));
+                out.append(data + i + 9, j - (i + 9));
                 i = (j + 3 <= limit) ? j + 3 : limit;
+                seg_start = i;
                 continue;
             }
-            if (i + close_len <= limit
-                    && memcmp(data + i, close_tag, close_len) == 0) {
-                *found = true;
-                break;
-            }
-            // unexpected child tag: ElementTree .text stops here
+            // closing tag or unexpected child: ElementTree .text stops here
             *found = true;
+            (void)close_len;
             break;
         }
-        raw.push_back(data[i++]);
+        i++;
     }
-    decode_entities(raw.data(), raw.size(), out);
+    flush_segment(i);
     return out;
 }
 
@@ -175,10 +179,58 @@ std::string attr_value(const char* data, size_t pos, size_t tag_end,
 
 size_t find(const char* data, size_t pos, size_t limit, const char* pat) {
     size_t plen = strlen(pat);
-    if (plen == 0 || limit < plen) return limit;
-    const char* hit = static_cast<const char*>(
-        memmem(data + pos, limit - pos, pat, plen));
-    return hit ? static_cast<size_t>(hit - data) : limit;
+    if (plen == 0 || limit < plen || pos + plen > limit) return limit;
+    const char* cur = data + pos;
+    const char* end = data + limit - plen + 1;
+    while (cur < end) {
+        const char* hit = static_cast<const char*>(
+            memchr(cur, pat[0], end - cur));
+        if (!hit) return limit;
+        if (memcmp(hit, pat, plen) == 0)
+            return static_cast<size_t>(hit - data);
+        cur = hit + 1;
+    }
+    return limit;
+}
+
+// like find(), but skips <![CDATA[ ... ]]> sections — markup-looking text
+// inside another element's CDATA must not terminate/begin our elements
+size_t find_markup(const char* data, size_t pos, size_t limit,
+                   const char* pat) {
+    size_t i = pos;
+    while (i < limit) {
+        size_t hit = find(data, i, limit, pat);
+        size_t cd = find(data, i, limit, "<![CDATA[");
+        if (hit < cd) return hit;
+        if (cd >= limit) return limit;
+        size_t close = find(data, cd + 9, limit, "]]>");
+        i = (close >= limit) ? limit : close + 3;
+    }
+    return limit;
+}
+
+// end of a start tag: first '>' OUTSIDE quoted attribute values (a literal
+// '>' inside username="a>b" is legal XML); *self_closed reports a '/'
+// immediately before it (also quote-aware)
+size_t tag_close(const char* data, size_t pos, size_t limit,
+                 bool* self_closed) {
+    char q = 0;
+    size_t last_nonspace = pos;
+    for (size_t i = pos; i < limit; i++) {
+        char c = data[i];
+        if (q) {
+            if (c == q) q = 0;
+            continue;
+        }
+        if (c == '"' || c == '\'') { q = c; continue; }
+        if (c == '>') {
+            *self_closed = data[last_nonspace] == '/';
+            return i;
+        }
+        if (!isspace(static_cast<unsigned char>(c))) last_nonspace = i;
+    }
+    *self_closed = false;
+    return limit;
 }
 
 }  // namespace
@@ -219,10 +271,10 @@ int64_t mused_parse_sed2012(const char* path, int64_t skip_records,
             pos = after;           // e.g. "<photos>" — not a photo element
             continue;
         }
-        size_t tag_end = find(data, p, n, ">");
+        bool self_closed = false;
+        size_t tag_end = tag_close(data, after, n, &self_closed);
         if (tag_end >= n) break;
-        size_t photo_end = find(data, tag_end, n, "</photo>");
-        bool self_closed = data[tag_end - 1] == '/';
+        size_t photo_end = find_markup(data, tag_end, n, "</photo>");
         size_t body_end = self_closed ? tag_end : photo_end;
 
         seen++;
@@ -240,9 +292,10 @@ int64_t mused_parse_sed2012(const char* path, int64_t skip_records,
         cols.str_item(3, attr_value(data, p, tag_end, "username", &present));
 
         std::string lat, lon;
-        size_t loc = find(data, tag_end, body_end, "<location");
+        size_t loc = find_markup(data, tag_end, body_end, "<location");
         if (loc < body_end) {
-            size_t loc_end = find(data, loc, body_end, ">");
+            bool loc_sc = false;
+            size_t loc_end = tag_close(data, loc + 9, body_end, &loc_sc);
             lat = attr_value(data, loc, loc_end, "latitude", &present);
             if (!present) lat.clear();
             lon = attr_value(data, loc, loc_end, "longitude", &present);
@@ -253,10 +306,10 @@ int64_t mused_parse_sed2012(const char* path, int64_t skip_records,
 
         bool found;
         std::string title, desc;
-        size_t t = find(data, tag_end, body_end, "<title>");
+        size_t t = find_markup(data, tag_end, body_end, "<title>");
         if (t < body_end)
             title = element_text(data, t + 7, body_end, "</title>", &found);
-        size_t d = find(data, tag_end, body_end, "<description>");
+        size_t d = find_markup(data, tag_end, body_end, "<description>");
         if (d < body_end)
             desc = element_text(data, d + 13, body_end, "</description>",
                                 &found);
@@ -266,7 +319,7 @@ int64_t mused_parse_sed2012(const char* path, int64_t skip_records,
         uint32_t tag_count = 0;
         size_t tp = tag_end;
         while (true) {
-            tp = find(data, tp, body_end, "<tag>");
+            tp = find_markup(data, tp, body_end, "<tag>");
             if (tp >= body_end) break;
             std::string txt = element_text(data, tp + 5, body_end, "</tag>",
                                            &found);

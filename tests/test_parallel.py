@@ -380,7 +380,23 @@ def test_elastic_resume_across_mesh_sizes(tmp_path, engine_stream):
     straight = run(8)
     ckdir = str(tmp_path / "elastic")
     run(8, ckdir=ckdir, stop_after=2)
-    shrunk = run(4, ckdir=ckdir)          # resume on a SMALLER mesh
+
+    # count windows actually processed on resume: the checkpoint (2 windows
+    # done of 4) must be honored — a silent from-scratch recompute would
+    # still match the metrics (mesh-size determinism), so pin the skip
+    orig = streaming.StreamingEngine.process_window
+    calls = {"n": 0}
+
+    def counting(self, *a, **k):
+        calls["n"] += 1
+        return orig(self, *a, **k)
+
+    streaming.StreamingEngine.process_window = counting
+    try:
+        shrunk = run(4, ckdir=ckdir)      # resume on a SMALLER mesh
+    finally:
+        streaming.StreamingEngine.process_window = orig
+    assert calls["n"] == 2, "resume must process only the remaining windows"
     assert shrunk["nmi_score"][-1] == pytest.approx(straight["nmi_score"][-1],
                                                     abs=1e-6)
     assert shrunk["f1_score"][-1] == pytest.approx(straight["f1_score"][-1],

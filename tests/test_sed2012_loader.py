@@ -178,3 +178,35 @@ def test_native_parser_env_optout(tmp_path, monkeypatch):
     p.write_text(XML)
     df = sed2012.parse_metadata(str(p), {})    # must take the Python path
     assert len(df) == 3
+
+
+EVIL_XML = """<?xml version="1.0" encoding="UTF-8"?>
+<photos>
+  <photo id="1" dateTaken="2012-01-01 00:00:00.0" dateUploaded="2012-01-01 01:00:00.0" username="a&gt;b&quot;c">
+    <location latitude="1.5" longitude="2.5"/>
+    <title>ok title</title>
+    <description><![CDATA[Tom &amp; Jerry say <tag>not a tag</tag> and </photo> fake]]></description>
+    <tags><tag>real1</tag></tags>
+  </photo>
+  <photo id="2" dateTaken="2012-01-02 00:00:00.0" dateUploaded="2012-01-02 01:00:00.0" username="plain"/>
+  <photo id="3" dateTaken="2012-01-03 00:00:00.0" dateUploaded="2012-01-03 01:00:00.0" username="q&apos;uote">
+    <title><![CDATA[x &lt; y]]> tail</title>
+    <tags><tag>real3</tag></tags>
+  </photo>
+</photos>
+"""
+
+
+def test_native_parser_hostile_markup(tmp_path):
+    """Regression (review findings): entity references inside CDATA stay
+    LITERAL ('&amp;' must survive as text, not decode); markup-looking
+    strings inside CDATA ('<tag>', '</photo>') must not terminate or spawn
+    elements; '>' and quotes inside attribute values must not truncate the
+    start tag; self-closed photos parse."""
+    df = _parity_frames(EVIL_XML, tmp_path)
+    assert len(df) == 3
+    r1 = df[df["id"] == 1].iloc[0]
+    assert r1["username"] == 'a>b"c'
+    assert "amp" in r1["description"]            # literal &amp; -> 'amp' token
+    assert r1["tags"] == ["real1"]               # CDATA <tag> is not a tag
+    assert df[df["id"] == 3].iloc[0]["tags"] == ["real3"]
