@@ -170,3 +170,27 @@ def test_batched_windows_match_sequential(modalities, approach):
         out[w] = (results["nmi_score"][0], results["f1_score"][0])
     assert out[3][0] == pytest.approx(out[1][0], abs=1e-6)
     assert out[3][1] == pytest.approx(out[1][1], abs=1e-6)
+
+
+@pytest.mark.parametrize("kw", [
+    dict(window_size=512),            # window > subset: no windows fire
+    dict(reduced_dim=100),            # reduced_dim > window
+    dict(k_basis=100),                # k exceeds window rows (clamped)
+    dict(window_size=256),            # subset == exactly one window
+    dict(k_basis=1, reduced_dim=2),   # degenerate small graph
+])
+def test_streaming_edge_configs_no_crash(modalities, kw):
+    """Odd-but-legal configurations must run to completion (the reference's
+    probe list: window_size > subset -> zero-window metrics, no crash;
+    oversized k/reduced_dim clamp to the window)."""
+    mods, mtypes, labels = modalities
+    args = dict(window_size=64, reduced_dim=8, k_basis=3)
+    args.update(kw)
+    results, _ = api.get_initial_results()
+    results = api.process_streaming_data(
+        results=results, data_modalities=mods, modality_types=mtypes,
+        n_clusters_total=2, seed=0, approach="SWFDMC",
+        complete_true_labels=labels, step_window_ratio=1, noise_rate=0.5,
+        label_mode="binary", sorting=True, eps=1.5, min_samples=2, **args)
+    assert len(results["f1_score"]) == 1
+    assert np.isfinite(results["f1_score"][0])
