@@ -137,9 +137,11 @@ def parse_metadata(metadata_path: str, ground_truth: dict,
     parsers share one behavior definition and the parity test asserts
     identical DataFrames).  None = auto: native when the library builds,
     overridable with MUSED_TPU_NO_NATIVE_PARSER=1.  Memory trade: the
-    native scanner reads the whole file (~3x corpus size peak for a ~2.3x
-    end-to-end speedup); the Python iterparse fallback streams at O(one
-    record) — prefer it via the env var on memory-constrained hosts.
+    native scanner reads the whole file (<= ~3x corpus size peak; measured
+    0.75 GB RSS on a 96 MB corpus) for a 1.3-2.3x end-to-end speedup (the
+    shared clean_text pass dominates at high text density); the Python
+    iterparse fallback streams at O(one record) — prefer it via the env var
+    on memory-constrained hosts.
     """
     if use_native is None:
         use_native = os.environ.get("MUSED_TPU_NO_NATIVE_PARSER", "") != "1"

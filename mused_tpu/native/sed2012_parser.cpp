@@ -200,9 +200,13 @@ size_t find_markup(const char* data, size_t pos, size_t limit,
     size_t i = pos;
     while (i < limit) {
         size_t hit = find(data, i, limit, pat);
-        size_t cd = find(data, i, limit, "<![CDATA[");
+        if (hit >= limit) return limit;
+        // only need to know whether a CDATA section OPENS before the hit —
+        // bound the probe there (an unbounded probe made the whole scan
+        // O(file^2) on CDATA-free corpora)
+        size_t cd = find(data, i, hit + 9 < limit ? hit + 9 : limit,
+                         "<![CDATA[");
         if (hit < cd) return hit;
-        if (cd >= limit) return limit;
         size_t close = find(data, cd + 9, limit, "]]>");
         i = (close >= limit) ? limit : close + 3;
     }
