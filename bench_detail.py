@@ -108,11 +108,11 @@ def config2_crisis_spectral():
         n_rows=subset, n_events=5, noise_rate=0.3, d_text=256, d_image=256,
         seed=0)
 
-    def run(match):
+    def run(match, batch_w=1):
         cfg = PipelineConfig(window_size=window, reduced_dim=128, k_basis=8,
                              approach="sSpectral", label_mode="all",
                              n_clusters_override=6, eps=1.5, min_samples=2,
-                             matching=match)
+                             matching=match, windows_per_batch=batch_w)
         r, _ = api.get_initial_results()
         t0 = time.perf_counter()
         r = api.process_streaming_data(
@@ -133,6 +133,9 @@ def config2_crisis_spectral():
     RESULTS["2_crisis_f1"] = round(r["f1_score"][0], 4)
     RESULTS["2_crisis_nmi"] = round(r["nmi_score"][0], 4)
     RESULTS["2_crisis_nmi_e"] = round(r["nmi_e_score"][0], 4)
+    run("centroid", batch_w=4)              # scanned dispatch (identical NMI)
+    wps4, _ = run("centroid", batch_w=4)
+    RESULTS["2_crisis_windows_per_sec_scanned4"] = round(wps4, 2)
     _, r_pos = run("auto")
     RESULTS["2_crisis_nmi_positional_matching"] = round(r_pos["nmi_score"][0], 4)
 
