@@ -147,14 +147,17 @@ def parse_metadata(metadata_path: str, ground_truth: dict,
         use_native = os.environ.get("MUSED_TPU_NO_NATIVE_PARSER", "") != "1"
     if use_native:
         from mused_tpu import native
+        # clean=True: title/description/tags run through the C++ clean_text
+        # reimplementation (native/sed2012_parser.cpp clean_text_ref; parity
+        # tests pin equality with this module's clean_text) — the Python
+        # regex pipeline was the ingest wall at corpus scale
         cols = native.parse_sed2012(metadata_path,
                                     skip_records=skip_records,
-                                    max_records=max_records)
+                                    max_records=max_records, clean=True)
         if cols is not None:
             tag_lists, ti = [], 0
             for c in cols["tag_counts"]:
-                tag_lists.append([clean_text(t)
-                                  for t in cols["tags"][ti:ti + c]])
+                tag_lists.append(cols["tags"][ti:ti + c])
                 ti += c
             df = pd.DataFrame({
                 "id": cols["id"],
@@ -168,9 +171,8 @@ def parse_metadata(metadata_path: str, ground_truth: dict,
                                      cols["lat"]),
                 "longitude": np.where(np.isnan(cols["lat"]), np.nan,
                                       cols["lon"]),
-                "title": [clean_text(s) if s else "" for s in cols["title"]],
-                "description": [clean_text(s) if s else ""
-                                for s in cols["description"]],
+                "title": cols["title"],
+                "description": cols["description"],
                 "tags": tag_lists,
                 "username": [s.strip() for s in cols["username"]],
                 "event_id": [ground_truth.get(p, 0) for p in cols["id"]],

@@ -155,7 +155,7 @@ def _load_sed():
         lib = ctypes.CDLL(_SED_LIB_PATH)
         lib.mused_parse_sed2012.restype = ctypes.c_int64
         lib.mused_parse_sed2012.argtypes = [
-            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.POINTER(ctypes.c_char)),
             ctypes.POINTER(ctypes.c_int64)]
         lib.mused_free_blob.argtypes = [ctypes.POINTER(ctypes.c_char)]
@@ -166,7 +166,7 @@ def _load_sed():
 
 
 def parse_sed2012(path: str, skip_records: int = 0,
-                  max_records: int | None = None):
+                  max_records: int | None = None, clean: bool = False):
     """Native SED2012 metadata scan (sed2012_parser.cpp) -> list of raw
     record tuples (pid, dateTaken, dateUploaded, username, lat_str, lon_str,
     title, description, tags:list[str]) or None when the library is
@@ -180,7 +180,7 @@ def parse_sed2012(path: str, skip_records: int = 0,
     blob_len = ctypes.c_int64(0)
     n = lib.mused_parse_sed2012(
         path.encode(), skip_records,
-        -1 if max_records is None else max_records,
+        -1 if max_records is None else max_records, int(clean),
         ctypes.byref(blob_p), ctypes.byref(blob_len))
     if n < 0:
         return None

@@ -60,6 +60,52 @@ struct Columns {
     }
 };
 
+// Exact reimplementation of data/sed2012.clean_text (reference
+// data_loader.py:180-185).  The Python pipeline is three regex passes —
+// strip <.*?> (non-greedy, '.' excludes '\n'), replace [^a-zA-Z0-9\s] with
+// space, collapse \s+ — then strip().lower().  Because EVERY character that
+// is not ASCII alphanumeric (punctuation, Unicode anything, whitespace of
+// any flavor, UTF-8 continuation bytes) ends up as collapsing whitespace,
+// the composition is exactly: remove <...> spans (acting as separators),
+// then emit lowercased ASCII-alnum runs joined by single spaces.  Byte-wise
+// implementable with no Unicode tables; the parity tests pin equality with
+// the Python reference implementation.
+std::string clean_text_ref(const std::string& in) {
+    std::string out;
+    out.reserve(in.size());
+    size_t i = 0, n = in.size();
+    bool pending_sep = false;
+    while (i < n) {
+        unsigned char c = in[i];
+        if (c == '<') {
+            // match <.*?> — nearest '>' with no '\n' in between
+            size_t j = i + 1;
+            while (j < n && in[j] != '>' && in[j] != '\n') j++;
+            if (j < n && in[j] == '>') {
+                i = j + 1;
+                pending_sep = !out.empty();
+                continue;
+            }
+            // no closing '>': '<' is punctuation -> separator
+            pending_sep = !out.empty();
+            i++;
+            continue;
+        }
+        bool alnum = (c >= '0' && c <= '9') || (c >= 'a' && c <= 'z')
+            || (c >= 'A' && c <= 'Z');
+        if (alnum) {
+            if (pending_sep) out.push_back(' ');
+            pending_sep = false;
+            out.push_back(static_cast<char>(
+                (c >= 'A' && c <= 'Z') ? c + 32 : c));
+        } else {
+            pending_sep = !out.empty();
+        }
+        i++;
+    }
+    return out;
+}
+
 double parse_double_or_nan(const std::string& s) {
     if (s.empty()) return __builtin_nan("");
     const char* c = s.c_str();
@@ -245,8 +291,8 @@ extern "C" {
 // *out_blob receives a malloc'd buffer (caller frees via mused_free_blob);
 // *out_len its byte length.
 int64_t mused_parse_sed2012(const char* path, int64_t skip_records,
-                            int64_t max_records, char** out_blob,
-                            int64_t* out_len) {
+                            int64_t max_records, int64_t clean,
+                            char** out_blob, int64_t* out_len) {
     FILE* f = fopen(path, "rb");
     if (!f) return -1;
     fseek(f, 0, SEEK_END);
@@ -259,6 +305,23 @@ int64_t mused_parse_sed2012(const char* path, int64_t skip_records,
         return -1;
     }
     fclose(f);
+    // XML line-ending normalization (XML 1.0 §2.11): literal "\r\n" and
+    // lone "\r" in the input become "\n" at parse time, BEFORE entity
+    // decoding ("&#13;" still yields a real '\r').  ElementTree does this;
+    // it changes clean_text results because regex '.' excludes '\n' only —
+    // a span like "<\r...>" matches on raw bytes but not post-parse.
+    {
+        size_t w = 0, r = 0, len = body.size();
+        while (r < len) {
+            char c = body[r++];
+            if (c == '\r') {
+                if (r < len && body[r] == '\n') r++;
+                c = '\n';
+            }
+            body[w++] = c;
+        }
+        body.resize(w);
+    }
     const char* data = body.data();
     size_t n = body.size();
 
@@ -317,8 +380,8 @@ int64_t mused_parse_sed2012(const char* path, int64_t skip_records,
         if (d < body_end)
             desc = element_text(data, d + 13, body_end, "</description>",
                                 &found);
-        cols.str_item(4, title);
-        cols.str_item(5, desc);
+        cols.str_item(4, clean ? clean_text_ref(title) : title);
+        cols.str_item(5, clean ? clean_text_ref(desc) : desc);
 
         uint32_t tag_count = 0;
         size_t tp = tag_end;
@@ -328,7 +391,9 @@ int64_t mused_parse_sed2012(const char* path, int64_t skip_records,
             std::string txt = element_text(data, tp + 5, body_end, "</tag>",
                                            &found);
             if (!txt.empty()) {    // ElementTree: empty element -> text None
-                cols.tag_item(txt);
+                // clean AFTER the emptiness check: a tag whose cleaned text
+                // is empty stays in the list (Python cleans post-filter)
+                cols.tag_item(clean ? clean_text_ref(txt) : txt);
                 tag_count++;
             }
             tp += 5;

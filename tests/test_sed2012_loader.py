@@ -210,3 +210,30 @@ def test_native_parser_hostile_markup(tmp_path):
     assert "amp" in r1["description"]            # literal &amp; -> 'amp' token
     assert r1["tags"] == ["real1"]               # CDATA <tag> is not a tag
     assert df[df["id"] == 3].iloc[0]["tags"] == ["real3"]
+
+
+def test_native_clean_text_fuzz_parity(tmp_path):
+    """Fuzz the in-C++ clean_text reimplementation against the Python
+    reference through a full XML round trip: random text (unicode, HTML-ish
+    spans, newlines, entities via proper escaping) must clean identically on
+    both loader paths."""
+    import random
+    from xml.sax.saxutils import escape
+
+    rng = random.Random(0)
+    alphabet = (list("abcXYZ019 <>&\"'\t\n\r.,!?-_/") +
+                ["é", "ß", "中", "\xa0", " ", "<b>", "</b>", "&amp;",
+                 "tag>", "<", ">"])
+    parts = ['<?xml version="1.0" encoding="UTF-8"?>\n<photos>\n']
+    for i in range(150):
+        txt = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60)))
+        tag_txt = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 12)))
+        parts.append(
+            f'<photo id="{i}" dateTaken="2012-01-01 00:00:00.0" '
+            f'dateUploaded="2012-01-01 01:00:00.0" username="u{i}">'
+            f'<title>{escape(txt)}</title>'
+            f'<description>{escape(txt[::-1])}</description>'
+            f'<tags><tag>{escape(tag_txt)}</tag></tags></photo>\n')
+    parts.append('</photos>\n')
+    df = _parity_frames("".join(parts), tmp_path)
+    assert len(df) == 150
