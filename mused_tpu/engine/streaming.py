@@ -419,8 +419,7 @@ class StreamingEngine:
             "swfd_R": self.swfd_R,
             "prev_centroids": self.prev_centroids,
             "prev_centroid_labels": self.prev_centroid_labels,
-            "incr_buf": None if inc is None else inc._buf,
-            "incr_labels": None if inc is None else inc._labels,
+            "incr_state": None if inc is None else inc.snapshot(),
             "centroid_matcher": None if cm is None else cm.snapshot(),
         }
 
@@ -430,11 +429,13 @@ class StreamingEngine:
         self.swfd_R = host.get("swfd_R")
         self.prev_centroids = host.get("prev_centroids")
         self.prev_centroid_labels = host.get("prev_centroid_labels")
-        if host.get("incr_buf") is not None:
+        if host.get("incr_state") is not None:
+            self.incr_clusterer = dbscan.IncrementalDBSCAN.from_snapshot(
+                host["incr_state"])
+        elif host.get("incr_buf") is not None:   # pre-exact-mode checkpoints
             self.incr_clusterer = dbscan.IncrementalDBSCAN(
                 eps=self.cfg.eps, min_pts=self.cfg.min_samples)
-            self.incr_clusterer._buf = host["incr_buf"]
-            self.incr_clusterer._labels = host["incr_labels"]
+            self.incr_clusterer.insert(host["incr_buf"])
         if host.get("centroid_matcher") is not None:
             self.centroid_matcher = matching.CentroidMatcher.from_snapshot(
                 host["centroid_matcher"])
@@ -469,8 +470,9 @@ class StreamingEngine:
 
         if cfg.approach == "DBSCAN_incr":
             raise ValueError(
-                "DBSCAN_incr accumulates a bounded point buffer; at huge "
-                "windows use DBSCAN_centr (blocked) instead")
+                "DBSCAN_incr accumulates every inserted point (exact "
+                "incremental semantics); at huge windows use DBSCAN_centr "
+                "(blocked) instead")
         key = jax.random.fold_in(jax.random.key(cfg.seed), window_index)
         with self.timer.span("device_step"):
             if cfg.approach == "SWFDMC":

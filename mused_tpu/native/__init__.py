@@ -226,6 +226,81 @@ def parse_sed2012(path: str, skip_records: int = 0,
             "tags": tag_items}
 
 
+_INCDB_LIB_PATH = os.path.join(_DIR, "libmused_incdb.so")
+_incdb_lib = None
+_incdb_load_failed = False
+
+
+def _load_incdb():
+    global _incdb_lib, _incdb_load_failed
+    if _incdb_lib is not None or _incdb_load_failed:
+        return _incdb_lib
+    try:
+        src = os.path.join(_DIR, "incdbscan.cpp")
+        stale = (os.path.exists(_INCDB_LIB_PATH) and os.path.exists(src)
+                 and os.path.getmtime(src) > os.path.getmtime(_INCDB_LIB_PATH))
+        if stale or not os.path.exists(_INCDB_LIB_PATH):
+            subprocess.run(["make", "-C", _DIR, "-s", "-B",
+                            "libmused_incdb.so"], check=True,
+                           capture_output=True, timeout=120)
+        lib = ctypes.CDLL(_INCDB_LIB_PATH)
+        lib.mused_incdb_create.restype = ctypes.c_void_p
+        lib.mused_incdb_create.argtypes = [ctypes.c_int64]
+        lib.mused_incdb_free.argtypes = [ctypes.c_void_p]
+        lib.mused_incdb_insert.restype = ctypes.c_int64
+        lib.mused_incdb_insert.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
+        lib.mused_incdb_labels.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32)]
+        _incdb_lib = lib
+    except (OSError, subprocess.SubprocessError, AttributeError):
+        _incdb_load_failed = True
+    return _incdb_lib
+
+
+class IncDBHandle:
+    """Owning wrapper over the native incremental-DBSCAN structure
+    (incdbscan.cpp): monotone union-find over eps-pairs discovered on device.
+    Returns None from the factory when the library is unavailable."""
+
+    @staticmethod
+    def create(min_pts: int) -> "IncDBHandle | None":
+        lib = _load_incdb()
+        if lib is None:
+            return None
+        return IncDBHandle(lib, lib.mused_incdb_create(int(min_pts)))
+
+    def __init__(self, lib, handle):
+        self._lib = lib
+        self._h = handle
+        self.n = 0
+
+    def insert(self, n_new: int, pair_a: np.ndarray, pair_b: np.ndarray) -> None:
+        pa = np.ascontiguousarray(pair_a, np.int32)
+        pb = np.ascontiguousarray(pair_b, np.int32)
+        assert pa.shape == pb.shape and pa.ndim == 1
+        n = self._lib.mused_incdb_insert(
+            self._h, int(n_new), len(pa),
+            pa.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            pb.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        if n < 0:
+            raise ValueError("malformed eps-pair ids")
+        self.n = int(n)
+
+    def labels(self) -> np.ndarray:
+        out = np.empty(self.n, np.int32)
+        if self.n:
+            self._lib.mused_incdb_labels(
+                self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        return out
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.mused_incdb_free(self._h)
+            self._h = None
+
+
 def multihot_tags(tag_lists, dim: int) -> np.ndarray | None:
     lib = _load()
     if lib is None:

@@ -293,33 +293,152 @@ def _is_descendant(k, c, tree):
 # incremental variants
 # ---------------------------------------------------------------------------
 
+@jax.jit
+def _incdb_place(buf: jax.Array, new: jax.Array, start: jax.Array) -> jax.Array:
+    """Write a new point batch into the capacity-padded device buffer."""
+    return jax.lax.dynamic_update_slice(buf, new, (start, jnp.int32(0)))
+
+
+@jax.jit
+def _incdb_counts(buf: jax.Array, n_valid: jax.Array, new: jax.Array,
+                  eps: jax.Array) -> jax.Array:
+    """Exact |N_eps| per new row over the valid prefix (self included)."""
+    d2 = _sq_dists(new, buf)
+    valid = jnp.arange(buf.shape[0])[None, :] < n_valid
+    return jnp.sum(valid & (d2 <= eps * eps), axis=1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _incdb_topk(buf: jax.Array, n_valid: jax.Array, new: jax.Array, k: int):
+    """k nearest valid points per new row -> (d2 vals, global indices).
+    With k >= that row's within-eps count, the k nearest provably contain
+    every within-eps neighbor (all of them are nearer than any non-member)."""
+    d2 = _sq_dists(new, buf)
+    d2 = jnp.where(jnp.arange(buf.shape[0])[None, :] < n_valid, d2, jnp.inf)
+    neg, idx = jax.lax.top_k(-d2, k)
+    return -neg, idx
+
+
 class IncrementalDBSCAN:
     """insert/get_cluster_labels contract of the incdbscan library used at
-    reference main.py:87-91, rebuilt as re-clustering over a bounded buffer.
+    reference main.py:87-91, rebuilt EXACTLY for the insertion-only stream.
 
-    DBSCAN is deterministic given its input set, so re-running on the buffer
-    is result-equivalent to incremental insertion (modulo border-point ties);
-    the buffer cap bounds the O(n^2) device work per window.
+    Default (``max_buffer=None``) is exact incremental DBSCAN over everything
+    ever inserted, with the TPU-native split: the O(n_new * N * d) geometry
+    runs on device (MXU pairwise matmuls into a capacity-doubling resident
+    buffer + exact eps-neighbor extraction via adaptive ``top_k`` whose k is
+    the batch's max within-eps count, padded to a power of two to bound
+    recompiles), while the sequential cluster structure — monotone union-find
+    over core transitions — lives in the native C++ core (incdbscan.cpp).
+    Core status and component merges are monotone under insertion, so labels
+    equal batch DBSCAN over the full inserted set regardless of how the
+    stream was batched (border-point ties may attach to a different adjacent
+    cluster than sklearn's scan order; same caveat as ``dbscan_labels``).
+    Without the native library the fallback re-clusters the FULL buffer on
+    device — same exact semantics, O(N^2) per insert instead of O(n_new*N).
+
+    ``max_buffer=k`` keeps the legacy memory-capped mode: re-cluster the last
+    k points, evicting the oldest (an approximation once the stream exceeds
+    the cap — the pre-round-2 default, still useful to bound device work).
     """
 
-    def __init__(self, eps: float, min_pts: int, max_buffer: int = 8192):
+    def __init__(self, eps: float, min_pts: int, max_buffer: int | None = None):
         self.eps = float(eps)
         self.min_pts = int(min_pts)
-        self.max_buffer = int(max_buffer)
-        self._buf: np.ndarray | None = None
+        self.max_buffer = None if max_buffer is None else int(max_buffer)
+        self._buf: np.ndarray | None = None       # host copy (checkpointing)
         self._labels: np.ndarray | None = None
+        self._handle = None                        # native union-find core
+        self._handle_tried = False
+        self._dev_buf: jax.Array | None = None     # capacity-padded points
+        self._n = 0                                # valid rows in _dev_buf
 
+    # -- exact-mode internals ------------------------------------------
+    def _native_handle(self):
+        if not self._handle_tried:
+            self._handle_tried = True
+            from mused_tpu import native
+            self._handle = native.IncDBHandle.create(self.min_pts)
+        return self._handle
+
+    def _ensure_capacity(self, need: int, d: int) -> None:
+        cap = self._dev_buf.shape[0] if self._dev_buf is not None else 0
+        if need <= cap:
+            return
+        new_cap = max(256, 1 << (need - 1).bit_length())
+        grown = jnp.zeros((new_cap, d), jnp.float32)
+        if self._dev_buf is not None and self._n:
+            grown = _incdb_place(grown, self._dev_buf[:self._n], jnp.int32(0))
+        self._dev_buf = grown
+
+    def _insert_exact(self, pts: np.ndarray) -> None:
+        n_new, d = pts.shape
+        n_old = self._n
+        self._ensure_capacity(n_old + n_new, d)
+        new_dev = jnp.asarray(pts)
+        self._dev_buf = _incdb_place(self._dev_buf, new_dev, jnp.int32(n_old))
+        self._n = n_old + n_new
+        n_valid = jnp.int32(self._n)
+        eps = jnp.float32(self.eps)
+        counts = np.asarray(_incdb_counts(self._dev_buf, n_valid, new_dev, eps))
+        k = int(counts.max(initial=1))
+        k = min(max(32, 1 << (k - 1).bit_length()), self._n)
+        vals, idx = _incdb_topk(self._dev_buf, n_valid, new_dev, k)
+        vals = np.asarray(vals)
+        idx = np.asarray(idx)
+        gids = np.arange(n_old, self._n, dtype=np.int32)[:, None]
+        # keep only earlier-id neighbors: delivers each unordered pair once
+        # (old-new pairs here; new-new pairs from the higher id's row)
+        mask = (vals <= np.float32(self.eps) * np.float32(self.eps)) & (idx < gids)
+        self._handle.insert(n_new, np.broadcast_to(gids, idx.shape)[mask],
+                            idx[mask])
+
+    # -- public contract ------------------------------------------------
     def insert(self, points) -> "IncrementalDBSCAN":
-        pts = np.asarray(points, np.float32)
+        pts = np.atleast_2d(np.asarray(points, np.float32))
         self._buf = pts if self._buf is None else np.concatenate([self._buf, pts])
-        if len(self._buf) > self.max_buffer:
-            self._buf = self._buf[-self.max_buffer:]
-        self._labels = dbscan(self._buf, eps=self.eps, min_samples=self.min_pts)
+        if self.max_buffer is not None:           # legacy bounded mode
+            if len(self._buf) > self.max_buffer:
+                self._buf = self._buf[-self.max_buffer:]
+            self._labels = dbscan(self._buf, eps=self.eps,
+                                  min_samples=self.min_pts)
+            return self
+        if self._native_handle() is not None:
+            self._insert_exact(pts)
+            self._labels = None                   # recomputed lazily
+        else:                                     # exact-by-recluster fallback
+            self._labels = dbscan(self._buf, eps=self.eps,
+                                  min_samples=self.min_pts)
         return self
 
     def get_cluster_labels(self, points) -> np.ndarray:
         k = len(points)
+        if self._labels is None:
+            self._labels = self._handle.labels()
         return np.asarray(self._labels[-k:])
+
+    # -- checkpointing ---------------------------------------------------
+    def snapshot(self) -> dict:
+        """Picklable state.  Exact mode stores only the inserted points:
+        labels are batching-invariant, so restore re-inserts them in one
+        batch and reaches the identical structure."""
+        return {"eps": self.eps, "min_pts": self.min_pts,
+                "max_buffer": self.max_buffer, "buf": self._buf,
+                "labels": self._labels if self.max_buffer is not None else None}
+
+    @classmethod
+    def from_snapshot(cls, snap: dict) -> "IncrementalDBSCAN":
+        inc = cls(snap["eps"], snap["min_pts"], snap.get("max_buffer"))
+        if snap.get("buf") is not None and len(snap["buf"]):
+            if inc.max_buffer is not None:
+                inc._buf = snap["buf"]
+                inc._labels = snap["labels"]
+                if inc._labels is None:
+                    inc._labels = dbscan(inc._buf, eps=inc.eps,
+                                         min_samples=inc.min_pts)
+            else:
+                inc.insert(snap["buf"])
+        return inc
 
 
 def match_centroids(data: np.ndarray, labels: np.ndarray, previous_centroids,

@@ -117,3 +117,116 @@ def test_incremental_dbscan_post_eviction_regime(rng):
     lbl_c = np.asarray(inc.get_cluster_labels(c))
     assert (lbl_c >= 0).all()          # one dense blob: no noise
     assert len(np.unique(lbl_c)) == 1  # single cluster
+
+
+# ---------------------------------------------------------------------------
+# exact incremental mode (native union-find core + device geometry)
+# ---------------------------------------------------------------------------
+
+def _core_mask(x, eps, min_pts):
+    d2 = ((x[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    within = d2 <= eps * eps
+    return within, within.sum(1) >= min_pts
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_incremental_exact_equals_batch_partition(seed):
+    """Exact mode: after any batching of the stream, core points carry the
+    IDENTICAL partition as batch DBSCAN over everything inserted, and every
+    border point attaches to one of its core neighbors' clusters (the only
+    permitted deviation is WHICH adjacent cluster a tied border point joins)."""
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(-4, 4, size=(300, 3)).astype(np.float32)
+    inc = dbs.IncrementalDBSCAN(eps=1.0, min_pts=4)
+    for i in range(0, 300, 60):
+        inc.insert(x[i:i + 60])
+    ours = np.asarray(inc.get_cluster_labels(x))
+    batch = np.asarray(dbs.dbscan(x, eps=1.0, min_samples=4))
+    within, core = _core_mask(x, 1.0, 4)
+    assert adjusted_rand_score(batch[core], ours[core]) == 1.0
+    assert ((ours == -1) == (batch == -1)).all()     # same noise mask
+    for i in np.where(~core & (ours != -1))[0]:
+        nb = np.where(within[i] & core)[0]
+        assert ours[i] in set(ours[nb])
+
+
+def test_incremental_delayed_core_bridges_clusters():
+    """The defining incremental case: a point with too few neighbors in its
+    own batch becomes core only when a LATER batch supplies the rest — and
+    must then bridge two previously-separate clusters.  (A per-window
+    re-clustering over a bounded tail gets this wrong once the first batch
+    is evicted; the exact structure cannot.)"""
+    p = np.array([[0.0, 0.0]], np.float32)
+    left = np.array([[-1.0, 0], [-1.9, 0], [-2.8, 0],
+                     [-1.0, .3], [-1.9, .3], [-2.8, .3]], np.float32)
+    right = np.array([[1.0, 0], [1.9, 0], [2.8, 0],
+                      [1.0, .3], [1.9, .3], [2.8, .3]], np.float32)
+    inc = dbs.IncrementalDBSCAN(eps=1.0, min_pts=3)
+    inc.insert(np.concatenate([p, left]))   # p has only 2 neighbors: border
+    inc.insert(right)                       # now 4: core -> one bridged cluster
+    allpts = np.concatenate([p, left, right])
+    ours = np.asarray(inc.get_cluster_labels(allpts))
+    batch = np.asarray(dbs.dbscan(allpts, eps=1.0, min_samples=3))
+    np.testing.assert_array_equal(ours, batch)
+    assert set(ours) == {0}
+
+
+def test_incremental_single_point_batches_chain():
+    """One point per insert (n_new=1, the smallest batch): a chain built
+    point-by-point still connects into one cluster."""
+    inc = dbs.IncrementalDBSCAN(eps=1.0, min_pts=2)
+    pts = np.stack([np.arange(20, dtype=np.float32) * 0.9,
+                    np.zeros(20, np.float32)], axis=1)
+    for row in pts:
+        inc.insert(row[None, :])
+    labels = np.asarray(inc.get_cluster_labels(pts))
+    assert (labels == 0).all()
+
+
+def test_incremental_dense_neighborhoods_force_topk_growth():
+    """A dense blob whose within-eps counts exceed the starting top-k width
+    (32) exercises the adaptive-k path; labels still match batch DBSCAN."""
+    rng = np.random.default_rng(7)
+    x = np.concatenate([rng.normal(size=(120, 2)) * 0.2,        # ~all mutual
+                        rng.normal(size=(40, 2)) * 0.2 + 10.0]).astype(np.float32)
+    inc = dbs.IncrementalDBSCAN(eps=1.0, min_pts=5)
+    inc.insert(x[:80]); inc.insert(x[80:])
+    ours = np.asarray(inc.get_cluster_labels(x))
+    batch = np.asarray(dbs.dbscan(x, eps=1.0, min_samples=5))
+    np.testing.assert_array_equal(ours, batch)
+
+
+def test_incremental_fallback_matches_native(rng, monkeypatch):
+    """Without the native library the exact-by-recluster fallback must agree
+    with the native structure on tie-free data."""
+    from mused_tpu import native
+    x = blobs(rng, k=3, n_per=30, with_noise=5)
+    inc_native = dbs.IncrementalDBSCAN(eps=1.0, min_pts=3)
+    assert inc_native._native_handle() is not None   # bind before patching
+    monkeypatch.setattr(native.IncDBHandle, "create",
+                        staticmethod(lambda min_pts: None))
+    inc_fb = dbs.IncrementalDBSCAN(eps=1.0, min_pts=3)
+    for i in range(0, len(x), 35):
+        inc_native.insert(x[i:i + 35])
+        inc_fb.insert(x[i:i + 35])
+    assert inc_fb._handle is None and inc_native._handle is not None
+    a = np.asarray(inc_native.get_cluster_labels(x))
+    b = np.asarray(inc_fb.get_cluster_labels(x))
+    within, core = _core_mask(x, 1.0, 3)
+    assert adjusted_rand_score(a[core], b[core]) == 1.0
+    assert ((a == -1) == (b == -1)).all()
+
+
+def test_incremental_snapshot_roundtrip(rng):
+    """snapshot/from_snapshot: the restored structure continues the stream
+    with labels equal to the uninterrupted run (exact mode is
+    batching-invariant, so a one-shot re-insert reaches the same state)."""
+    x = blobs(rng, k=2, n_per=40, with_noise=6)
+    inc = dbs.IncrementalDBSCAN(eps=1.0, min_pts=3)
+    inc.insert(x[:50])
+    resumed = dbs.IncrementalDBSCAN.from_snapshot(inc.snapshot())
+    inc.insert(x[50:])
+    resumed.insert(x[50:])
+    np.testing.assert_array_equal(
+        np.asarray(inc.get_cluster_labels(x)),
+        np.asarray(resumed.get_cluster_labels(x)))
