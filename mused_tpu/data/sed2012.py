@@ -58,6 +58,37 @@ def convert_to_timestamp(x: str) -> float:
     raise ValueError(f"unparseable timestamp: {x!r}")
 
 
+def convert_timestamp_column(values) -> np.ndarray:
+    """Vectorized ``convert_to_timestamp`` over a whole column.
+
+    ``time.mktime`` interprets the parsed struct_tm in the HOST's local
+    timezone and drops fractional seconds (``timetuple()``).  Under UTC
+    (``time.timezone == 0`` and no DST rule) mktime is exactly "seconds since
+    epoch of the wall-clock fields", so the column vectorizes as
+    ``pd.to_datetime`` + floor-to-seconds — ~30x the 340k-row apply() the
+    per-row path costs at corpus scale.  On a non-UTC host we keep the
+    reference-exact per-row conversion (DST-gap resolution in mktime has no
+    faithful vectorized equivalent).  Raises ValueError on any unparseable
+    entry, like the scalar path.
+    """
+    if time.timezone != 0 or time.daylight:
+        return np.fromiter((convert_to_timestamp(v) for v in values),
+                           np.float64, count=len(values))
+    s = pd.Series(values, dtype=object)
+    dt = pd.to_datetime(s, format="%Y-%m-%d %H:%M:%S.%f", errors="coerce")
+    miss = dt.isna()
+    if miss.any():
+        dt2 = pd.to_datetime(s[miss], format="%Y-%m-%d %H:%M:%S",
+                             errors="coerce")
+        if dt2.isna().any():
+            bad = s[miss][dt2.isna()].iloc[0]
+            raise ValueError(f"unparseable timestamp: {bad!r}")
+        dt = dt.copy()
+        dt[miss] = dt2
+    secs = dt.to_numpy().astype("datetime64[s]")     # mktime drops .%f
+    return (secs - np.datetime64(0, "s")).astype(np.float64)
+
+
 def parse_ground_truth(lines, ground_truth: dict, class_counter: int = 1) -> int:
     """One ground-truth txt: each line lists a comma-separated photo-id group
     forming one event class (reference data_loader.py:115-128).  Returns the
@@ -116,9 +147,9 @@ def load_sed2012_dataset(dataset_dir: str = DATASET_DIR,
         [1, 2, 3], default=0)
 
     for col in ("datetaken", "dateupload"):
-        df[col] = (df[col]
-                   .replace(["0000-00-00 00:00:00"], "1970-01-01 00:00:00")
-                   .apply(convert_to_timestamp))
+        df[col] = convert_timestamp_column(
+            df[col].replace(["0000-00-00 00:00:00"], "1970-01-01 00:00:00")
+            .tolist())
     return df
 
 

@@ -237,3 +237,20 @@ def test_native_clean_text_fuzz_parity(tmp_path):
     parts.append('</photos>\n')
     df = _parity_frames("".join(parts), tmp_path)
     assert len(df) == 150
+
+
+def test_timestamp_column_vectorization_parity():
+    """convert_timestamp_column == per-row convert_to_timestamp (reference
+    data_loader.py:187-188 semantics: local-time mktime, fractional seconds
+    dropped), including the sentinel-replaced epoch and both formats."""
+    from mused_tpu.data.sed2012 import (convert_timestamp_column,
+                                        convert_to_timestamp)
+    vals = (["2012-0%d-1%d 0%d:2%d:3%d.%d" % (i % 8 + 1, i % 3, i % 9,
+                                              i % 9, i % 9, i % 10)
+             for i in range(500)] +
+            ["2012-12-31 23:59:59", "1970-01-01 00:00:00",
+             "2000-02-29 12:00:00.5", "1999-01-01 00:00:00.999999"])
+    want = np.array([convert_to_timestamp(v) for v in vals])
+    np.testing.assert_array_equal(convert_timestamp_column(vals), want)
+    with pytest.raises(ValueError, match="unparseable"):
+        convert_timestamp_column(["2012-01-01 00:00:00", "garbage"])
