@@ -41,6 +41,25 @@ class StreamState(NamedTuple):
     minibatch: kmeans.MiniBatchState
 
 
+class _PendingWindow(NamedTuple):
+    """A dispatched-but-not-pulled window (dispatch_window/finalize_window).
+
+    ``state`` is the post-window device state — kept here because by
+    finalize time ``engine.state`` may already hold the NEXT window's
+    (pipelined) state, and checkpoints must save the state matching the
+    last FINALIZED window.  ``clusters`` short-circuits paths that complete
+    synchronously (huge windows)."""
+
+    window_index: int
+    reduced: object = None
+    labels: object = None
+    r_norm: object = None
+    stable_feats: object = None
+    verbose: bool = False
+    state: object = None
+    clusters: object = None
+
+
 def _choose_lanes(n: int, ell: int) -> int:
     """Lane count for fd.hierarchical_sketch.  lanes=1 measured fastest on
     v5e (123k rows/s vs 94k at 16 — the scan pipelines well and extra lanes
@@ -626,13 +645,33 @@ class StreamingEngine:
         ``features``: optionally pre-featurized tensors (from the ingest
         prefetcher) so the host hashing work overlaps device compute.
         """
+        pending = self.dispatch_window(window_modalities, modality_types,
+                                       window_true_labels, window_index,
+                                       prev_clusters, features=features)
+        return self.finalize_window(pending, prev_clusters)
+
+    def dispatch_window(self, window_modalities, modality_types,
+                        window_true_labels, window_index: int,
+                        prev_clusters, features=None) -> "_PendingWindow":
+        """Issue window ``window_index``'s device step WITHOUT pulling its
+        results.  The per-window loop pipelines this one window ahead of
+        :meth:`finalize_window` (the host label pull + clustering glue +
+        matching), so the device computes window w+1 while the host matches
+        window w — matching is host-only and feeds nothing back to the
+        device, so the lag changes no numerics.  The returned record holds
+        the post-window device state (for checkpointing at finalize time,
+        after ``self.state`` has already advanced past it)."""
         cfg = self.cfg
         if features is None:
             features = self.featurize(window_modalities, modality_types)
         if cfg.window_size > LARGE_WINDOW_ROWS or cfg.force_blocked_window:
-            return self._process_window_large(features, modality_types,
-                                              window_true_labels,
-                                              window_index, prev_clusters)
+            # the huge-window path drives its own blocked sub-stream with
+            # internal pulls; run it to completion (compute-dominated)
+            clusters = self._process_window_large(features, modality_types,
+                                                  window_true_labels,
+                                                  window_index, prev_clusters)
+            return _PendingWindow(window_index=window_index, clusters=clusters,
+                                  state=self.state)
         verbose = cfg.verbose and cfg.window_size <= 1000
         if verbose:   # small-subset debug oracles (ref main.py:35-37)
             print(f"[window {window_index}] true labels: "
@@ -645,10 +684,7 @@ class StreamingEngine:
         if self.mesh is not None:
             from mused_tpu.parallel import sharded as shard_mod
             types = _types_for(features, modality_types)
-            with self.timer.span("device_step",
-                                 sync=lambda: (labels if cfg.approach not in
-                                               ("DBSCAN_incr", "DBSCAN_centr")
-                                               else reduced)):
+            with self.timer.span("device_step"):
                 new_swfd, new_mb, reduced, labels, r_norm = \
                     shard_mod.sharded_engine_step(
                         self.state.swfd, self.state.minibatch,
@@ -661,14 +697,10 @@ class StreamingEngine:
                         text_dim=cfg.features.text_hash_dim, mesh=self.mesh,
                         topology=cfg.merge_topology)
                 self.state = StreamState(swfd=new_swfd, minibatch=new_mb)
-            if cfg.approach == "SWFDMC" and self.swfd_R is None:
-                self.swfd_R = float(r_norm)   # pmax'd (ref main.py:61)
-            if verbose:   # ref main.py:99-103 oracle
-                print(f"[window {window_index}] reduced:\n"
-                      f"{np.asarray(reduced)}")
-            return self._cluster_and_match(reduced, labels, window_index,
-                                           prev_clusters, verbose,
-                                           stable_feats=stable_feats)
+            return _PendingWindow(window_index=window_index, reduced=reduced,
+                                  labels=labels, r_norm=r_norm,
+                                  stable_feats=stable_feats, verbose=verbose,
+                                  state=self.state)
 
         if verbose:
             # two-dispatch path: the fused-adjacency oracle print
@@ -679,29 +711,22 @@ class StreamingEngine:
                   f"(sum={float(jnp.sum(fused)):.0f}):\n{np.asarray(fused)}")
             if cfg.approach == "SWFDMC" and self.swfd_R is None:
                 self.swfd_R = float(jnp.max(jnp.sum(fused * fused, axis=1)))
-            with self.timer.span("device_step",
-                                 sync=lambda: (labels if cfg.approach not in
-                                               ("DBSCAN_incr", "DBSCAN_centr")
-                                               else reduced)):
+            with self.timer.span("device_step"):
                 self.state, reduced, labels = _window_step(
                     self.state, fused, jnp.int32(n_clusters), key,
                     approach=cfg.approach, k_basis=cfg.k_basis,
                     reduced_dim=cfg.reduced_dim, k_max=self.k_max,
                     window=cfg.window_size, block_rows=self.block_rows,
                     fd_shrink=cfg.fd_shrink)
-            print(f"[window {window_index}] reduced:\n{np.asarray(reduced)}")
-            return self._cluster_and_match(reduced, labels, window_index,
-                                           prev_clusters, verbose,
-                                           stable_feats=stable_feats)
+            return _PendingWindow(window_index=window_index, reduced=reduced,
+                                  labels=labels, stable_feats=stable_feats,
+                                  verbose=verbose, state=self.state)
 
         # default: fusion + window step in ONE dispatch (halves the
         # per-window call count on remote links); the fused matrix stays
         # on device, only its max row norm (the reference's R) comes back
         types = _types_for(features, modality_types)
-        with self.timer.span("device_step",
-                             sync=lambda: (labels if cfg.approach not in
-                                           ("DBSCAN_incr", "DBSCAN_centr")
-                                           else reduced)):
+        with self.timer.span("device_step"):
             self.state, reduced, labels, r_norm = _combined_window_step(
                 self.state, tuple(jnp.asarray(f) for f in features),
                 jnp.int32(n_clusters), key, approach=cfg.approach,
@@ -711,13 +736,35 @@ class StreamingEngine:
                 types=types, use_pallas=self.use_pallas,
                 tags_dim=cfg.features.tags_hash_dim,
                 text_dim=cfg.features.text_hash_dim)
-        if cfg.approach == "SWFDMC" and self.swfd_R is None:
+        return _PendingWindow(window_index=window_index, reduced=reduced,
+                              labels=labels, r_norm=r_norm,
+                              stable_feats=stable_feats, verbose=verbose,
+                              state=self.state)
+
+    def finalize_window(self, pending: "_PendingWindow",
+                        prev_clusters) -> np.ndarray:
+        """Pull a dispatched window's results and run the host half
+        (clustering glue, matching, fallback).  Must be called in window
+        order; ``prev_clusters`` is the previous window's MATCHED labels."""
+        if pending.clusters is not None:    # huge-window path: already done
+            return pending.clusters
+        cfg = self.cfg
+        if cfg.approach == "SWFDMC" and self.swfd_R is None \
+                and pending.r_norm is not None:
             # reference sizes the sketch with the first window's max squared
-            # row norm (main.py:61); recorded for parity/diagnostics
-            self.swfd_R = float(r_norm)
-        return self._cluster_and_match(reduced, labels, window_index,
-                                       prev_clusters, verbose,
-                                       stable_feats=stable_feats)
+            # row norm (main.py:61; pmax'd under SPMD) — parity/diagnostics
+            self.swfd_R = float(pending.r_norm)
+        if pending.verbose:   # ref main.py:99-103 oracle
+            print(f"[window {pending.window_index}] reduced:\n"
+                  f"{np.asarray(pending.reduced)}")
+        with self.timer.span("device_sync"):
+            sync = (pending.labels if cfg.approach not in
+                    ("DBSCAN_incr", "DBSCAN_centr") else pending.reduced)
+            np.asarray(sync)
+        return self._cluster_and_match(pending.reduced, pending.labels,
+                                       pending.window_index, prev_clusters,
+                                       pending.verbose,
+                                       stable_feats=pending.stable_feats)
 
     def _cluster_and_match(self, reduced, labels, window_index: int,
                            prev_clusters, verbose: bool = False,
@@ -865,6 +912,41 @@ def process_streaming_data(results, data_modalities, modality_types,
                             sorting, reduced_dim, k_basis, total_start)
 
     prefetcher = WindowPrefetcher(featurize_at, len(todo), depth=2)
+
+    def _finish(pending) -> None:
+        """Pull + match one dispatched window; checkpoint its post-state."""
+        nonlocal prev_clusters
+        clusters = engine.finalize_window(pending, prev_clusters)
+        prev_clusters = clusters
+        all_clusters.append(clusters)
+        w_done = pending.window_index
+        if checkpoint_dir and (w_done + 1) % max(checkpoint_every, 1) == 0:
+            from mused_tpu.utils import checkpoint as ckpt
+            # pending.state, NOT engine.state: the pipelined loop may have
+            # already dispatched the next window into engine.state
+            ckpt.save_checkpoint(
+                ckpt.checkpoint_name(checkpoint_dir, w_done + 1),
+                pending.state,
+                {"next_window": w_done + 1,
+                 "prev_clusters": prev_clusters,
+                 "all_clusters": list(all_clusters),
+                 "all_true_labels": list(all_true_labels),
+                 **engine.host_snapshot()})
+
+    # lag-1 software pipeline: dispatch window w+1 before pulling window w,
+    # so the device computes ahead while the host matches (matching is
+    # host-only and feeds nothing back to the device — numerics unchanged).
+    # verbose keeps the sequential order so the debug-oracle prints don't
+    # interleave across windows; checkpointing too — the window step donates
+    # its state operand, so window w's saveable state would be invalidated
+    # the moment w+1 dispatches.  The huge-window path runs to completion
+    # inside dispatch (including matching, which NEEDS the previous window's
+    # matched labels), so it must also stay sequential.
+    pipelined = (not cfg.verbose and not checkpoint_dir
+                 and window_size <= LARGE_WINDOW_ROWS
+                 and not cfg.force_blocked_window)
+    from collections import deque
+    pending_q: deque = deque()
     try:
         for (w_idx, i), features in zip(todo, prefetcher):
             lo, hi = i - window_size + 1, i + 1
@@ -872,22 +954,21 @@ def process_streaming_data(results, data_modalities, modality_types,
             true_labels = complete_true_labels[lo:hi]
             all_true_labels.append(true_labels)
 
-            clusters = engine.process_window(window_modalities, modality_types,
-                                             true_labels, w_idx, prev_clusters,
-                                             features=features)
-            prev_clusters = clusters
-            all_clusters.append(clusters)
-
-            if checkpoint_dir and (w_idx + 1) % max(checkpoint_every, 1) == 0:
-                from mused_tpu.utils import checkpoint as ckpt
-                ckpt.save_checkpoint(
-                    ckpt.checkpoint_name(checkpoint_dir, w_idx + 1),
-                    engine.state,
-                    {"next_window": w_idx + 1,
-                     "prev_clusters": prev_clusters,
-                     "all_clusters": list(all_clusters),
-                     "all_true_labels": list(all_true_labels),
-                     **engine.host_snapshot()})
+            nxt = engine.dispatch_window(window_modalities, modality_types,
+                                         true_labels, w_idx, prev_clusters,
+                                         features=features)
+            if not pipelined:
+                _finish(nxt)
+                continue
+            # NOTE: no copy_to_host_async() here — on the axon remote
+            # backend it wedges the stream indefinitely (verified; the
+            # lag-2 depth already guarantees the window is computed by
+            # finalize time, so the pull costs one transfer round trip)
+            pending_q.append(nxt)
+            if len(pending_q) > 2:
+                _finish(pending_q.popleft())
+        while pending_q:
+            _finish(pending_q.popleft())
     finally:
         prefetcher.close()
 

@@ -15,7 +15,7 @@ def run_stream(mods, mtypes, labels, approach, checkpoint_dir=None, stop_after=N
     results, _ = api.get_initial_results()
     if stop_after is not None:
         # simulate a crash: monkey-patch the engine loop via a truncated stream
-        orig = streaming.StreamingEngine.process_window
+        orig = streaming.StreamingEngine.dispatch_window
         calls = {"n": 0}
 
         def bomb(self, *a, **k):
@@ -24,7 +24,7 @@ def run_stream(mods, mtypes, labels, approach, checkpoint_dir=None, stop_after=N
             calls["n"] += 1
             return orig(self, *a, **k)
 
-        streaming.StreamingEngine.process_window = bomb
+        streaming.StreamingEngine.dispatch_window = bomb
         try:
             with pytest.raises(KeyboardInterrupt):
                 api.process_streaming_data(
@@ -35,7 +35,7 @@ def run_stream(mods, mtypes, labels, approach, checkpoint_dir=None, stop_after=N
                     sorting=True, eps=1.5, min_samples=2,
                     checkpoint_dir=checkpoint_dir)
         finally:
-            streaming.StreamingEngine.process_window = orig
+            streaming.StreamingEngine.dispatch_window = orig
         return None
     return api.process_streaming_data(
         results=results, data_modalities=mods, modality_types=mtypes,
@@ -131,7 +131,7 @@ def test_crash_resume_with_centroid_matching(tmp_path):
             checkpoint_dir=checkpoint_dir)
         if stop_after is None:
             return api.process_streaming_data(**kwargs)
-        orig = streaming.StreamingEngine.process_window
+        orig = streaming.StreamingEngine.dispatch_window
         calls = {"n": 0}
 
         def bomb(self, *a, **k):
@@ -140,12 +140,12 @@ def test_crash_resume_with_centroid_matching(tmp_path):
             calls["n"] += 1
             return orig(self, *a, **k)
 
-        streaming.StreamingEngine.process_window = bomb
+        streaming.StreamingEngine.dispatch_window = bomb
         try:
             with pytest.raises(KeyboardInterrupt):
                 api.process_streaming_data(**kwargs)
         finally:
-            streaming.StreamingEngine.process_window = orig
+            streaming.StreamingEngine.dispatch_window = orig
         return None
 
     straight = run()

@@ -240,7 +240,7 @@ def test_engine_sharded_checkpoint_resume(tmp_path, engine_stream):
     straight = _run_engine(engine_stream, "SWFDMC", 8)
 
     ckdir = str(tmp_path / "swfd_sharded")
-    orig = streaming.StreamingEngine.process_window
+    orig = streaming.StreamingEngine.dispatch_window
     calls = {"n": 0}
 
     def bomb(self, *a, **k):
@@ -249,12 +249,12 @@ def test_engine_sharded_checkpoint_resume(tmp_path, engine_stream):
         calls["n"] += 1
         return orig(self, *a, **k)
 
-    streaming.StreamingEngine.process_window = bomb
+    streaming.StreamingEngine.dispatch_window = bomb
     try:
         with pytest.raises(KeyboardInterrupt):
             _run_engine(engine_stream, "SWFDMC", 8, checkpoint_dir=ckdir)
     finally:
-        streaming.StreamingEngine.process_window = orig
+        streaming.StreamingEngine.dispatch_window = orig
 
     resumed = _run_engine(engine_stream, "SWFDMC", 8, checkpoint_dir=ckdir)
     assert resumed["f1_score"] == pytest.approx(straight["f1_score"], abs=1e-6)
@@ -361,7 +361,7 @@ def test_elastic_resume_across_mesh_sizes(tmp_path, engine_stream):
                       checkpoint_dir=ckdir)
         if stop_after is None:
             return api.process_streaming_data(**kwargs)
-        orig = streaming.StreamingEngine.process_window
+        orig = streaming.StreamingEngine.dispatch_window
         calls = {"n": 0}
 
         def bomb(self, *a, **k):
@@ -370,12 +370,12 @@ def test_elastic_resume_across_mesh_sizes(tmp_path, engine_stream):
             calls["n"] += 1
             return orig(self, *a, **k)
 
-        streaming.StreamingEngine.process_window = bomb
+        streaming.StreamingEngine.dispatch_window = bomb
         try:
             with pytest.raises(KeyboardInterrupt):
                 api.process_streaming_data(**kwargs)
         finally:
-            streaming.StreamingEngine.process_window = orig
+            streaming.StreamingEngine.dispatch_window = orig
 
     straight = run(8)
     ckdir = str(tmp_path / "elastic")
@@ -384,18 +384,18 @@ def test_elastic_resume_across_mesh_sizes(tmp_path, engine_stream):
     # count windows actually processed on resume: the checkpoint (2 windows
     # done of 4) must be honored — a silent from-scratch recompute would
     # still match the metrics (mesh-size determinism), so pin the skip
-    orig = streaming.StreamingEngine.process_window
+    orig = streaming.StreamingEngine.dispatch_window
     calls = {"n": 0}
 
     def counting(self, *a, **k):
         calls["n"] += 1
         return orig(self, *a, **k)
 
-    streaming.StreamingEngine.process_window = counting
+    streaming.StreamingEngine.dispatch_window = counting
     try:
         shrunk = run(4, ckdir=ckdir)      # resume on a SMALLER mesh
     finally:
-        streaming.StreamingEngine.process_window = orig
+        streaming.StreamingEngine.dispatch_window = orig
     assert calls["n"] == 2, "resume must process only the remaining windows"
     assert shrunk["nmi_score"][-1] == pytest.approx(straight["nmi_score"][-1],
                                                     abs=1e-6)
