@@ -75,6 +75,12 @@ def convert_timestamp_column(values) -> np.ndarray:
         return np.fromiter((convert_to_timestamp(v) for v in values),
                            np.float64, count=len(values))
     s = pd.Series(values, dtype=object)
+    # pandas' %f accepts up to 9 fractional digits where strptime's caps at
+    # 6 — reject the over-long forms the scalar path would raise on (a
+    # 6-digit-fraction timestamp is exactly 26 chars)
+    too_long = s.str.len() > 26
+    if too_long.any():
+        raise ValueError(f"unparseable timestamp: {s[too_long].iloc[0]!r}")
     dt = pd.to_datetime(s, format="%Y-%m-%d %H:%M:%S.%f", errors="coerce")
     miss = dt.isna()
     if miss.any():
@@ -163,16 +169,19 @@ def parse_metadata(metadata_path: str, ground_truth: dict,
     extraction) and at most ``max_records`` are parsed, enabling bounded
     validation runs and chunked/resumable ingest of the real corpus.
 
-    ``use_native`` selects the C++ scanner (native/sed2012_parser.cpp; raw
-    field extraction only — cleaning/labels happen here either way, so both
-    parsers share one behavior definition and the parity test asserts
-    identical DataFrames).  None = auto: native when the library builds,
-    overridable with MUSED_TPU_NO_NATIVE_PARSER=1.  Memory trade: the
-    native scanner reads the whole file (<= ~3x corpus size peak; measured
-    0.75 GB RSS on a 96 MB corpus) for a 1.3-2.3x end-to-end speedup (the
-    shared clean_text pass dominates at high text density); the Python
-    iterparse fallback streams at O(one record) — prefer it via the env var
-    on memory-constrained hosts.
+    ``use_native`` selects the C++ scanner (native/sed2012_parser.cpp),
+    which extracts fields AND runs title/description/tags through its own
+    ``clean_text_ref`` — a deliberate second implementation of this module's
+    ``clean_text`` (the Python regex pipeline was the ingest wall at corpus
+    scale).  The two are kept in lock-step by parity tests (identical
+    DataFrames, including a fuzz test through a full XML round trip): edit
+    one, run tests/test_sed2012_loader.py, fix the other.  Labels/float
+    parsing happen here either way.  None = auto: native when the library
+    builds, overridable with MUSED_TPU_NO_NATIVE_PARSER=1.  Memory trade:
+    the native scanner reads the whole file (<= ~3x corpus size peak;
+    measured 0.75 GB RSS on a 96 MB corpus) for a ~3.8x end-to-end speedup;
+    the Python iterparse fallback streams at O(one record) — prefer it via
+    the env var on memory-constrained hosts.
     """
     if use_native is None:
         use_native = os.environ.get("MUSED_TPU_NO_NATIVE_PARSER", "") != "1"

@@ -452,8 +452,11 @@ class StreamingEngine:
             self.incr_clusterer = dbscan.IncrementalDBSCAN.from_snapshot(
                 host["incr_state"])
         elif host.get("incr_buf") is not None:   # pre-exact-mode checkpoints
+            # those checkpoints were written under the old bounded default:
+            # preserve its semantics so resume == the uninterrupted legacy run
             self.incr_clusterer = dbscan.IncrementalDBSCAN(
-                eps=self.cfg.eps, min_pts=self.cfg.min_samples)
+                eps=self.cfg.eps, min_pts=self.cfg.min_samples,
+                max_buffer=8192)
             self.incr_clusterer.insert(host["incr_buf"])
         if host.get("centroid_matcher") is not None:
             self.centroid_matcher = matching.CentroidMatcher.from_snapshot(
@@ -933,9 +936,11 @@ def process_streaming_data(results, data_modalities, modality_types,
                  "all_true_labels": list(all_true_labels),
                  **engine.host_snapshot()})
 
-    # lag-1 software pipeline: dispatch window w+1 before pulling window w,
-    # so the device computes ahead while the host matches (matching is
-    # host-only and feeds nothing back to the device — numerics unchanged).
+    # depth-2 software pipeline: up to two windows are dispatched ahead of
+    # the oldest un-pulled one, so the device computes ahead while the host
+    # matches (matching is host-only and feeds nothing back to the device —
+    # numerics unchanged) and the pulled window is guaranteed already
+    # computed (its pull costs one transfer round trip, not compute wait).
     # verbose keeps the sequential order so the debug-oracle prints don't
     # interleave across windows; checkpointing too — the window step donates
     # its state operand, so window w's saveable state would be invalidated

@@ -20,45 +20,53 @@ import subprocess
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_LIB_PATH = os.path.join(_DIR, "libmused_hasher.so")
 _lib = None
 _load_failed = False
 
 
+def _load_lib(target: str, src_name: str, configure):
+    """Shared lazy loader: rebuild ``target`` via make when its source is
+    newer (make tracks mtime too, but only if invoked — a library built
+    against an older ABI would otherwise load and then fail symbol lookup
+    in ``configure``), each target built INDIVIDUALLY so one library's
+    compile failure doesn't disable the others, then CDLL + configure
+    argtypes.  Returns the configured lib or None (AttributeError: a stale
+    .so predating the current ABI — fall back to Python rather than crash).
+    """
+    lib_path = os.path.join(_DIR, target)
+    try:
+        src = os.path.join(_DIR, src_name)
+        stale = (os.path.exists(lib_path) and os.path.exists(src)
+                 and os.path.getmtime(src) > os.path.getmtime(lib_path))
+        if stale or not os.path.exists(lib_path):
+            subprocess.run(["make", "-C", _DIR, "-s", "-B", target],
+                           check=True, capture_output=True, timeout=120)
+        lib = ctypes.CDLL(lib_path)
+        configure(lib)
+        return lib
+    except (OSError, subprocess.SubprocessError, AttributeError):
+        return None
+
+
+def _configure_hasher(lib):
+    blob_head = [ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+                 ctypes.c_int64]
+    lib.mused_hash_text_counts_packed.argtypes = \
+        blob_head + [ctypes.POINTER(ctypes.c_float)]
+    lib.mused_multihot_tags_packed.argtypes = \
+        lib.mused_hash_text_counts_packed.argtypes
+    lib.mused_hash_text_sparse_packed.argtypes = \
+        blob_head + [ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+                     ctypes.POINTER(ctypes.c_uint16)]
+    lib.mused_multihot_tags_sparse_packed.argtypes = \
+        blob_head + [ctypes.c_int64, ctypes.POINTER(ctypes.c_int32)]
+
+
 def _load():
     global _lib, _load_failed
-    if _lib is not None or _load_failed:
-        return _lib
-    try:
-        src = os.path.join(_DIR, "hasher.cpp")
-        stale = (os.path.exists(_LIB_PATH) and os.path.exists(src)
-                 and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH))
-        if stale or not os.path.exists(_LIB_PATH):
-            # make rebuilds on mtime too, but only if invoked — a library
-            # built against an older ABI would otherwise load and then fail
-            # symbol lookup below
-            # build ONLY the hasher: a sed-parser compile failure must not
-            # disable this library's fast path
-            subprocess.run(["make", "-C", _DIR, "-s", "-B",
-                            "libmused_hasher.so"], check=True,
-                           capture_output=True, timeout=120)
-        lib = ctypes.CDLL(_LIB_PATH)
-        blob_head = [ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
-                     ctypes.c_int64]
-        lib.mused_hash_text_counts_packed.argtypes = \
-            blob_head + [ctypes.POINTER(ctypes.c_float)]
-        lib.mused_multihot_tags_packed.argtypes = \
-            lib.mused_hash_text_counts_packed.argtypes
-        lib.mused_hash_text_sparse_packed.argtypes = \
-            blob_head + [ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
-                         ctypes.POINTER(ctypes.c_uint16)]
-        lib.mused_multihot_tags_sparse_packed.argtypes = \
-            blob_head + [ctypes.c_int64, ctypes.POINTER(ctypes.c_int32)]
-        _lib = lib
-    except (OSError, subprocess.SubprocessError, AttributeError):
-        # AttributeError: a stale .so predating the packed-blob ABI — fall
-        # back to Python rather than crash featurization
-        _load_failed = True
+    if _lib is None and not _load_failed:
+        _lib = _load_lib("libmused_hasher.so", "hasher.cpp", _configure_hasher)
+        _load_failed = _lib is None
     return _lib
 
 
@@ -135,44 +143,37 @@ def multihot_tags_sparse(tag_lists, dim: int, t_cap: int):
     return ids
 
 
-_SED_LIB_PATH = os.path.join(_DIR, "libmused_sed2012.so")
 _sed_lib = None
 _sed_load_failed = False
 
 
+def _configure_sed(lib):
+    lib.mused_parse_sed2012.restype = ctypes.c_int64
+    lib.mused_parse_sed2012.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_char)),
+        ctypes.POINTER(ctypes.c_int64)]
+    lib.mused_free_blob.argtypes = [ctypes.POINTER(ctypes.c_char)]
+
+
 def _load_sed():
     global _sed_lib, _sed_load_failed
-    if _sed_lib is not None or _sed_load_failed:
-        return _sed_lib
-    try:
-        src = os.path.join(_DIR, "sed2012_parser.cpp")
-        stale = (os.path.exists(_SED_LIB_PATH) and os.path.exists(src)
-                 and os.path.getmtime(src) > os.path.getmtime(_SED_LIB_PATH))
-        if stale or not os.path.exists(_SED_LIB_PATH):
-            subprocess.run(["make", "-C", _DIR, "-s", "-B",
-                            "libmused_sed2012.so"], check=True,
-                           capture_output=True, timeout=120)
-        lib = ctypes.CDLL(_SED_LIB_PATH)
-        lib.mused_parse_sed2012.restype = ctypes.c_int64
-        lib.mused_parse_sed2012.argtypes = [
-            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-            ctypes.POINTER(ctypes.POINTER(ctypes.c_char)),
-            ctypes.POINTER(ctypes.c_int64)]
-        lib.mused_free_blob.argtypes = [ctypes.POINTER(ctypes.c_char)]
-        _sed_lib = lib
-    except (OSError, subprocess.SubprocessError, AttributeError):
-        _sed_load_failed = True
+    if _sed_lib is None and not _sed_load_failed:
+        _sed_lib = _load_lib("libmused_sed2012.so", "sed2012_parser.cpp",
+                             _configure_sed)
+        _sed_load_failed = _sed_lib is None
     return _sed_lib
 
 
 def parse_sed2012(path: str, skip_records: int = 0,
                   max_records: int | None = None, clean: bool = False):
-    """Native SED2012 metadata scan (sed2012_parser.cpp) -> list of raw
-    record tuples (pid, dateTaken, dateUploaded, username, lat_str, lon_str,
-    title, description, tags:list[str]) or None when the library is
-    unavailable.  All text is raw (entity-decoded) — downstream cleaning,
-    float/NaN conversion and label derivation stay in data/sed2012.py so
-    both loaders share one behavior definition."""
+    """Native SED2012 metadata scan (sed2012_parser.cpp) -> column dict
+    (id/taken/uploaded/username/title/description strings, lat/lon float64,
+    tag_counts + flat tags) or None when the library is unavailable.
+    ``clean=True`` additionally runs title/description/tags through the
+    in-C++ clean_text reimplementation (clean_text_ref; parity-tested
+    against data/sed2012.clean_text) — float/NaN conversion and label
+    derivation always stay in data/sed2012.py."""
     lib = _load_sed()
     if lib is None:
         return None
@@ -226,36 +227,28 @@ def parse_sed2012(path: str, skip_records: int = 0,
             "tags": tag_items}
 
 
-_INCDB_LIB_PATH = os.path.join(_DIR, "libmused_incdb.so")
 _incdb_lib = None
 _incdb_load_failed = False
 
 
+def _configure_incdb(lib):
+    lib.mused_incdb_create.restype = ctypes.c_void_p
+    lib.mused_incdb_create.argtypes = [ctypes.c_int64]
+    lib.mused_incdb_free.argtypes = [ctypes.c_void_p]
+    lib.mused_incdb_insert.restype = ctypes.c_int64
+    lib.mused_incdb_insert.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
+    lib.mused_incdb_labels.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32)]
+
+
 def _load_incdb():
     global _incdb_lib, _incdb_load_failed
-    if _incdb_lib is not None or _incdb_load_failed:
-        return _incdb_lib
-    try:
-        src = os.path.join(_DIR, "incdbscan.cpp")
-        stale = (os.path.exists(_INCDB_LIB_PATH) and os.path.exists(src)
-                 and os.path.getmtime(src) > os.path.getmtime(_INCDB_LIB_PATH))
-        if stale or not os.path.exists(_INCDB_LIB_PATH):
-            subprocess.run(["make", "-C", _DIR, "-s", "-B",
-                            "libmused_incdb.so"], check=True,
-                           capture_output=True, timeout=120)
-        lib = ctypes.CDLL(_INCDB_LIB_PATH)
-        lib.mused_incdb_create.restype = ctypes.c_void_p
-        lib.mused_incdb_create.argtypes = [ctypes.c_int64]
-        lib.mused_incdb_free.argtypes = [ctypes.c_void_p]
-        lib.mused_incdb_insert.restype = ctypes.c_int64
-        lib.mused_incdb_insert.argtypes = [
-            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
-        lib.mused_incdb_labels.argtypes = [
-            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32)]
-        _incdb_lib = lib
-    except (OSError, subprocess.SubprocessError, AttributeError):
-        _incdb_load_failed = True
+    if _incdb_lib is None and not _incdb_load_failed:
+        _incdb_lib = _load_lib("libmused_incdb.so", "incdbscan.cpp",
+                               _configure_incdb)
+        _incdb_load_failed = _incdb_lib is None
     return _incdb_lib
 
 

@@ -319,6 +319,9 @@ def _incdb_topk(buf: jax.Array, n_valid: jax.Array, new: jax.Array, k: int):
     return -neg, idx
 
 
+_FALLBACK_CAP = 8192    # round-1 bounded default; caps the no-native fallback
+
+
 class IncrementalDBSCAN:
     """insert/get_cluster_labels contract of the incdbscan library used at
     reference main.py:87-91, rebuilt EXACTLY for the insertion-only stream.
@@ -340,6 +343,8 @@ class IncrementalDBSCAN:
     ``max_buffer=k`` keeps the legacy memory-capped mode: re-cluster the last
     k points, evicting the oldest (an approximation once the stream exceeds
     the cap — the pre-round-2 default, still useful to bound device work).
+    The no-native fallback is exact only up to ``_FALLBACK_CAP`` points, then
+    behaves like the capped mode (full-buffer DBSCAN memory is O(N^2)).
     """
 
     def __init__(self, eps: float, min_pts: int, max_buffer: int | None = None):
@@ -406,7 +411,13 @@ class IncrementalDBSCAN:
         if self._native_handle() is not None:
             self._insert_exact(pts)
             self._labels = None                   # recomputed lazily
-        else:                                     # exact-by-recluster fallback
+        else:
+            # exact-by-recluster fallback (no native library): full-buffer
+            # DBSCAN is exact but O(N^2) device memory per insert, so beyond
+            # the round-1 bounded default it reverts to that capped mode
+            # rather than growing toward an OOM at corpus scale
+            if len(self._buf) > _FALLBACK_CAP:
+                self._buf = self._buf[-_FALLBACK_CAP:]
             self._labels = dbscan(self._buf, eps=self.eps,
                                   min_samples=self.min_pts)
         return self
