@@ -69,11 +69,18 @@ def standard_columns(wf, features_cfg=None) -> Columns:
     n_docs = jnp.maximum(jnp.sum(text_valid.astype(jnp.float32)), 1.0)
     df = jnp.sum((text > 0) & text_valid[:, None], axis=0).astype(jnp.float32)
     idf = jnp.log((1.0 + n_docs) / (1.0 + df)) + 1.0
+    # idf-scale + L2-normalize ONCE here ("text_norm"): inside the blocked
+    # sweeps this preprocessing sat in the per-block loop body, recomputing
+    # an O(n * H_text) elementwise pass for every row block (48x at 100k
+    # windows — it was the biggest share of the 93 ms/block text cost)
+    text = text * idf[None, :]
+    text = text / jnp.maximum(jnp.linalg.norm(text, axis=1, keepdims=True),
+                              1e-12)
     tags_valid = (jnp.asarray(wf.tags_valid)
                   if getattr(wf, "tags_valid", None) is not None
                   else jnp.sum(tags, axis=1) > 0)
     return Columns(
-        kinds=("location", "time", "username", "tags", "text"),
+        kinds=("location", "time", "username", "tags", "text_norm"),
         tensors=(loc, tim, uid, tags, text),
         valids=(jnp.all(jnp.isfinite(loc), axis=1),
                 jnp.all(jnp.isfinite(tim), axis=1)
@@ -145,10 +152,13 @@ def fused_rowblock(cols: Columns, start, block: int,
             sim = jnp.where(union > 0, inter / jnp.maximum(union, 1e-9), 0.0)
             mats.append(affinity.knn_adjacency_block(sim, vr, valid, k_basis,
                                                      start, approx))
-        elif kind == "text":
-            x_c = t * cols.idf[None, :]
-            x_c = x_c / jnp.maximum(jnp.linalg.norm(x_c, axis=1, keepdims=True),
-                                    1e-12)
+        elif kind in ("text", "text_norm"):
+            if kind == "text_norm":     # pre-scaled/normalized (see
+                x_c = t                 # standard_columns) — plain dot here
+            else:
+                x_c = t * cols.idf[None, :]
+                x_c = x_c / jnp.maximum(
+                    jnp.linalg.norm(x_c, axis=1, keepdims=True), 1e-12)
             x_r = _rows(x_c, start, block)
             # Precision.HIGH (TPU: 3-pass bf16): measured on a real 32k
             # window, DEFAULT single-pass bf16 perturbs idf-scaled sims by
