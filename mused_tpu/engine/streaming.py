@@ -902,12 +902,13 @@ def process_streaming_data(results, data_modalities, modality_types,
             "positional matching or the DBSCAN_centr approach")
     # checkpointing needs the per-window sequential loop (the batched path
     # would otherwise silently skip saving); centroid matching works batched
-    # on numeric streams (host modality slices feed the registry)
+    # on numeric streams (host modality slices feed the registry).  The
+    # scanned dispatch composes with data_shards>1 via
+    # parallel.sharded.sharded_scanned_steps (W sharded steps per dispatch).
     if (batch_w > 1 and cfg.approach in BATCHABLE_APPROACHES
             and step_window_ratio == 1 and not cfg.force_blocked_window
             and window_size <= LARGE_WINDOW_ROWS and not checkpoint_dir
-            and not (cfg.matching == "centroid" and standard_types)
-            and cfg.data_shards == 1):   # sharded mode is per-window SPMD
+            and not (cfg.matching == "centroid" and standard_types)):
         return _run_batched(results, engine, cfg, todo, data_modalities,
                             modality_types, complete_true_labels, prev_clusters,
                             all_clusters, all_true_labels, window_size,
@@ -1068,15 +1069,31 @@ def _run_batched_loop(results, engine, cfg, todo, feats_iter,
         keys = jax.vmap(lambda w: jax.random.fold_in(
             jax.random.key(cfg.seed), w))(jnp.asarray([w for w, _ in group]))
         with engine.timer.span("batched_device_step"):
-            engine.state, batch_labels = _scanned_window_steps(
-                engine.state, feats_batch, n_clusters, keys,
-                approach=cfg.approach, k_basis=cfg.k_basis,
-                reduced_dim=cfg.reduced_dim, k_max=engine.k_max,
-                window=window_size, block_rows=engine.block_rows,
-                fd_shrink=cfg.fd_shrink, types=types,
-                use_pallas=engine.use_pallas,
-                tags_dim=cfg.features.tags_hash_dim,
-                text_dim=cfg.features.text_hash_dim)
+            if engine.mesh is not None:
+                # scanned dispatch composed with SPMD (windows_per_batch x
+                # data_shards): one dispatch runs W sharded window steps
+                from mused_tpu.parallel import sharded as shard_mod
+                new_swfd, new_mb, batch_labels = \
+                    shard_mod.sharded_scanned_steps(
+                        engine.state.swfd, engine.state.minibatch,
+                        feats_batch, n_clusters, keys, approach=cfg.approach,
+                        k_basis=cfg.k_basis, reduced_dim=cfg.reduced_dim,
+                        k_max=engine.k_max, window=window_size,
+                        fd_shrink=cfg.fd_shrink, types=types,
+                        tags_dim=cfg.features.tags_hash_dim,
+                        text_dim=cfg.features.text_hash_dim,
+                        mesh=engine.mesh, topology=cfg.merge_topology)
+                engine.state = StreamState(swfd=new_swfd, minibatch=new_mb)
+            else:
+                engine.state, batch_labels = _scanned_window_steps(
+                    engine.state, feats_batch, n_clusters, keys,
+                    approach=cfg.approach, k_basis=cfg.k_basis,
+                    reduced_dim=cfg.reduced_dim, k_max=engine.k_max,
+                    window=window_size, block_rows=engine.block_rows,
+                    fd_shrink=cfg.fd_shrink, types=types,
+                    use_pallas=engine.use_pallas,
+                    tags_dim=cfg.features.tags_hash_dim,
+                    text_dim=cfg.features.text_hash_dim)
             batch_labels = np.asarray(batch_labels)
         method = engine._match_method()
         for pos in range(n_real):

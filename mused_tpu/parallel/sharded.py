@@ -244,32 +244,13 @@ def _feat_specs(feats):
     return tuple(P(*(("data",) + (None,) * (f.ndim - 1))) for f in feats)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("approach", "k_basis", "reduced_dim", "k_max", "window",
-                     "fd_shrink", "types", "tags_dim", "text_dim", "mesh",
-                     "topology"),
-    donate_argnames=("swfd_state",))
-def sharded_engine_step(swfd_state, minibatch_state, feats: tuple,
-                        n_clusters, key, *, approach: str, k_basis: int,
-                        reduced_dim: int, k_max: int, window: int,
-                        fd_shrink: str, types: tuple, tags_dim: int,
-                        text_dim: int, mesh, topology: str = "allgather"):
-    """Multi-chip mirror of engine.streaming._window_step — the full
-    per-window device step with every collective riding the mesh "data" axis.
-
-    Pipeline per chip (SURVEY.md §7.2 step 7):
-      fused (m, n) adjacency shard (all_gather'd column features, psum'd IDF)
-      -> SWFDMC: local FD of the shard -> ICI sketch merge -> replicated
-         SWFD ring absorb/query (tiny ell x n state)
-         else: distributed randomized SVD (psum'd A^T-products)
-      -> row-sharded KMeans (psum'd centroid accumulation) | replicated
-         MiniBatch step | host-glued density clustering on the reduced rows.
-
-    Returns (new_swfd, new_minibatch, reduced (n, dim), labels (n,), R) with
-    the same contract as the single-chip step (R = pmax'd max squared row
-    norm, reference main.py:61).
-    """
+def _engine_step_core(swfd_state, minibatch_state, feats: tuple,
+                      n_clusters, key, *, approach: str, k_basis: int,
+                      reduced_dim: int, k_max: int, window: int,
+                      fd_shrink: str, types: tuple, tags_dim: int,
+                      text_dim: int, mesh, topology: str = "allgather"):
+    """Traceable body shared by ``sharded_engine_step`` (one jitted window)
+    and ``sharded_scanned_steps`` (a ``lax.scan`` of W windows)."""
     from mused_tpu.ops import swfd as swfd_mod
 
     def body(*feat_shards):
@@ -328,6 +309,71 @@ def sharded_engine_step(swfd_state, minibatch_state, feats: tuple,
         labels, _ = kmeans_sharded(reduced, n_clusters, key, k_max=k_max,
                                    mesh=mesh)
     return state, new_mb, reduced, labels, r_norm
+
+
+_STEP_STATICS = ("approach", "k_basis", "reduced_dim", "k_max", "window",
+                 "fd_shrink", "types", "tags_dim", "text_dim", "mesh",
+                 "topology")
+
+
+@functools.partial(jax.jit, static_argnames=_STEP_STATICS,
+                   donate_argnames=("swfd_state",))
+def sharded_engine_step(swfd_state, minibatch_state, feats: tuple,
+                        n_clusters, key, *, approach: str, k_basis: int,
+                        reduced_dim: int, k_max: int, window: int,
+                        fd_shrink: str, types: tuple, tags_dim: int,
+                        text_dim: int, mesh, topology: str = "allgather"):
+    """Multi-chip mirror of engine.streaming._window_step — the full
+    per-window device step with every collective riding the mesh "data" axis.
+
+    Pipeline per chip (SURVEY.md §7.2 step 7):
+      fused (m, n) adjacency shard (all_gather'd column features, psum'd IDF)
+      -> SWFDMC: local FD of the shard -> ICI sketch merge -> replicated
+         SWFD ring absorb/query (tiny ell x n state)
+         else: distributed randomized SVD (psum'd A^T-products)
+      -> row-sharded KMeans (psum'd centroid accumulation) | replicated
+         MiniBatch step | host-glued density clustering on the reduced rows.
+
+    Returns (new_swfd, new_minibatch, reduced (n, dim), labels (n,), R) with
+    the same contract as the single-chip step (R = pmax'd max squared row
+    norm, reference main.py:61).
+    """
+    return _engine_step_core(
+        swfd_state, minibatch_state, feats, n_clusters, key,
+        approach=approach, k_basis=k_basis, reduced_dim=reduced_dim,
+        k_max=k_max, window=window, fd_shrink=fd_shrink, types=types,
+        tags_dim=tags_dim, text_dim=text_dim, mesh=mesh, topology=topology)
+
+
+@functools.partial(jax.jit, static_argnames=_STEP_STATICS,
+                   donate_argnames=("swfd_state",))
+def sharded_scanned_steps(swfd_state, minibatch_state, feats_batch: tuple,
+                          n_clusters, keys, *, approach: str, k_basis: int,
+                          reduced_dim: int, k_max: int, window: int,
+                          fd_shrink: str, types: tuple, tags_dim: int,
+                          text_dim: int, mesh, topology: str = "allgather"):
+    """W tumbling windows in ONE SPMD dispatch: ``lax.scan`` threads the
+    SWFD ring + MiniBatch state through the per-window sharded step — the
+    multi-chip mirror of engine._scanned_window_steps, composing
+    ``windows_per_batch`` with ``data_shards``.  ``feats_batch`` tensors are
+    stacked (W, n, ...); returns (new_swfd, new_minibatch, labels (W, n))
+    with labels replicated like the per-window step's.  Numerically
+    identical to W per-window sharded dispatches (the scan body IS the
+    per-window step)."""
+
+    def body(carry, per_window):
+        sw, mb = carry
+        feats, k, key = per_window
+        sw, mb, _, labels, _ = _engine_step_core(
+            sw, mb, feats, k, key, approach=approach, k_basis=k_basis,
+            reduced_dim=reduced_dim, k_max=k_max, window=window,
+            fd_shrink=fd_shrink, types=types, tags_dim=tags_dim,
+            text_dim=text_dim, mesh=mesh, topology=topology)
+        return (sw, mb), labels
+
+    (sw, mb), labels = jax.lax.scan(
+        body, (swfd_state, minibatch_state), (feats_batch, n_clusters, keys))
+    return sw, mb, labels
 
 
 @functools.partial(jax.jit,

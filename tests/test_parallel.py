@@ -401,3 +401,26 @@ def test_elastic_resume_across_mesh_sizes(tmp_path, engine_stream):
                                                     abs=1e-6)
     assert shrunk["f1_score"][-1] == pytest.approx(straight["f1_score"][-1],
                                                    abs=1e-6)
+
+
+@pytest.mark.parametrize("approach", ["SWFDMC", "sSVDMC", "sSVDMC_mini"])
+def test_engine_sharded_scanned_dispatch_matches_per_window(engine_stream,
+                                                            approach):
+    """windows_per_batch composed with data_shards: the scanned SPMD
+    dispatch (sharded_scanned_steps) is numerically identical to per-window
+    sharded dispatch — the scan body IS the per-window step and threads the
+    same SWFD/MiniBatch carry."""
+    per_window = _run_engine(engine_stream, approach, 4)
+    scanned = _run_engine(engine_stream, approach, 4, windows_per_batch=2)
+    assert scanned["f1_score"] == pytest.approx(per_window["f1_score"],
+                                                abs=1e-6)
+    assert scanned["nmi_score"] == pytest.approx(per_window["nmi_score"],
+                                                 abs=1e-6)
+
+
+def test_engine_sharded_scanned_matches_single_chip_scanned(engine_stream):
+    """Deterministic reductions: 8-device scanned == single-chip scanned."""
+    one = _run_engine(engine_stream, "sSVDMC", 1, windows_per_batch=2)
+    eight = _run_engine(engine_stream, "sSVDMC", 8, windows_per_batch=2)
+    assert eight["f1_score"] == pytest.approx(one["f1_score"], abs=1e-6)
+    assert eight["nmi_score"] == pytest.approx(one["nmi_score"], abs=1e-6)
