@@ -289,13 +289,16 @@ def _scanned_window_steps(state: StreamState, feats_batch: tuple,
         fused = _fuse_dispatch(feats, types=types, use_pallas=use_pallas,
                                k_basis=k_basis, tags_dim=tags_dim,
                                text_dim=text_dim)
+        r_norm = jnp.max(jnp.sum(fused * fused, axis=1))
         state, _, labels = _window_step_impl(
             state, fused, k, key, approach=approach, k_basis=k_basis,
             reduced_dim=reduced_dim, k_max=k_max, window=window,
             block_rows=block_rows, fd_shrink=fd_shrink)
-        return state, labels
+        return state, (labels, r_norm)
 
-    return jax.lax.scan(body, state, (feats_batch, n_clusters, keys))
+    state, (labels, r_norms) = jax.lax.scan(
+        body, state, (feats_batch, n_clusters, keys))
+    return state, labels, r_norms
 
 
 def _types_for(features, modality_types) -> tuple:
@@ -1073,7 +1076,7 @@ def _run_batched_loop(results, engine, cfg, todo, feats_iter,
                 # scanned dispatch composed with SPMD (windows_per_batch x
                 # data_shards): one dispatch runs W sharded window steps
                 from mused_tpu.parallel import sharded as shard_mod
-                new_swfd, new_mb, batch_labels = \
+                new_swfd, new_mb, batch_labels, r_norms = \
                     shard_mod.sharded_scanned_steps(
                         engine.state.swfd, engine.state.minibatch,
                         feats_batch, n_clusters, keys, approach=cfg.approach,
@@ -1085,7 +1088,7 @@ def _run_batched_loop(results, engine, cfg, todo, feats_iter,
                         mesh=engine.mesh, topology=cfg.merge_topology)
                 engine.state = StreamState(swfd=new_swfd, minibatch=new_mb)
             else:
-                engine.state, batch_labels = _scanned_window_steps(
+                engine.state, batch_labels, r_norms = _scanned_window_steps(
                     engine.state, feats_batch, n_clusters, keys,
                     approach=cfg.approach, k_basis=cfg.k_basis,
                     reduced_dim=cfg.reduced_dim, k_max=engine.k_max,
@@ -1095,6 +1098,11 @@ def _run_batched_loop(results, engine, cfg, todo, feats_iter,
                     tags_dim=cfg.features.tags_hash_dim,
                     text_dim=cfg.features.text_hash_dim)
             batch_labels = np.asarray(batch_labels)
+            if cfg.approach == "SWFDMC" and engine.swfd_R is None:
+                # reference sizes the sketch with the FIRST window's max
+                # squared row norm (main.py:61) — diagnostic parity the
+                # batched paths previously skipped
+                engine.swfd_R = float(np.asarray(r_norms)[0])
         method = engine._match_method()
         for pos in range(n_real):
             if engine.centroid_matcher is not None:

@@ -156,7 +156,9 @@ def fused_rowblock(cols: Columns, start, block: int,
             if kind == "text_norm":     # pre-scaled/normalized (see
                 x_c = t                 # standard_columns) — plain dot here
             else:
-                x_c = t * cols.idf[None, :]
+                # raw-counts "text" (e.g. a generic stream naming the type):
+                # idf-scale when stats are available, else plain cosine
+                x_c = t if cols.idf is None else t * cols.idf[None, :]
                 x_c = x_c / jnp.maximum(
                     jnp.linalg.norm(x_c, axis=1, keepdims=True), 1e-12)
             x_r = _rows(x_c, start, block)

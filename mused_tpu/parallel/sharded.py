@@ -364,16 +364,16 @@ def sharded_scanned_steps(swfd_state, minibatch_state, feats_batch: tuple,
     def body(carry, per_window):
         sw, mb = carry
         feats, k, key = per_window
-        sw, mb, _, labels, _ = _engine_step_core(
+        sw, mb, _, labels, r_norm = _engine_step_core(
             sw, mb, feats, k, key, approach=approach, k_basis=k_basis,
             reduced_dim=reduced_dim, k_max=k_max, window=window,
             fd_shrink=fd_shrink, types=types, tags_dim=tags_dim,
             text_dim=text_dim, mesh=mesh, topology=topology)
-        return (sw, mb), labels
+        return (sw, mb), (labels, r_norm)
 
-    (sw, mb), labels = jax.lax.scan(
+    (sw, mb), (labels, r_norms) = jax.lax.scan(
         body, (swfd_state, minibatch_state), (feats_batch, n_clusters, keys))
-    return sw, mb, labels
+    return sw, mb, labels, r_norms
 
 
 @functools.partial(jax.jit,

@@ -194,3 +194,32 @@ def test_streaming_edge_configs_no_crash(modalities, kw):
         label_mode="binary", sorting=True, eps=1.5, min_samples=2, **args)
     assert len(results["f1_score"]) == 1
     assert np.isfinite(results["f1_score"][0])
+
+
+def test_batched_mode_records_swfd_R(modalities, monkeypatch):
+    """The scanned dispatch records the reference's sketch bound R (first
+    window's max squared row norm, ref main.py:61) identically to the
+    per-window path — the batched paths previously skipped the diagnostic."""
+    from mused_tpu.engine import streaming
+    mods, mtypes, labels = modalities
+    captured = {}
+    orig_init = streaming.StreamingEngine.__init__
+
+    def spy_init(self, cfg):
+        orig_init(self, cfg)
+        captured.setdefault("engines", []).append(self)
+
+    monkeypatch.setattr(streaming.StreamingEngine, "__init__", spy_init)
+    rs = {}
+    for wpb in (1, 2):
+        captured["engines"] = []
+        results, _ = api.get_initial_results()
+        api.process_streaming_data(
+            results=results, data_modalities=mods, modality_types=mtypes,
+            window_size=64, reduced_dim=8, k_basis=3, n_clusters_total=2,
+            seed=0, approach="SWFDMC", complete_true_labels=labels,
+            step_window_ratio=1, noise_rate=0.5, label_mode="binary",
+            sorting=True, eps=1.5, min_samples=2, windows_per_batch=wpb)
+        rs[wpb] = captured["engines"][0].swfd_R
+    assert rs[1] is not None and rs[2] is not None
+    assert rs[2] == pytest.approx(rs[1])
