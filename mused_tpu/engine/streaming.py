@@ -903,20 +903,21 @@ def process_streaming_data(results, data_modalities, modality_types,
             "matching='centroid' supports numeric-modality streams "
             "(embeddings etc.); standard SED2012 streams use the reference "
             "positional matching or the DBSCAN_centr approach")
-    # checkpointing needs the per-window sequential loop (the batched path
-    # would otherwise silently skip saving); centroid matching works batched
-    # on numeric streams (host modality slices feed the registry).  The
-    # scanned dispatch composes with data_shards>1 via
-    # parallel.sharded.sharded_scanned_steps (W sharded steps per dispatch).
+    # centroid matching works batched on numeric streams (host modality
+    # slices feed the registry); the scanned dispatch composes with
+    # data_shards>1 via parallel.sharded.sharded_scanned_steps (W sharded
+    # steps per dispatch) AND with checkpointing (saves at group boundaries
+    # — the device state is only window-consistent between dispatches).
     if (batch_w > 1 and cfg.approach in BATCHABLE_APPROACHES
             and step_window_ratio == 1 and not cfg.force_blocked_window
-            and window_size <= LARGE_WINDOW_ROWS and not checkpoint_dir
+            and window_size <= LARGE_WINDOW_ROWS
             and not (cfg.matching == "centroid" and standard_types)):
         return _run_batched(results, engine, cfg, todo, data_modalities,
                             modality_types, complete_true_labels, prev_clusters,
                             all_clusters, all_true_labels, window_size,
                             batch_w, subset_size, noise_rate, label_mode,
-                            sorting, reduced_dim, k_basis, total_start)
+                            sorting, reduced_dim, k_basis, total_start,
+                            checkpoint_dir, checkpoint_every)
 
     prefetcher = WindowPrefetcher(featurize_at, len(todo), depth=2)
 
@@ -993,7 +994,7 @@ def _run_batched(results, engine, cfg, todo, data_modalities, modality_types,
                  complete_true_labels, prev_clusters, all_clusters,
                  all_true_labels, window_size, batch_w, subset_size,
                  noise_rate, label_mode, sorting, reduced_dim, k_basis,
-                 total_start):
+                 total_start, checkpoint_dir=None, checkpoint_every=1):
     """Batched-dispatch tumbling stream: W windows per device call
     (_scanned_window_steps), host matching chains the labels afterwards."""
     standard = list(modality_types) == ["location", "time", "username",
@@ -1026,7 +1027,7 @@ def _run_batched(results, engine, cfg, todo, data_modalities, modality_types,
             prev_clusters, all_clusters, all_true_labels, window_size,
             batch_w, subset_size, noise_rate, label_mode, sorting,
             reduced_dim, k_basis, total_start, types, standard,
-            data_modalities)
+            data_modalities, checkpoint_dir, checkpoint_every)
     finally:
         prefetcher.close()
 
@@ -1035,7 +1036,8 @@ def _run_batched_loop(results, engine, cfg, todo, feats_iter,
                       complete_true_labels, prev_clusters, all_clusters,
                       all_true_labels, window_size, batch_w, subset_size,
                       noise_rate, label_mode, sorting, reduced_dim, k_basis,
-                      total_start, types, standard, data_modalities):
+                      total_start, types, standard, data_modalities,
+                      checkpoint_dir=None, checkpoint_every=1):
     for base in range(0, len(todo), batch_w):
         group = todo[base:base + batch_w]
         feats_list, labels_list = [], []
@@ -1122,6 +1124,23 @@ def _run_batched_loop(results, engine, cfg, todo, feats_iter,
             prev_clusters = np.asarray(clusters)
             all_clusters.append(prev_clusters)
             all_true_labels.append(labels_list[pos])
+
+        # checkpoint at the group boundary (engine.state is only
+        # window-consistent between dispatches); padded tail groups are the
+        # stream's end, where a save adds nothing
+        last_w = group[n_real - 1][0]
+        due = any((w + 1) % max(checkpoint_every, 1) == 0
+                  for w, _ in group[:n_real])
+        if checkpoint_dir and due and n_real == batch_w:
+            from mused_tpu.utils import checkpoint as ckpt
+            ckpt.save_checkpoint(
+                ckpt.checkpoint_name(checkpoint_dir, last_w + 1),
+                engine.state,
+                {"next_window": last_w + 1,
+                 "prev_clusters": prev_clusters,
+                 "all_clusters": list(all_clusters),
+                 "all_true_labels": list(all_true_labels),
+                 **engine.host_snapshot()})
 
     total_end = metrics_mod.now_ns()
     all_true = np.concatenate(all_true_labels) if all_true_labels else np.empty(0, int)

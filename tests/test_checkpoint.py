@@ -84,8 +84,9 @@ def test_checkpoint_roundtrip_pytree(tmp_path):
 
 
 def test_batched_mode_with_checkpointing_falls_back(tmp_path, stream_fixture):
-    """windows_per_batch>1 + checkpoint_dir must take the sequential path
-    (the batched loop doesn't save) — checkpoints appear and resume works."""
+    """windows_per_batch>1 + checkpoint_dir: the batched loop saves at group
+    boundaries (the device state is only window-consistent between
+    dispatches) — checkpoints appear and the run completes."""
     from mused_tpu.utils.config import PipelineConfig
     mods, mtypes, labels = stream_fixture
     ckdir = str(tmp_path / "batched")
@@ -155,3 +156,56 @@ def test_crash_resume_with_centroid_matching(tmp_path):
     resumed = run(checkpoint_dir=ckdir)
     assert resumed["nmi_score"][-1] == pytest.approx(straight["nmi_score"][-1])
     assert resumed["f1_score"][-1] == pytest.approx(straight["f1_score"][-1])
+
+
+def test_batched_crash_resume_matches_uninterrupted(tmp_path, stream_fixture):
+    """Crash mid-stream under batched dispatch, auto-resume, and the full
+    metrics equal the uninterrupted batched run (resume re-forms groups from
+    the saved window boundary; the scanned step is batching-invariant)."""
+    from mused_tpu.engine import streaming
+    from mused_tpu.utils.config import PipelineConfig
+    mods, mtypes, labels = stream_fixture
+
+    def run(ckdir=None, crash_after=None):
+        cfg = PipelineConfig(window_size=64, reduced_dim=8, k_basis=3,
+                             approach="sSVDMC", label_mode="binary",
+                             n_clusters_override=2, windows_per_batch=2)
+        results, _ = api.get_initial_results()
+        if crash_after is not None:
+            orig = streaming._run_batched_loop
+            calls = {"n": 0}
+
+            def bomb(*a, **k):
+                # crash inside the loop after `crash_after` groups by
+                # truncating todo (simulates dying mid-stream post-save)
+                a = list(a)
+                a[3] = a[3][:crash_after * 2]     # todo, 2 windows/group
+                return orig(*a, **k)
+
+            streaming._run_batched_loop = bomb
+            try:
+                api.process_streaming_data(
+                    results=results, data_modalities=mods,
+                    modality_types=mtypes, window_size=64, reduced_dim=8,
+                    k_basis=3, n_clusters_total=2, seed=0, approach="sSVDMC",
+                    complete_true_labels=labels, step_window_ratio=1,
+                    noise_rate=0.5, label_mode="binary", sorting=True,
+                    eps=1.5, min_samples=2, cfg=cfg, checkpoint_dir=ckdir)
+            finally:
+                streaming._run_batched_loop = orig
+            return None
+        return api.process_streaming_data(
+            results=results, data_modalities=mods, modality_types=mtypes,
+            window_size=64, reduced_dim=8, k_basis=3, n_clusters_total=2,
+            seed=0, approach="sSVDMC", complete_true_labels=labels,
+            step_window_ratio=1, noise_rate=0.5, label_mode="binary",
+            sorting=True, eps=1.5, min_samples=2, cfg=cfg,
+            checkpoint_dir=ckdir)
+
+    straight = run()
+    ckdir = str(tmp_path / "batched_resume")
+    run(ckdir=ckdir, crash_after=1)              # processes only group 1
+    assert ckpt.latest_checkpoint(ckdir) is not None
+    resumed = run(ckdir=ckdir)                   # auto-resume to the end
+    assert resumed["f1_score"] == pytest.approx(straight["f1_score"], abs=1e-6)
+    assert resumed["nmi_score"] == pytest.approx(straight["nmi_score"], abs=1e-6)
