@@ -1016,9 +1016,11 @@ def _run_batched(results, engine, cfg, todo, data_modalities, modality_types,
         return tuple(f) if standard else f
 
     # device_put happens in the prefetch thread (overlaps compute); the
-    # batch then stacks already-resident device arrays
+    # batch then stacks already-resident device arrays.  Depth covers the
+    # in-flight group AND the next one being assembled (the dispatch-ahead
+    # pipeline below consumes a full group while the previous is pulled).
     prefetcher = WindowPrefetcher(featurize_at, len(todo),
-                                  depth=batch_w + 2)
+                                  depth=2 * batch_w + 2)
     feats_iter = iter(prefetcher)
 
     try:
@@ -1038,6 +1040,63 @@ def _run_batched_loop(results, engine, cfg, todo, feats_iter,
                       noise_rate, label_mode, sorting, reduced_dim, k_basis,
                       total_start, types, standard, data_modalities,
                       checkpoint_dir=None, checkpoint_every=1):
+    def _finalize(rec) -> None:
+        """Pull one dispatched group's labels + match + (maybe) checkpoint."""
+        nonlocal prev_clusters
+        group, n_real, labels_list, batch_labels, r_norms = rec
+        with engine.timer.span("batched_pull"):
+            batch_labels = np.asarray(batch_labels)
+        if cfg.approach == "SWFDMC" and engine.swfd_R is None:
+            # reference sizes the sketch with the FIRST window's max
+            # squared row norm (main.py:61) — diagnostic parity the
+            # batched paths previously skipped
+            engine.swfd_R = float(np.asarray(r_norms)[0])
+        method = engine._match_method()
+        for pos in range(n_real):
+            if engine.centroid_matcher is not None:
+                _, i = group[pos]
+                lo, hi = i - window_size + 1, i + 1
+                clusters = engine.centroid_matcher.match(
+                    stable_feature_matrix([m[lo:hi]
+                                           for m in data_modalities]),
+                    batch_labels[pos])
+            else:
+                clusters = matching.match_clusters(
+                    prev_clusters, batch_labels[pos], method=method,
+                    min_overlap=3, sinkhorn_reg=cfg.sinkhorn_reg,
+                    sinkhorn_iters=cfg.sinkhorn_iters)
+            if clusters is None or len(clusters) == 0:
+                clusters = np.full(window_size, 0)
+            prev_clusters = np.asarray(clusters)
+            all_clusters.append(prev_clusters)
+            all_true_labels.append(labels_list[pos])
+
+        # checkpoint at the group boundary (engine.state is only
+        # window-consistent between dispatches); padded tail groups are the
+        # stream's end, where a save adds nothing
+        last_w = group[n_real - 1][0]
+        due = any((w + 1) % max(checkpoint_every, 1) == 0
+                  for w, _ in group[:n_real])
+        if checkpoint_dir and due and n_real == batch_w:
+            from mused_tpu.utils import checkpoint as ckpt
+            ckpt.save_checkpoint(
+                ckpt.checkpoint_name(checkpoint_dir, last_w + 1),
+                engine.state,
+                {"next_window": last_w + 1,
+                 "prev_clusters": prev_clusters,
+                 "all_clusters": list(all_clusters),
+                 "all_true_labels": list(all_true_labels),
+                 **engine.host_snapshot()})
+
+    # dispatch-ahead pipeline: group g+1's device step is dispatched BEFORE
+    # group g's labels are pulled, so the device starts the next W windows
+    # while the host blocks on (and then matches) the previous group.
+    # Matching is host-only and feeds nothing back to the device, so the lag
+    # changes no numerics.  Checkpointing keeps the sequential order: the
+    # scanned step donates its state operands, so the saveable state of
+    # group g is invalidated the moment group g+1 dispatches.
+    pipelined = not checkpoint_dir
+    pending = None
     for base in range(0, len(todo), batch_w):
         group = todo[base:base + batch_w]
         feats_list, labels_list = [], []
@@ -1099,48 +1158,15 @@ def _run_batched_loop(results, engine, cfg, todo, feats_iter,
                     use_pallas=engine.use_pallas,
                     tags_dim=cfg.features.tags_hash_dim,
                     text_dim=cfg.features.text_hash_dim)
-            batch_labels = np.asarray(batch_labels)
-            if cfg.approach == "SWFDMC" and engine.swfd_R is None:
-                # reference sizes the sketch with the FIRST window's max
-                # squared row norm (main.py:61) — diagnostic parity the
-                # batched paths previously skipped
-                engine.swfd_R = float(np.asarray(r_norms)[0])
-        method = engine._match_method()
-        for pos in range(n_real):
-            if engine.centroid_matcher is not None:
-                _, i = group[pos]
-                lo, hi = i - window_size + 1, i + 1
-                clusters = engine.centroid_matcher.match(
-                    stable_feature_matrix([m[lo:hi]
-                                           for m in data_modalities]),
-                    batch_labels[pos])
-            else:
-                clusters = matching.match_clusters(
-                    prev_clusters, batch_labels[pos], method=method,
-                    min_overlap=3, sinkhorn_reg=cfg.sinkhorn_reg,
-                    sinkhorn_iters=cfg.sinkhorn_iters)
-            if clusters is None or len(clusters) == 0:
-                clusters = np.full(window_size, 0)
-            prev_clusters = np.asarray(clusters)
-            all_clusters.append(prev_clusters)
-            all_true_labels.append(labels_list[pos])
-
-        # checkpoint at the group boundary (engine.state is only
-        # window-consistent between dispatches); padded tail groups are the
-        # stream's end, where a save adds nothing
-        last_w = group[n_real - 1][0]
-        due = any((w + 1) % max(checkpoint_every, 1) == 0
-                  for w, _ in group[:n_real])
-        if checkpoint_dir and due and n_real == batch_w:
-            from mused_tpu.utils import checkpoint as ckpt
-            ckpt.save_checkpoint(
-                ckpt.checkpoint_name(checkpoint_dir, last_w + 1),
-                engine.state,
-                {"next_window": last_w + 1,
-                 "prev_clusters": prev_clusters,
-                 "all_clusters": list(all_clusters),
-                 "all_true_labels": list(all_true_labels),
-                 **engine.host_snapshot()})
+        rec = (group, n_real, labels_list, batch_labels, r_norms)
+        if not pipelined:
+            _finalize(rec)
+            continue
+        if pending is not None:
+            _finalize(pending)
+        pending = rec
+    if pending is not None:
+        _finalize(pending)
 
     total_end = metrics_mod.now_ns()
     all_true = np.concatenate(all_true_labels) if all_true_labels else np.empty(0, int)
