@@ -7,6 +7,7 @@ sketching, device clustering, cross-window cluster matching, and an experiment
 sweep driver — built for SPMD execution over TPU device meshes.
 
 Layer map (mirrors SURVEY.md §1, rebuilt TPU-first):
+  serving.py push-based online detector (production surface, label-free)
   engine/    streaming + batch pipelines (jitted window step)
   ops/       device algorithms: affinity, fusion, FD/SWFD sketch, SVD,
              kmeans, dbscan, matching (+ pallas/ hand-written kernels)

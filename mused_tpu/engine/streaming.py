@@ -194,13 +194,19 @@ def _fuse_generic(mats: tuple, *, k_basis: int, types: tuple,
 def _window_step_impl(state: StreamState, fused: jax.Array,
                       n_clusters: jax.Array, key: jax.Array, *, approach: str,
                       k_basis: int, reduced_dim: int, k_max: int, window: int,
-                      block_rows: int, fd_shrink: str = "subspace"):
+                      block_rows: int, fd_shrink: str = "subspace",
+                      k_source: str = "given"):
     """Device portion of one window given the fused adjacency matrix.
 
     Returns (new_state, reduced (n, reduced_dim or sketch row space), labels
     (n,) or zeros for host-clustered approaches).  Plain traceable function —
     jitted per-window as ``_window_step`` and inlined into the scanned
     multi-window dispatch (``_scanned_window_steps``).
+
+    ``k_source="eigengap"`` ignores the passed ``n_clusters`` and estimates
+    the per-window cluster count on device from the reduced window's
+    singular-value profile (ops/reduction.eigengap_k) — the unsupervised
+    replacement for the reference's ground-truth-derived count (main.py:41).
     """
     n = fused.shape[0]
 
@@ -230,6 +236,9 @@ def _window_step_impl(state: StreamState, fused: jax.Array,
     else:
         reduced = reduction.svd_reduce(fused, reduced_dim, key)
 
+    if k_source == "eigengap":
+        n_clusters = reduction.eigengap_k(reduced, k_max=k_max)
+
     if approach == "sSpectral":
         # spectral clustering works on the affinity graph itself
         labels = spectral.spectral_clustering(fused, n_clusters, key,
@@ -246,7 +255,7 @@ def _window_step_impl(state: StreamState, fused: jax.Array,
 
 _window_step = functools.partial(jax.jit, static_argnames=(
     "approach", "k_basis", "reduced_dim", "k_max", "window", "block_rows",
-    "fd_shrink"), donate_argnames=("state",))(_window_step_impl)
+    "fd_shrink", "k_source"), donate_argnames=("state",))(_window_step_impl)
 
 
 LARGE_WINDOW_ROWS = 32_768   # beyond this, windows use rematerialized blocks
@@ -264,14 +273,15 @@ BATCHABLE_APPROACHES = ("SWFDMC", "sSVDMC", "sSVDMC_hung", "sSVDMC_pot",
     jax.jit,
     static_argnames=("approach", "k_basis", "reduced_dim", "k_max", "window",
                      "block_rows", "fd_shrink", "types", "use_pallas",
-                     "tags_dim", "text_dim"),
+                     "tags_dim", "text_dim", "k_source"),
     donate_argnames=("state",))
 def _scanned_window_steps(state: StreamState, feats_batch: tuple,
                           n_clusters: jax.Array, keys: jax.Array, *,
                           approach: str, k_basis: int, reduced_dim: int,
                           k_max: int, window: int, block_rows: int,
                           fd_shrink: str, types: tuple, use_pallas: bool,
-                          tags_dim: int, text_dim: int):
+                          tags_dim: int, text_dim: int,
+                          k_source: str = "given"):
     """W tumbling windows in ONE dispatch: ``lax.scan`` over the window axis.
 
     Amortizes the per-window dispatch round trip (the dominant cost on remote
@@ -293,7 +303,7 @@ def _scanned_window_steps(state: StreamState, feats_batch: tuple,
         state, _, labels = _window_step_impl(
             state, fused, k, key, approach=approach, k_basis=k_basis,
             reduced_dim=reduced_dim, k_max=k_max, window=window,
-            block_rows=block_rows, fd_shrink=fd_shrink)
+            block_rows=block_rows, fd_shrink=fd_shrink, k_source=k_source)
         return state, (labels, r_norm)
 
     state, (labels, r_norms) = jax.lax.scan(
@@ -346,14 +356,15 @@ def _fuse_dispatch(feats: tuple, *, types: tuple, use_pallas: bool,
     jax.jit,
     static_argnames=("approach", "k_basis", "reduced_dim", "k_max", "window",
                      "block_rows", "fd_shrink", "types", "use_pallas",
-                     "tags_dim", "text_dim"),
+                     "tags_dim", "text_dim", "k_source"),
     donate_argnames=("state",))
 def _combined_window_step(state: StreamState, feats: tuple,
                           n_clusters: jax.Array, key: jax.Array, *,
                           approach: str, k_basis: int, reduced_dim: int,
                           k_max: int, window: int, block_rows: int,
                           fd_shrink: str, types: tuple, use_pallas: bool,
-                          tags_dim: int, text_dim: int):
+                          tags_dim: int, text_dim: int,
+                          k_source: str = "given"):
     """Fusion + window step in ONE dispatch (the per-window default path):
     on remote TPU links each jitted call carries fixed serialization/round-
     trip cost, so folding the adjacency build into the window step halves
@@ -366,7 +377,7 @@ def _combined_window_step(state: StreamState, feats: tuple,
     state, reduced, labels = _window_step_impl(
         state, fused, n_clusters, key, approach=approach, k_basis=k_basis,
         reduced_dim=reduced_dim, k_max=k_max, window=window,
-        block_rows=block_rows, fd_shrink=fd_shrink)
+        block_rows=block_rows, fd_shrink=fd_shrink, k_source=k_source)
     return state, reduced, labels, r_norm
 
 
@@ -407,6 +418,11 @@ class StreamingEngine:
                 "matching='centroid' runs on the dense-window path (it needs "
                 "the window's numeric feature matrix); huge windows use the "
                 "reference positional matching or DBSCAN_centr")
+        if cfg.k_estimate not in ("labels", "fixed", "eigengap"):
+            raise ValueError(
+                f"k_estimate={cfg.k_estimate!r}: expected 'labels' "
+                "(reference ground-truth count), 'fixed' (n_clusters_total) "
+                "or 'eigengap' (unsupervised device estimate)")
         self.swfd_R: float | None = None   # recorded like reference main.py:61
         self.timer = profiling.SpanTimer()  # per-phase spans (SURVEY.md §5.1)
         # multi-chip: every window step runs SPMD over this mesh's "data" axis
@@ -539,8 +555,12 @@ class StreamingEngine:
             elif cfg.approach == "sSpectral":
                 from mused_tpu.ops.blocked_spectral import \
                     spectral_clustering_blocked
+                # blocked spectral takes a host cluster count: under
+                # "eigengap" the _k_plan cap (k_max) stands in — the blocked
+                # path has no cheap device spectrum to estimate from
+                k_host, _ = self._k_plan(window_true_labels)
                 labels = spectral_clustering_blocked(
-                    cols, int(len(np.unique(window_true_labels))), key,
+                    cols, k_host, key,
                     k_max=self.k_max, block=block, k_basis=cfg.k_basis,
                     n_real=n, approx_knn=cfg.huge_window_approx_knn)
                 clusters = np.asarray(labels)
@@ -554,9 +574,10 @@ class StreamingEngine:
                                            self.prev_centroids,
                                            self.prev_centroid_labels)
             else:
-                n_clusters = int(len(np.unique(window_true_labels)))
-                labels, _ = kmeans.kmeans(reduced, jnp.int32(n_clusters), key,
-                                          k_max=self.k_max)
+                k_host, k_src = self._k_plan(window_true_labels)
+                nk = (reduction.eigengap_k(reduced, k_max=self.k_max)
+                      if k_src == "eigengap" else jnp.int32(k_host))
+                labels, _ = kmeans.kmeans(reduced, nk, key, k_max=self.k_max)
                 clusters = np.asarray(labels)
         method = self._match_method()
         if cfg.approach != "DBSCAN_centr":   # centr does its own matching
@@ -575,6 +596,22 @@ class StreamingEngine:
         if self.cfg.matching == "auto":
             return "pot" if self.cfg.approach == "sSVDMC_pot" else "hungarian"
         return self.cfg.matching
+
+    def _k_plan(self, window_true_labels) -> tuple[int, str]:
+        """Per-window cluster count -> (host value, device ``k_source``).
+
+        cfg.k_estimate selects the source: "labels" reproduces the
+        reference's ground-truth-derived count (main.py:41/97 — truth leaks
+        into the cluster count, a quirk kept for comparability); "fixed"
+        uses cfg.n_clusters_total every window (no labels consulted);
+        "eigengap" estimates the count on device from the reduced window's
+        spectrum (ops/reduction.eigengap_k) — the host value is then just
+        the cap and the device ignores it."""
+        if self.cfg.k_estimate == "fixed":
+            return self.k_max, "given"
+        if self.cfg.k_estimate == "eigengap":
+            return self.k_max, "eigengap"
+        return int(len(np.unique(window_true_labels))), "given"
 
     def _stable_feats(self, window_modalities, features) -> np.ndarray | None:
         """Per-row matrix in the (window-rotation-free) input feature space,
@@ -683,7 +720,7 @@ class StreamingEngine:
             print(f"[window {window_index}] true labels: "
                   f"{np.asarray(window_true_labels)}")
 
-        n_clusters = int(len(np.unique(window_true_labels)))
+        n_clusters, k_source = self._k_plan(window_true_labels)
         key = jax.random.fold_in(jax.random.key(cfg.seed), window_index)
         stable_feats = self._stable_feats(window_modalities, features)
 
@@ -701,7 +738,7 @@ class StreamingEngine:
                         fd_shrink=cfg.fd_shrink, types=types,
                         tags_dim=cfg.features.tags_hash_dim,
                         text_dim=cfg.features.text_hash_dim, mesh=self.mesh,
-                        topology=cfg.merge_topology)
+                        topology=cfg.merge_topology, k_source=k_source)
                 self.state = StreamState(swfd=new_swfd, minibatch=new_mb)
             return _PendingWindow(window_index=window_index, reduced=reduced,
                                   labels=labels, r_norm=r_norm,
@@ -723,7 +760,7 @@ class StreamingEngine:
                     approach=cfg.approach, k_basis=cfg.k_basis,
                     reduced_dim=cfg.reduced_dim, k_max=self.k_max,
                     window=cfg.window_size, block_rows=self.block_rows,
-                    fd_shrink=cfg.fd_shrink)
+                    fd_shrink=cfg.fd_shrink, k_source=k_source)
             return _PendingWindow(window_index=window_index, reduced=reduced,
                                   labels=labels, stable_feats=stable_feats,
                                   verbose=verbose, state=self.state)
@@ -741,7 +778,7 @@ class StreamingEngine:
                 block_rows=self.block_rows, fd_shrink=cfg.fd_shrink,
                 types=types, use_pallas=self.use_pallas,
                 tags_dim=cfg.features.tags_hash_dim,
-                text_dim=cfg.features.text_hash_dim)
+                text_dim=cfg.features.text_hash_dim, k_source=k_source)
         return _PendingWindow(window_index=window_index, reduced=reduced,
                               labels=labels, r_norm=r_norm,
                               stable_feats=stable_feats, verbose=verbose,
@@ -835,7 +872,8 @@ def process_streaming_data(results, data_modalities, modality_types,
                            checkpoint_every: int = 1, data_shards: int = 1,
                            merge_topology: str = "allgather",
                            verbose: bool = False, matching: str = "auto",
-                           windows_per_batch: int = 1):
+                           windows_per_batch: int = 1,
+                           k_estimate: str = "labels"):
     """Drop-in equivalent of reference main.py:13-130.
 
     New over the reference: pass ``checkpoint_dir`` to checkpoint the full
@@ -859,7 +897,7 @@ def process_streaming_data(results, data_modalities, modality_types,
             n_clusters_override=int(n_clusters_total),
             data_shards=data_shards, merge_topology=merge_topology,
             verbose=verbose, matching=matching,
-            windows_per_batch=windows_per_batch)
+            windows_per_batch=windows_per_batch, k_estimate=k_estimate)
 
     engine = StreamingEngine(cfg)
     all_clusters: list[np.ndarray] = []
@@ -1128,7 +1166,8 @@ def _run_batched_loop(results, engine, cfg, todo, feats_iter,
             return jnp.stack(parts)
 
         feats_batch = tuple(_stack(j) for j in range(len(feats_list[0])))
-        n_clusters = jnp.asarray([len(np.unique(t)) for t in labels_list],
+        k_source = engine._k_plan(labels_list[0])[1]
+        n_clusters = jnp.asarray([engine._k_plan(t)[0] for t in labels_list],
                                  jnp.int32)
         keys = jax.vmap(lambda w: jax.random.fold_in(
             jax.random.key(cfg.seed), w))(jnp.asarray([w for w, _ in group]))
@@ -1146,7 +1185,8 @@ def _run_batched_loop(results, engine, cfg, todo, feats_iter,
                         fd_shrink=cfg.fd_shrink, types=types,
                         tags_dim=cfg.features.tags_hash_dim,
                         text_dim=cfg.features.text_hash_dim,
-                        mesh=engine.mesh, topology=cfg.merge_topology)
+                        mesh=engine.mesh, topology=cfg.merge_topology,
+                        k_source=k_source)
                 engine.state = StreamState(swfd=new_swfd, minibatch=new_mb)
             else:
                 engine.state, batch_labels, r_norms = _scanned_window_steps(
@@ -1157,7 +1197,7 @@ def _run_batched_loop(results, engine, cfg, todo, feats_iter,
                     fd_shrink=cfg.fd_shrink, types=types,
                     use_pallas=engine.use_pallas,
                     tags_dim=cfg.features.tags_hash_dim,
-                    text_dim=cfg.features.text_hash_dim)
+                    text_dim=cfg.features.text_hash_dim, k_source=k_source)
         rec = (group, n_real, labels_list, batch_labels, r_norms)
         if not pipelined:
             _finalize(rec)

@@ -190,6 +190,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "else hungarian); centroid = nearest-centroid "
                         "registry in input feature space (stable IDs on "
                         "temporally-unsorted numeric streams)")
+    p.add_argument("--k-estimate", default="labels",
+                   choices=["labels", "fixed", "eigengap"],
+                   help="per-window cluster-count source: labels = reference "
+                        "quirk (unique ground-truth labels per window, "
+                        "main.py:41); fixed = n_clusters_total; eigengap = "
+                        "unsupervised device estimate from the reduced "
+                        "window's spectrum (no labels consulted)")
     p.add_argument("--verbose", action="store_true",
                    help="small-window debug oracles: print true labels, "
                         "fused/reduced matrices, matched clusters per window "
@@ -250,6 +257,7 @@ def cli(argv=None) -> int:
                                            "matching": args.matching,
                                            "windows_per_batch":
                                                args.windows_per_batch,
+                                           "k_estimate": args.k_estimate,
                                        })
             finally:
                 if log_file is not None:

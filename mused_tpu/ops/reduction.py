@@ -44,6 +44,29 @@ def randomized_svd(x: jax.Array, rank: int, key: jax.Array,
     return u[:, :rank], s[:rank], vt[:rank]
 
 
+@functools.partial(jax.jit, static_argnames=("k_max", "k_min"))
+def eigengap_k(reduced: jax.Array, *, k_max: int, k_min: int = 1) -> jax.Array:
+    """Unsupervised per-window cluster-count estimate (no reference analog —
+    the reference leaks ground truth into the count, main.py:41/97).
+
+    Column j of the reduced window scales with singular value sigma_j of the
+    fused adjacency (SWFDMC: rows of the sketch are Sigma'V^T, so the
+    transposed sketch's columns; randomized SVD: X V_r = U_r Sigma_r), so
+    column energies e_j = sum_i reduced[i, j]^2 trace the sigma^2 profile.
+    For a kNN graph with c well-separated clusters that profile has c
+    dominant values; the classic eigengap rule picks k at the largest
+    relative gap within the leading ``k_max`` energies.  Device-only (a few
+    hundred FLOPs) — composes into the jitted window step, so unsupervised
+    runs stay one dispatch per window.
+    """
+    e = jnp.sort(jnp.sum(reduced * reduced, axis=0))[::-1]
+    m = min(k_max + 1, e.shape[0])
+    e = e[:m]
+    gaps = (e[:-1] - e[1:]) / jnp.maximum(e[:-1], 1e-30)
+    k = jnp.argmax(gaps) + 1
+    return jnp.clip(k, k_min, k_max).astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("reduced_dim",))
 def svd_reduce(matrix: jax.Array, reduced_dim: int, key: jax.Array) -> jax.Array:
     """TruncatedSVD.fit_transform equivalent (reference matrix_operations.py:143-147).

@@ -248,9 +248,14 @@ def _engine_step_core(swfd_state, minibatch_state, feats: tuple,
                       n_clusters, key, *, approach: str, k_basis: int,
                       reduced_dim: int, k_max: int, window: int,
                       fd_shrink: str, types: tuple, tags_dim: int,
-                      text_dim: int, mesh, topology: str = "allgather"):
+                      text_dim: int, mesh, topology: str = "allgather",
+                      k_source: str = "given"):
     """Traceable body shared by ``sharded_engine_step`` (one jitted window)
-    and ``sharded_scanned_steps`` (a ``lax.scan`` of W windows)."""
+    and ``sharded_scanned_steps`` (a ``lax.scan`` of W windows).
+
+    ``k_source="eigengap"``: ignore ``n_clusters`` and estimate the cluster
+    count from the replicated reduced matrix's spectrum on device
+    (ops/reduction.eigengap_k) — same semantics as the single-chip step."""
     from mused_tpu.ops import swfd as swfd_mod
 
     def body(*feat_shards):
@@ -295,6 +300,12 @@ def _engine_step_core(swfd_state, minibatch_state, feats: tuple,
     else:
         reduced = out[0]
 
+    if k_source == "eigengap":
+        from mused_tpu.ops import reduction
+        # `reduced` is replicated after the merge/distributed SVD, so the
+        # estimate is identical on every chip — no collective needed
+        n_clusters = reduction.eigengap_k(reduced, k_max=k_max)
+
     new_mb = minibatch_state
     if approach == "sSpectral":
         from mused_tpu.ops import spectral
@@ -313,7 +324,7 @@ def _engine_step_core(swfd_state, minibatch_state, feats: tuple,
 
 _STEP_STATICS = ("approach", "k_basis", "reduced_dim", "k_max", "window",
                  "fd_shrink", "types", "tags_dim", "text_dim", "mesh",
-                 "topology")
+                 "topology", "k_source")
 
 
 @functools.partial(jax.jit, static_argnames=_STEP_STATICS,
@@ -322,7 +333,8 @@ def sharded_engine_step(swfd_state, minibatch_state, feats: tuple,
                         n_clusters, key, *, approach: str, k_basis: int,
                         reduced_dim: int, k_max: int, window: int,
                         fd_shrink: str, types: tuple, tags_dim: int,
-                        text_dim: int, mesh, topology: str = "allgather"):
+                        text_dim: int, mesh, topology: str = "allgather",
+                        k_source: str = "given"):
     """Multi-chip mirror of engine.streaming._window_step — the full
     per-window device step with every collective riding the mesh "data" axis.
 
@@ -342,7 +354,8 @@ def sharded_engine_step(swfd_state, minibatch_state, feats: tuple,
         swfd_state, minibatch_state, feats, n_clusters, key,
         approach=approach, k_basis=k_basis, reduced_dim=reduced_dim,
         k_max=k_max, window=window, fd_shrink=fd_shrink, types=types,
-        tags_dim=tags_dim, text_dim=text_dim, mesh=mesh, topology=topology)
+        tags_dim=tags_dim, text_dim=text_dim, mesh=mesh, topology=topology,
+        k_source=k_source)
 
 
 @functools.partial(jax.jit, static_argnames=_STEP_STATICS,
@@ -351,7 +364,8 @@ def sharded_scanned_steps(swfd_state, minibatch_state, feats_batch: tuple,
                           n_clusters, keys, *, approach: str, k_basis: int,
                           reduced_dim: int, k_max: int, window: int,
                           fd_shrink: str, types: tuple, tags_dim: int,
-                          text_dim: int, mesh, topology: str = "allgather"):
+                          text_dim: int, mesh, topology: str = "allgather",
+                          k_source: str = "given"):
     """W tumbling windows in ONE SPMD dispatch: ``lax.scan`` threads the
     SWFD ring + MiniBatch state through the per-window sharded step — the
     multi-chip mirror of engine._scanned_window_steps, composing
@@ -368,7 +382,8 @@ def sharded_scanned_steps(swfd_state, minibatch_state, feats_batch: tuple,
             sw, mb, feats, k, key, approach=approach, k_basis=k_basis,
             reduced_dim=reduced_dim, k_max=k_max, window=window,
             fd_shrink=fd_shrink, types=types, tags_dim=tags_dim,
-            text_dim=text_dim, mesh=mesh, topology=topology)
+            text_dim=text_dim, mesh=mesh, topology=topology,
+            k_source=k_source)
         return (sw, mb), (labels, r_norm)
 
     (sw, mb), (labels, r_norms) = jax.lax.scan(

@@ -1,0 +1,217 @@
+"""Online serving API: push records as they arrive, get events out.
+
+The reference has no serving surface — its only entry point
+(``process_streaming_data``, reference main.py:13-130) needs the WHOLE stream
+and its ground-truth labels up front: the label array sizes each window's
+cluster count (main.py:41) and the engine returns only end-of-stream metrics.
+``StreamDetector`` wraps the same TPU engine for production use:
+
+  * records are **pushed incrementally** (single records or chunks) — no
+    subset array, no ground truth anywhere;
+  * windows fire on the reference trigger semantics (main.py:32), including
+    overlapping sliding windows via ``step_window_ratio``;
+  * the per-window cluster count comes from the device eigengap estimate
+    (``k_estimate="eigengap"``, ops/reduction.eigengap_k) or a fixed cap —
+    never from labels;
+  * cluster IDs stay stable across windows through the engine's matching
+    (Hungarian positional overlap, or the centroid registry for numeric
+    streams), surfaced as per-window :class:`WindowResult` events;
+  * the device pipeline stays asynchronous: up to ``max_lag`` windows are
+    dispatched ahead of the oldest un-pulled one, so pushes return without
+    blocking on device compute (``flush()`` drains);
+  * ``save()``/``load()`` checkpoint the full detector (device sketch state,
+    matcher registries, the raw-record tail needed for the next windows) for
+    crash recovery or migration between hosts.
+
+Everything downstream of featurization is the same jitted/SPMD window step
+the offline engine runs — serving adds no second compute path.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import numpy as np
+
+from mused_tpu.engine import streaming as engine_mod
+from mused_tpu.utils.config import PipelineConfig
+
+
+class WindowResult(NamedTuple):
+    """One processed window's events."""
+
+    window_index: int
+    row_start: int          # absolute stream index of the window's first row
+    clusters: np.ndarray    # (window_size,) stable event id per record
+    event_ids: np.ndarray   # unique event ids present in this window
+    counts: np.ndarray      # record count per event_ids entry
+    new_events: np.ndarray  # event ids first seen in this window
+
+
+class StreamDetector:
+    """Push-based online event detector (production serving surface).
+
+    Parameters mirror :class:`PipelineConfig`; pass ``cfg`` directly for full
+    control.  ``k_estimate`` must be label-free ("eigengap" or "fixed") —
+    serving has no ground truth, so the reference's labels-derived count
+    (main.py:41) is rejected.
+    """
+
+    def __init__(self, modality_types: Sequence[str], window_size: int, *,
+                 approach: str = "SWFDMC", reduced_dim: int = 50,
+                 k_basis: int = 50, max_events: int = 150,
+                 k_estimate: str = "eigengap", step_window_ratio: int = 1,
+                 seed: int = 0, matching: str = "auto", max_lag: int = 2,
+                 cfg: PipelineConfig | None = None):
+        if cfg is None:
+            cfg = PipelineConfig(
+                window_size=window_size, reduced_dim=reduced_dim,
+                k_basis=k_basis, approach=approach, seed=seed,
+                label_mode="all", n_clusters_override=max_events,
+                matching=matching, k_estimate=k_estimate,
+                step_window_ratio=step_window_ratio)
+        if cfg.k_estimate == "labels":
+            raise ValueError(
+                "serving is unsupervised: k_estimate must be 'eigengap' or "
+                "'fixed' ('labels' is the offline reference quirk that "
+                "derives each window's cluster count from ground truth)")
+        self.cfg = cfg
+        self.modality_types = tuple(modality_types)
+        self.engine = engine_mod.StreamingEngine(cfg)
+        self.max_lag = max(int(max_lag), 0)
+        if (cfg.window_size > engine_mod.LARGE_WINDOW_ROWS
+                or cfg.force_blocked_window):
+            # the huge-window path matches inside dispatch (it runs its own
+            # blocked sub-stream to completion), so it needs the previous
+            # window's MATCHED labels at dispatch time — no lag allowed
+            self.max_lag = 0
+        self._tail: list[np.ndarray] | None = None   # last window_size rows
+        self._count = 0          # absolute records pushed
+        self._window_index = 0
+        self._prev_clusters: np.ndarray | None = None
+        self._pending: list[tuple] = []   # [(row_start, _PendingWindow)]
+        self._seen_events: set[int] = set()
+        # labels are never consulted (k_estimate is label-free); this array
+        # only satisfies the engine's window-step signature
+        self._dummy_labels = np.zeros(cfg.window_size, np.int64)
+
+    # ------------------------------------------------------------------
+    def push(self, modality_rows: Sequence[np.ndarray]) -> list[WindowResult]:
+        """Feed one record or a chunk of records (one array per modality,
+        each ``(n_new, width)`` — or ``(width,)`` for a single record).
+        Returns any windows finalized by this push (device results may lag
+        up to ``max_lag`` windows behind; ``flush()`` drains)."""
+        rows = [np.asarray(m) for m in modality_rows]
+        if len(rows) != len(self.modality_types):
+            raise ValueError(
+                f"got {len(rows)} modality arrays, expected "
+                f"{len(self.modality_types)} ({self.modality_types})")
+        rows = [m[None] if m.ndim == 1 else m for m in rows]
+        n_new = len(rows[0])
+        if any(len(m) != n_new for m in rows):
+            raise ValueError("modality chunks disagree on record count")
+
+        w = self.cfg.window_size
+        # buf = retained tail + this chunk; buf[0] is absolute index buf_start
+        if self._tail is None:
+            buf = rows
+        else:
+            buf = [np.concatenate([t, m]) for t, m in zip(self._tail, rows)]
+        buf_start = self._count - (0 if self._tail is None
+                                   else len(self._tail[0]))
+
+        out: list[WindowResult] = []
+        ratio = self.cfg.step_window_ratio
+        for i in range(self._count, self._count + n_new):
+            # reference trigger semantics (main.py:32)
+            if i + 1 >= w and ((i + 1) * ratio) % w == 0:
+                lo = i + 1 - w - buf_start
+                window = [b[lo:i + 1 - buf_start] for b in buf]
+                out.extend(self._fire(i, window))
+        self._count += n_new
+        self._tail = [b[-w:] for b in buf]
+        return out
+
+    def _fire(self, i: int, window: list[np.ndarray]) -> list[WindowResult]:
+        """Dispatch the window ending at absolute index ``i``; finalize any
+        windows beyond the ``max_lag`` pipeline depth."""
+        pending = self.engine.dispatch_window(
+            window, self.modality_types, self._dummy_labels,
+            self._window_index, self._prev_clusters)
+        self._pending.append((i + 1 - self.cfg.window_size, pending))
+        self._window_index += 1
+        out = []
+        while len(self._pending) > self.max_lag:
+            out.append(self._finalize_oldest())
+        return out
+
+    def _finalize_oldest(self) -> WindowResult:
+        row_start, pending = self._pending.pop(0)
+        clusters = self.engine.finalize_window(pending, self._prev_clusters)
+        self._prev_clusters = clusters
+        ids, counts = np.unique(clusters, return_counts=True)
+        new = np.array([e for e in ids.tolist()
+                        if e not in self._seen_events], ids.dtype)
+        self._seen_events.update(ids.tolist())
+        return WindowResult(window_index=pending.window_index,
+                            row_start=row_start, clusters=clusters,
+                            event_ids=ids, counts=counts, new_events=new)
+
+    def flush(self) -> list[WindowResult]:
+        """Finalize every dispatched-but-unpulled window."""
+        out = []
+        while self._pending:
+            out.append(self._finalize_oldest())
+        return out
+
+    # ------------------------------------------------------------------
+    def save(self, path: str) -> list[WindowResult]:
+        """Checkpoint the detector (device state + matcher registries + the
+        raw-record tail).  Pending windows are flushed first so the saved
+        state is window-consistent — their results are returned.  Same trust
+        model as utils/checkpoint.py: load only checkpoints you wrote."""
+        flushed = self.flush()
+        from mused_tpu.utils import checkpoint as ckpt
+        ckpt.save_checkpoint(path, self.engine.state, {
+            "serving": True,
+            "count": self._count,
+            "window_index": self._window_index,
+            "prev_clusters": self._prev_clusters,
+            "seen_events": sorted(self._seen_events),
+            "tail": self._tail,
+            "modality_types": list(self.modality_types),
+            "cfg_kwargs": {
+                "window_size": self.cfg.window_size,
+                "reduced_dim": self.cfg.reduced_dim,
+                "k_basis": self.cfg.k_basis,
+                "approach": self.cfg.approach,
+                "seed": self.cfg.seed,
+                "n_clusters_override": self.cfg.n_clusters_override,
+                "matching": self.cfg.matching,
+                "k_estimate": self.cfg.k_estimate,
+                "step_window_ratio": self.cfg.step_window_ratio,
+                "label_mode": self.cfg.label_mode,
+            },
+            **self.engine.host_snapshot()})
+        return flushed
+
+    @classmethod
+    def load(cls, path: str, *, max_lag: int = 2,
+             cfg: PipelineConfig | None = None) -> "StreamDetector":
+        """Rebuild a detector from :meth:`save` output; pushing resumes the
+        stream exactly where it left off (the saved tail provides the
+        overlap for the next windows)."""
+        from mused_tpu.utils import checkpoint as ckpt
+        device_state, host = ckpt.load_checkpoint(path)
+        if not host.get("serving"):
+            raise ValueError(f"{path} is not a StreamDetector checkpoint")
+        if cfg is None:
+            cfg = PipelineConfig(**host["cfg_kwargs"])
+        det = cls(host["modality_types"], cfg.window_size, cfg=cfg,
+                  max_lag=max_lag)
+        det.engine.restore(device_state, host)
+        det._count = int(host["count"])
+        det._window_index = int(host["window_index"])
+        det._prev_clusters = host["prev_clusters"]
+        det._seen_events = set(host["seen_events"])
+        det._tail = host["tail"]
+        return det

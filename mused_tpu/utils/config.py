@@ -116,6 +116,15 @@ class PipelineConfig:
                              # random; numeric-modality streams only)
     centroid_max_dist: float | None = None   # centroid matching: reject
                              # matches farther than this (None = always match)
+    k_estimate: str = "labels"   # per-window cluster-count source:
+                             # "labels" = reference quirk (count of unique
+                             # ground-truth labels in the window, main.py:41
+                             # — truth leaks into k; kept for comparability);
+                             # "fixed" = n_clusters_total every window;
+                             # "eigengap" = unsupervised device estimate from
+                             # the reduced window's singular-value profile
+                             # (ops/reduction.eigengap_k) — the production/
+                             # serving mode, no labels consulted
     swfd_target_blocks: int = 8
     # multi-chip: shard window rows over a ("data","model") mesh of this many
     # devices; every window step then runs SPMD (sharded affinity, ICI sketch

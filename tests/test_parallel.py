@@ -424,3 +424,36 @@ def test_engine_sharded_scanned_matches_single_chip_scanned(engine_stream):
     eight = _run_engine(engine_stream, "sSVDMC", 8, windows_per_batch=2)
     assert eight["f1_score"] == pytest.approx(one["f1_score"], abs=1e-6)
     assert eight["nmi_score"] == pytest.approx(one["nmi_score"], abs=1e-6)
+
+
+def test_sharded_eigengap_matches_single_chip():
+    """k_estimate='eigengap' on the 8-device SPMD engine == single-chip for a
+    deterministic-reduction approach: the estimate runs on the replicated
+    reduced matrix, so the device count must not change the per-window
+    cluster count.  (SWFDMC's sharded sketch has a different valid block
+    structure — metric-level only, like the other SWFDMC parity tests.)"""
+    from mused_tpu import api
+    from mused_tpu.data.synthetic import synthetic_events_dataframe
+    from mused_tpu.utils.config import PipelineConfig
+    df = synthetic_events_dataframe(n_rows=900, n_events=4, noise_rate=0.6,
+                                    seed=0)
+    mods, mtypes, labels = api.prepare_modalities(
+        df, subset_size=512, binary=True, sort_by_uploaded=True,
+        noise_rate=0.5, seed=0)
+
+    def run(shards):
+        cfg = PipelineConfig(window_size=128, reduced_dim=16, k_basis=4,
+                             approach="sSVDMC", label_mode="binary",
+                             n_clusters_override=6, k_estimate="eigengap",
+                             data_shards=shards)
+        r, _ = api.get_initial_results()
+        return api.process_streaming_data(
+            results=r, data_modalities=mods, modality_types=mtypes,
+            window_size=128, reduced_dim=16, k_basis=4, n_clusters_total=6,
+            seed=0, approach="sSVDMC", complete_true_labels=labels,
+            step_window_ratio=1, noise_rate=0.5, label_mode="binary",
+            sorting=True, eps=1.5, min_samples=2, cfg=cfg)
+
+    r1, r8 = run(1), run(8)
+    assert r1["nmi_score"] == pytest.approx(r8["nmi_score"], abs=1e-6)
+    assert r1["f1_score"] == pytest.approx(r8["f1_score"], abs=1e-6)

@@ -223,3 +223,38 @@ def test_batched_mode_records_swfd_R(modalities, monkeypatch):
         rs[wpb] = captured["engines"][0].swfd_R
     assert rs[1] is not None and rs[2] is not None
     assert rs[2] == pytest.approx(rs[1])
+
+
+@pytest.mark.parametrize("k_estimate", ["fixed", "eigengap"])
+def test_label_free_k_estimate(modalities, k_estimate):
+    """k_estimate='fixed'/'eigengap' runs the stream without consulting
+    ground truth for the per-window cluster count (the reference leaks truth
+    into k, main.py:41) and stays numerically identical between per-window
+    and scanned dispatch."""
+    from mused_tpu.utils.config import PipelineConfig
+    mods, mtypes, labels = modalities
+
+    def run(batch_w):
+        cfg = PipelineConfig(window_size=64, reduced_dim=8, k_basis=3,
+                             approach="SWFDMC", label_mode="binary",
+                             n_clusters_override=4, k_estimate=k_estimate,
+                             windows_per_batch=batch_w)
+        r, _ = api.get_initial_results()
+        return api.process_streaming_data(
+            results=r, data_modalities=mods, modality_types=mtypes,
+            window_size=64, reduced_dim=8, k_basis=3, n_clusters_total=4,
+            seed=0, approach="SWFDMC", complete_true_labels=labels,
+            step_window_ratio=1, noise_rate=0.5, label_mode="binary",
+            sorting=True, eps=1.5, min_samples=2, cfg=cfg)
+
+    r1, r4 = run(1), run(4)
+    assert r1["nmi_score"] == r4["nmi_score"]
+    assert r1["f1_score"] == r4["f1_score"]
+    assert 0.0 <= r1["nmi_score"][0] <= 1.0
+
+
+def test_k_estimate_validation(modalities):
+    from mused_tpu.utils.config import PipelineConfig
+    from mused_tpu.engine.streaming import StreamingEngine
+    with pytest.raises(ValueError, match="k_estimate"):
+        StreamingEngine(PipelineConfig(window_size=64, k_estimate="bogus"))

@@ -51,3 +51,22 @@ def test_svd_reduce_dim_clamp(rng):
     out = np.asarray(reduction.svd_reduce(jnp.asarray(x), 8, jax.random.key(0)))
     assert out.shape == (20, 8)
     assert np.all(out[:, 3:] == 0)  # only min(8, 4-1)=3 live components
+
+
+def test_eigengap_k_recovers_cluster_count(rng):
+    """eigengap_k finds the block count of a clustered adjacency spectrum
+    (the unsupervised replacement for the reference's ground-truth-derived
+    per-window k, main.py:41)."""
+    for c in (2, 3, 5, 7):
+        labels = rng.integers(0, c, 240)
+        a = (labels[:, None] == labels[None, :]).astype(np.float32)
+        a *= (rng.random((240, 240)) < 0.3)       # sparsify like a kNN graph
+        red = reduction.svd_reduce(jnp.asarray(a), 16, jax.random.key(0))
+        assert int(reduction.eigengap_k(red, k_max=10)) == c
+
+
+def test_eigengap_k_respects_bounds(rng):
+    x = jnp.asarray(rng.normal(size=(40, 12)).astype(np.float32))
+    k = int(reduction.eigengap_k(x, k_max=4))
+    assert 1 <= k <= 4
+    assert int(reduction.eigengap_k(x, k_max=4, k_min=3)) >= 3

@@ -1,0 +1,136 @@
+"""Serving surface (mused_tpu/serving.py) — the push-based online detector.
+
+The reference has no serving/online entry point (its only engine,
+main.py:13-130, takes the whole stream + ground-truth labels up front); these
+tests pin the framework's production-facing contract: chunking-invariance,
+label-free cluster counts, trigger parity with the offline engine,
+save/load resume, and sliding-window mode.
+"""
+import numpy as np
+import pytest
+
+from mused_tpu.data.sed2012 import prepare_modalities
+from mused_tpu.data.synthetic import synthetic_events_dataframe, \
+    crisis_embedding_stream
+from mused_tpu.engine.streaming import window_triggers
+from mused_tpu.serving import StreamDetector
+from mused_tpu.utils.config import PipelineConfig
+from mused_tpu.utils.metrics import nmi
+
+
+@pytest.fixture(scope="module")
+def stream():
+    df = synthetic_events_dataframe(n_rows=900, n_events=4, noise_rate=0.5,
+                                    seed=0)
+    return prepare_modalities(df, subset_size=512, binary=False,
+                              sort_by_uploaded=True, noise_rate=0.4, seed=0)
+
+
+def _run(mods, mtypes, chunk, **kw):
+    kw.setdefault("approach", "sSVDMC")
+    kw.setdefault("reduced_dim", 16)
+    kw.setdefault("k_basis", 4)
+    kw.setdefault("max_events", 8)
+    det = StreamDetector(mtypes, 128, seed=0, **kw)
+    out = []
+    n = len(mods[0])
+    for lo in range(0, n, chunk):
+        out.extend(det.push([m[lo:lo + chunk] for m in mods]))
+    out.extend(det.flush())
+    return det, out
+
+
+def test_chunking_invariance(stream):
+    """Identical windows/results however the stream is chopped into pushes."""
+    mods, mtypes, _ = stream
+    _, a = _run(mods, mtypes, 512)      # one push
+    _, b = _run(mods, mtypes, 7)        # awkward chunks
+    _, c = _run(mods, mtypes, 1)        # record at a time
+    assert len(a) == len(b) == len(c) == 4
+    for x, y in zip(a, b):
+        assert x.window_index == y.window_index
+        assert x.row_start == y.row_start
+        assert np.array_equal(x.clusters, y.clusters)
+    for x, y in zip(a, c):
+        assert np.array_equal(x.clusters, y.clusters)
+
+
+def test_trigger_parity_with_offline_engine(stream):
+    """Serving fires at exactly the offline trigger indices (ref main.py:32)
+    and its row_start/window_index bookkeeping matches."""
+    mods, mtypes, _ = stream
+    _, out = _run(mods, mtypes, 64)
+    expected = window_triggers(512, 128, 1)
+    assert [r.row_start + 128 - 1 for r in out] == expected
+    assert [r.window_index for r in out] == list(range(len(expected)))
+
+
+def test_unsupervised_quality_and_event_tracking(stream):
+    """Eigengap-counted serving clusters carry real signal (NMI vs the truth
+    labels serving never saw) and event bookkeeping is consistent."""
+    mods, mtypes, labels = stream
+    _, out = _run(mods, mtypes, 128, k_estimate="eigengap")
+    clus = np.concatenate([r.clusters for r in out])
+    assert nmi(np.asarray(labels)[:len(clus)], clus) > 0.15
+    seen: set = set()
+    for r in out:
+        assert set(r.new_events.tolist()) == set(r.event_ids.tolist()) - seen
+        seen |= set(r.event_ids.tolist())
+        assert r.counts.sum() == 128
+        assert len(r.clusters) == 128
+
+
+def test_save_load_resume(stream, tmp_path):
+    """Resume from a mid-stream checkpoint == uninterrupted run."""
+    mods, mtypes, _ = stream
+    det_full, full = _run(mods, mtypes, 128)
+
+    det = StreamDetector(mtypes, 128, approach="sSVDMC", reduced_dim=16,
+                         k_basis=4, max_events=8, seed=0)
+    out = []
+    for lo in range(0, 256, 128):
+        out.extend(det.push([m[lo:lo + 128] for m in mods]))
+    path = str(tmp_path / "det.npz")
+    out.extend(det.save(path))   # save flushes and returns the results
+
+    det2 = StreamDetector.load(path)
+    for lo in range(256, 512, 128):
+        out.extend(det2.push([m[lo:lo + 128] for m in mods]))
+    out.extend(det2.flush())
+    assert len(out) == len(full)
+    for x, y in zip(out, full):
+        assert np.array_equal(x.clusters, y.clusters), x.window_index
+
+
+def test_sliding_windows(stream):
+    """step_window_ratio=2: overlapping windows fire twice per window span."""
+    mods, mtypes, _ = stream
+    _, out = _run(mods, mtypes, 64, step_window_ratio=2)
+    expected = window_triggers(512, 128, 2)
+    assert [r.row_start + 128 - 1 for r in out] == expected
+    assert len(out) == 7
+
+
+def test_centroid_matching_numeric_stream():
+    """Embedding streams serve with the centroid-registry matcher."""
+    mods, mtypes, labels = crisis_embedding_stream(
+        n_rows=512, n_events=4, noise_rate=0.3, d_text=32, d_image=32, seed=0)
+    det = StreamDetector(mtypes, 128, approach="sSpectral", reduced_dim=32,
+                         k_basis=4, max_events=6, k_estimate="fixed",
+                         matching="centroid", seed=0)
+    out = det.push(mods)
+    out.extend(det.flush())
+    assert len(out) == 4
+    clus = np.concatenate([r.clusters for r in out])
+    assert nmi(np.asarray(labels), clus) > 0.5
+
+
+def test_rejects_label_leak_and_bad_shapes(stream):
+    mods, mtypes, _ = stream
+    with pytest.raises(ValueError, match="unsupervised"):
+        StreamDetector(mtypes, 128, k_estimate="labels")
+    det = StreamDetector(mtypes, 128, max_events=8)
+    with pytest.raises(ValueError, match="modality"):
+        det.push([mods[0][:4]])
+    with pytest.raises(ValueError, match="record count"):
+        det.push([m[:3] for m in mods[:-1]] + [mods[-1][:2]])
