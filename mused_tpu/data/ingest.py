@@ -24,12 +24,16 @@ class WindowPrefetcher:
     """
 
     def __init__(self, featurize: Callable[[int], object], n_windows: int,
-                 depth: int = 2, device=None):
+                 depth: int = 2, device=None, workers: int = 1):
         self._featurize = featurize
         self._n = n_windows
         self._depth = max(1, depth)
         self._device = device
-        self._pool = cf.ThreadPoolExecutor(max_workers=1)
+        # >1 worker parallelizes featurization across windows/groups: the
+        # hashing hot loop runs in C (ctypes releases the GIL) and numpy
+        # slicing releases it too, so threads genuinely overlap.  Results
+        # stay ordered (futures are consumed in submission order).
+        self._pool = cf.ThreadPoolExecutor(max_workers=max(1, workers))
 
     def _task(self, idx: int):
         feats = self._featurize(idx)

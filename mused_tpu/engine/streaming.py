@@ -1046,24 +1046,53 @@ def _run_batched(results, engine, cfg, todo, data_modalities, modality_types,
 
     from mused_tpu.data.ingest import WindowPrefetcher
 
-    def featurize_at(pos: int):
-        _, i = todo[pos]
-        lo, hi = i - window_size + 1, i + 1
-        f = engine.featurize([m[lo:hi] for m in data_modalities],
-                             modality_types)
-        return tuple(f) if standard else f
+    def group_at(gpos: int):
+        """Featurize + host-stack + device_put one whole W-window group.
+        Runs in a prefetch worker so the hashing, the tail-width padding,
+        the stacking AND the transfer all overlap device compute — the main
+        loop sees ready device tensors and issues zero eager array ops."""
+        group = todo[gpos * batch_w:(gpos + 1) * batch_w]
+        feats_list = []
+        for _, i in group:
+            lo, hi = i - window_size + 1, i + 1
+            f = engine.featurize([m[lo:hi] for m in data_modalities],
+                                 modality_types)
+            feats_list.append(tuple(f))
+        # pad the stream's tail group by repeating the last window so the
+        # scanned step compiles for ONE static W (extra outputs dropped;
+        # state pollution is irrelevant past stream end)
+        while len(feats_list) < batch_w:
+            feats_list.append(feats_list[-1])
 
-    # device_put happens in the prefetch thread (overlaps compute); the
-    # batch then stacks already-resident device arrays.  Depth covers the
-    # in-flight group AND the next one being assembled (the dispatch-ahead
-    # pipeline below consumes a full group while the previous is pulled).
-    prefetcher = WindowPrefetcher(featurize_at, len(todo),
-                                  depth=2 * batch_w + 2)
-    feats_iter = iter(prefetcher)
+        def _stack(j):
+            parts = [np.asarray(f[j]) for f in feats_list]
+            widths = {p.shape[1] for p in parts if p.ndim == 2}
+            if len(widths) > 1:
+                # trimmed token tensors can differ in width across the
+                # group's windows: pad to the group max (ids pad with the
+                # -1 invalid sentinel, counts with 0)
+                w = max(widths)
+                fill = (-1 if np.issubdtype(parts[0].dtype, np.signedinteger)
+                        else 0)   # signed = token ids; uint8 counts pad 0
+                parts = [np.pad(p, ((0, 0), (0, w - p.shape[1])),
+                                constant_values=fill) if p.shape[1] < w
+                         else p for p in parts]
+            return np.stack(parts)
+
+        return jax.device_put(
+            tuple(_stack(j) for j in range(len(feats_list[0]))))
+
+    n_groups = -(-len(todo) // batch_w)
+    # depth=2 groups: the in-flight group and the next one (the dispatch-
+    # ahead pipeline consumes a full group while the previous is pulled);
+    # 2 workers let two groups featurize concurrently (C hashing and numpy
+    # release the GIL)
+    prefetcher = WindowPrefetcher(group_at, n_groups, depth=2, workers=2)
+    groups_iter = iter(prefetcher)
 
     try:
         return _run_batched_loop(
-            results, engine, cfg, todo, feats_iter, complete_true_labels,
+            results, engine, cfg, todo, groups_iter, complete_true_labels,
             prev_clusters, all_clusters, all_true_labels, window_size,
             batch_w, subset_size, noise_rate, label_mode, sorting,
             reduced_dim, k_basis, total_start, types, standard,
@@ -1072,7 +1101,7 @@ def _run_batched(results, engine, cfg, todo, data_modalities, modality_types,
         prefetcher.close()
 
 
-def _run_batched_loop(results, engine, cfg, todo, feats_iter,
+def _run_batched_loop(results, engine, cfg, todo, groups_iter,
                       complete_true_labels, prev_clusters, all_clusters,
                       all_true_labels, window_size, batch_w, subset_size,
                       noise_rate, label_mode, sorting, reduced_dim, k_basis,
@@ -1137,35 +1166,18 @@ def _run_batched_loop(results, engine, cfg, todo, feats_iter,
     pending = None
     for base in range(0, len(todo), batch_w):
         group = todo[base:base + batch_w]
-        feats_list, labels_list = [], []
+        labels_list = []
         for _, i in group:
             lo, hi = i - window_size + 1, i + 1
             labels_list.append(complete_true_labels[lo:hi])
-            feats_list.append(next(feats_iter))
-        # pad the stream's tail group by repeating the last window so the
-        # scanned step compiles for ONE static W (extra outputs dropped;
-        # state pollution is irrelevant past stream end)
+        # group padding mirrors the prefetcher's (repeat the last window so
+        # the scanned step compiles for ONE static W; extra outputs dropped)
         n_real = len(group)
-        while len(feats_list) < batch_w:
-            feats_list.append(feats_list[-1])
+        while len(labels_list) < batch_w:
             labels_list.append(labels_list[-1])
             group = group + group[-1:]
-        def _stack(j):
-            parts = [f[j] for f in feats_list]
-            widths = {p.shape[1] for p in parts if p.ndim == 2}
-            if len(widths) > 1:
-                # trimmed token tensors can differ in width across the
-                # group's windows: pad to the group max (ids pad with the
-                # -1 invalid sentinel, counts with 0)
-                w = max(widths)
-                fill = (-1 if jnp.issubdtype(parts[0].dtype, jnp.signedinteger)
-                        else 0)   # signed = token ids; uint8 counts pad 0
-                parts = [jnp.pad(p, ((0, 0), (0, w - p.shape[1])),
-                                 constant_values=fill) if p.shape[1] < w
-                         else p for p in parts]
-            return jnp.stack(parts)
-
-        feats_batch = tuple(_stack(j) for j in range(len(feats_list[0])))
+        # featurized + stacked + device-resident, from the prefetch worker
+        feats_batch = next(groups_iter)
         k_source = engine._k_plan(labels_list[0])[1]
         n_clusters = jnp.asarray([engine._k_plan(t)[0] for t in labels_list],
                                  jnp.int32)
