@@ -95,6 +95,7 @@ def config1b_e2e_stream():
         return n_windows / (_t.perf_counter() - t0)
 
     for batch_w, key in ((1, "1b_e2e_windows_per_sec_perwindow"),
+                         (4, "1b_e2e_windows_per_sec_scanned4"),
                          (8, "1b_e2e_windows_per_sec_scanned8")):
         run(batch_w)                         # compile/warm
         RESULTS[key] = round(max(run(batch_w), run(batch_w)), 1)
