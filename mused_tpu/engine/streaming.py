@@ -1079,8 +1079,8 @@ def _run_batched(results, engine, cfg, todo, data_modalities, modality_types,
                          else p for p in parts]
             return np.stack(parts)
 
-        return jax.device_put(
-            tuple(_stack(j) for j in range(len(feats_list[0]))))
+        # host arrays out — the prefetcher's _task does the device_put
+        return tuple(_stack(j) for j in range(len(feats_list[0])))
 
     n_groups = -(-len(todo) // batch_w)
     # depth=2 groups: the in-flight group and the next one (the dispatch-

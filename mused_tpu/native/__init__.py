@@ -16,12 +16,18 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _lib = None
 _load_failed = False
+# the lazy make+CDLL is NOT safe to race: two prefetch workers hitting a
+# missing/stale .so would both spawn `make -B` on the same output file and
+# one could CDLL a half-written library (the ingest prefetcher runs 2
+# featurize threads)
+_load_lock = threading.Lock()
 
 
 def _load_lib(target: str, src_name: str, configure):
@@ -65,8 +71,11 @@ def _configure_hasher(lib):
 def _load():
     global _lib, _load_failed
     if _lib is None and not _load_failed:
-        _lib = _load_lib("libmused_hasher.so", "hasher.cpp", _configure_hasher)
-        _load_failed = _lib is None
+        with _load_lock:
+            if _lib is None and not _load_failed:   # double-checked
+                _lib = _load_lib("libmused_hasher.so", "hasher.cpp",
+                                 _configure_hasher)
+                _load_failed = _lib is None
     return _lib
 
 
@@ -159,9 +168,11 @@ def _configure_sed(lib):
 def _load_sed():
     global _sed_lib, _sed_load_failed
     if _sed_lib is None and not _sed_load_failed:
-        _sed_lib = _load_lib("libmused_sed2012.so", "sed2012_parser.cpp",
-                             _configure_sed)
-        _sed_load_failed = _sed_lib is None
+        with _load_lock:
+            if _sed_lib is None and not _sed_load_failed:   # double-checked
+                _sed_lib = _load_lib("libmused_sed2012.so",
+                                     "sed2012_parser.cpp", _configure_sed)
+                _sed_load_failed = _sed_lib is None
     return _sed_lib
 
 
@@ -246,9 +257,11 @@ def _configure_incdb(lib):
 def _load_incdb():
     global _incdb_lib, _incdb_load_failed
     if _incdb_lib is None and not _incdb_load_failed:
-        _incdb_lib = _load_lib("libmused_incdb.so", "incdbscan.cpp",
-                               _configure_incdb)
-        _incdb_load_failed = _incdb_lib is None
+        with _load_lock:
+            if _incdb_lib is None and not _incdb_load_failed:  # double-checked
+                _incdb_lib = _load_lib("libmused_incdb.so", "incdbscan.cpp",
+                                       _configure_incdb)
+                _incdb_load_failed = _incdb_lib is None
     return _incdb_lib
 
 

@@ -63,6 +63,12 @@ def eigengap_k(reduced: jax.Array, *, k_max: int, k_min: int = 1) -> jax.Array:
     m = min(k_max + 1, e.shape[0])
     e = e[:m]
     gaps = (e[:-1] - e[1:]) / jnp.maximum(e[:-1], 1e-30)
+    # Only energies still significant vs the leading one are gap candidates:
+    # zero-padded columns (svd_reduce pads past rank; FD zeroes trailing
+    # sketch rows) make the relative gap at the RANK cutoff exactly 1.0,
+    # which would always beat a real cluster gap and return k ~= rank.
+    significant = e[:-1] >= 0.02 * e[0]
+    gaps = jnp.where(significant, gaps, -1.0)
     k = jnp.argmax(gaps) + 1
     return jnp.clip(k, k_min, k_max).astype(jnp.int32)
 

@@ -28,12 +28,13 @@ the offline engine runs — serving adds no second compute path.
 """
 from __future__ import annotations
 
+import dataclasses
 from typing import NamedTuple, Sequence
 
 import numpy as np
 
 from mused_tpu.engine import streaming as engine_mod
-from mused_tpu.utils.config import PipelineConfig
+from mused_tpu.utils.config import FeatureConfig, PipelineConfig
 
 
 class WindowResult(NamedTuple):
@@ -105,10 +106,21 @@ class StreamDetector:
             raise ValueError(
                 f"got {len(rows)} modality arrays, expected "
                 f"{len(self.modality_types)} ({self.modality_types})")
+        # contract: chunks are (n, width) — a bare 1-D array means ONE
+        # record of that width.  Scalar (width-1) modalities must therefore
+        # ship as (n, 1): a (n,) array is ambiguous with one n-wide record.
+        if any(m.ndim == 0 for m in rows):
+            raise ValueError(
+                "modality arrays must be (n, width) chunks or (width,) "
+                "single records; got a 0-d scalar — wrap scalar modalities "
+                "as (n, 1)")
         rows = [m[None] if m.ndim == 1 else m for m in rows]
         n_new = len(rows[0])
         if any(len(m) != n_new for m in rows):
-            raise ValueError("modality chunks disagree on record count")
+            raise ValueError(
+                "modality chunks disagree on record count "
+                f"({[len(m) for m in rows]}); scalar modalities must be "
+                "shaped (n, 1) — a 1-D array is read as ONE record")
 
         w = self.cfg.window_size
         # buf = retained tail + this chunk; buf[0] is absolute index buf_start
@@ -179,18 +191,10 @@ class StreamDetector:
             "seen_events": sorted(self._seen_events),
             "tail": self._tail,
             "modality_types": list(self.modality_types),
-            "cfg_kwargs": {
-                "window_size": self.cfg.window_size,
-                "reduced_dim": self.cfg.reduced_dim,
-                "k_basis": self.cfg.k_basis,
-                "approach": self.cfg.approach,
-                "seed": self.cfg.seed,
-                "n_clusters_override": self.cfg.n_clusters_override,
-                "matching": self.cfg.matching,
-                "k_estimate": self.cfg.k_estimate,
-                "step_window_ratio": self.cfg.step_window_ratio,
-                "label_mode": self.cfg.label_mode,
-            },
+            # the FULL config (nested FeatureConfig included) — a partial
+            # field list would silently rebuild different featurization/
+            # clustering knobs on load and diverge from the pre-save windows
+            "cfg_kwargs": dataclasses.asdict(self.cfg),
             **self.engine.host_snapshot()})
         return flushed
 
@@ -205,7 +209,10 @@ class StreamDetector:
         if not host.get("serving"):
             raise ValueError(f"{path} is not a StreamDetector checkpoint")
         if cfg is None:
-            cfg = PipelineConfig(**host["cfg_kwargs"])
+            kw = dict(host["cfg_kwargs"])
+            if isinstance(kw.get("features"), dict):
+                kw["features"] = FeatureConfig(**kw["features"])
+            cfg = PipelineConfig(**kw)
         det = cls(host["modality_types"], cfg.window_size, cfg=cfg,
                   max_lag=max_lag)
         det.engine.restore(device_state, host)

@@ -70,3 +70,13 @@ def test_eigengap_k_respects_bounds(rng):
     k = int(reduction.eigengap_k(x, k_max=4))
     assert 1 <= k <= 4
     assert int(reduction.eigengap_k(x, k_max=4, k_min=3)) >= 3
+
+
+def test_eigengap_k_ignores_rank_cutoff(rng):
+    """Exact-zero trailing energies (svd_reduce zero-pads past rank; FD
+    zeroes trailing sketch rows) must not capture the gap: the relative gap
+    at the rank cutoff is exactly 1.0 and would otherwise always win."""
+    # 3 dominant directions, a weak tail, then exact-zero columns
+    e = np.array([100.0, 98.0, 95.0, 5, 4, 3, 2, 1] + [0.0] * 24, np.float32)
+    reduced = jnp.asarray(np.diag(np.sqrt(e)))       # column energies == e
+    assert int(reduction.eigengap_k(reduced, k_max=30)) == 3
