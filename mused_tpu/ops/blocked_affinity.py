@@ -224,13 +224,18 @@ def blocked_fd_sketch(cols: Columns, *, ell: int, block: int,
     rematerialized sweep (the huge-window SWFDMC regime, BASELINE.md #3:
     windows too large to materialize even once).
 
-    ``mode`` selects the shrink (ops/fd.py): "subspace" (default — the
-    engine's matmul-only adaptive shrink; measured the eigh-mode fold was
-    ~half the per-block time at 100k windows) or "eigh" (classic FD).
+    ``mode`` selects the shrink (ops/fd.py): "subspace" (default) routes to
+    the Rayleigh-Ritz shrink (fd.shrink_rr) — at fold scale (d = n ~ 100k)
+    the Gram matmul dominates and the Newton-Schulz chain both adds ~40ms of
+    sequential tiny-matmul latency per absorb AND fails its health gate on
+    real adjacency stacks (orth_err 0.5-1.0 measured), so rr IS the subspace
+    shrink tuned for huge d.  "eigh" keeps classic FD; "rr"/"subspace_ns"
+    select explicitly.
 
     Returns (sketch, sq_frobenius, shrink_loss) — feed to swfd.absorb_summary
     exactly like fd.hierarchical_sketch's output.
     """
+    mode = {"subspace": "rr", "subspace_ns": "subspace"}.get(mode, mode)
     return _blocked_fd_impl(cols.tensors, cols.valids, cols.idf,
                             kinds=cols.kinds, ell=ell, block=block,
                             k_basis=k_basis, mode=mode,

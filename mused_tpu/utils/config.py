@@ -97,7 +97,12 @@ class PipelineConfig:
     # False restores exact top_k everywhere.
     fd_shrink: str = "subspace"  # "subspace": matmul-only adaptive shrink
                                  # (gated eigh fallback; ~4.5x faster sketch
-                                 # streams) | "eigh": guaranteed classic FD
+                                 # streams) | "eigh": guaranteed classic FD.
+                                 # Huge-window blocked folds route "subspace"
+                                 # to the Rayleigh-Ritz shrink (fd.shrink_rr
+                                 # — exact small-eigh orthonormalization; at
+                                 # fold scale the Gram dominates and rr is
+                                 # both faster and more accurate)
     use_pallas_affinity: bool | None = None
     # fused Pallas kNN kernel for the affinity graphs (all five standard
     # modalities + numeric/embedding types; threshold ties may add edges).

@@ -165,3 +165,43 @@ class TestSubspaceShrink:
         e_exact = float(fd.covariance_error(jnp.asarray(a), exact.sketch))
         scale = float(np.linalg.norm(a.T @ a, 2))
         assert e_fast <= max(2.0 * e_exact, 0.05 * scale)
+
+
+class TestShrinkRR:
+    """Rayleigh-Ritz shrink (fd.shrink_rr) — the huge-d fold shrink."""
+
+    def test_never_overestimates(self, rng):
+        s = rng.normal(size=(300, 500)).astype(np.float32)
+        b, delta = fd.shrink_rr(jnp.asarray(s), 32)
+        resid = s.T @ s - np.asarray(b).T @ np.asarray(b)
+        lam = np.linalg.eigvalsh(resid)
+        assert lam.min() >= -1e-2 * np.abs(lam).max()   # PSD up to fp noise
+        # honest delta: exact trace of the residual
+        np.testing.assert_allclose(float(delta), np.trace(resid),
+                                   rtol=1e-3, atol=1.0)
+
+    def test_stream_error_bound_holds(self, rng):
+        n, ell = 512, 24
+        a = (rng.random((n, n)) < 0.05).astype(np.float32)
+        st = fd.update_stream(fd.init(ell, n), jnp.asarray(a), mode="rr")
+        err = float(fd.covariance_error(jnp.asarray(a), st.sketch))
+        assert err <= float(fd.error_bound(st)) + 1e-3
+
+    def test_beats_or_matches_subspace_on_adjacency_fold(self, rng):
+        """The huge-window fold regime: big absorb blocks + exact
+        orthonormalization should match or beat the NS subspace shrink."""
+        n, ell = 1024, 32
+        labels = rng.integers(0, 5, n)
+        a = ((labels[:, None] == labels[None, :])
+             & (rng.random((n, n)) < 0.15)).astype(np.float32)
+        e = {}
+        for mode in ("rr", "subspace"):
+            st = fd.update_stream(fd.init(ell, n), jnp.asarray(a), mode=mode)
+            e[mode] = float(fd.covariance_error(jnp.asarray(a), st.sketch))
+        assert e["rr"] <= 1.5 * e["subspace"]
+
+    def test_small_stack_passthrough(self, rng):
+        s = rng.normal(size=(16, 64)).astype(np.float32)
+        b, delta = fd.shrink_rr(jnp.asarray(s), 32)
+        np.testing.assert_array_equal(np.asarray(b), s)
+        assert float(delta) == 0.0
