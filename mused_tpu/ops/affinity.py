@@ -193,7 +193,8 @@ def euclidean_adjacency(data: jax.Array, k_basis: int) -> jax.Array:
 
 def knn_adjacency_block(sim: jax.Array, row_valid: jax.Array,
                         col_valid: jax.Array, k: int,
-                        row_offset, approx: bool = False) -> jax.Array:
+                        row_offset, approx: bool = False,
+                        out_dtype=jnp.float32) -> jax.Array:
     """Rectangular (m, n) kNN adjacency for a row block of a larger matrix.
 
     ``row_offset`` is the global index of local row 0 (for diagonal/self
@@ -209,7 +210,7 @@ def knn_adjacency_block(sim: jax.Array, row_valid: jax.Array,
     m, n = sim.shape
     k = max(0, min(k, n - 1))
     if k == 0:
-        return jnp.zeros((m, n), jnp.float32)
+        return jnp.zeros((m, n), out_dtype)
     sim = jnp.where(col_valid[None, :], sim, NEG)
     global_row = row_offset + jnp.arange(m)
     is_self = global_row[:, None] == jnp.arange(n)[None, :]
@@ -220,8 +221,10 @@ def knn_adjacency_block(sim: jax.Array, row_valid: jax.Array,
         vals, idx = jax.lax.top_k(sim, k)
     edge = (vals > NEG / 2) & row_valid[:, None]
     rows = jnp.broadcast_to(jnp.arange(m)[:, None], (m, k))
-    adj = jnp.zeros((m, n), jnp.float32)
-    return adj.at[rows, idx].max(edge.astype(jnp.float32))
+    # out_dtype=bool quarters the (m, n) adjacency traffic — the blocked
+    # sweep ORs five of these per block and is HBM-bandwidth-bound
+    adj = jnp.zeros((m, n), out_dtype)
+    return adj.at[rows, idx].max(edge.astype(out_dtype))
 
 
 def embedding_adjacency(emb: jax.Array, k_basis: int) -> jax.Array:

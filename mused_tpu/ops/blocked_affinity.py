@@ -128,7 +128,13 @@ def fused_rowblock(cols: Columns, start, block: int,
     """(block, n) fused adjacency rows [start, start+block) — pure function of
     the feature tensors; `start` may be traced (used inside lax.scan).
     ``approx`` selects approx_max_k for the kNN selections (see
-    affinity.knn_adjacency_block)."""
+    affinity.knn_adjacency_block).
+
+    Per-modality adjacencies are built as BOOL and OR-fused bitwise, with a
+    single cast to f32 at the end: the sweep is HBM-bandwidth-bound and the
+    five f32 (block, n) adjacency temporaries were ~1/3 of its traffic."""
+    knn_b = functools.partial(affinity.knn_adjacency_block,
+                              out_dtype=jnp.bool_)
     mats = []
     for kind, t, valid in zip(cols.kinds, cols.tensors, cols.valids):
         tr = _rows(t, start, block)
@@ -152,19 +158,16 @@ def fused_rowblock(cols: Columns, start, block: int,
             sim = -((xr[:, 0][:, None] - xc[:, 0][None, :]) ** 2
                     + (xr[:, 1][:, None] - xc[:, 1][None, :]) ** 2
                     + (xr[:, 2][:, None] - xc[:, 2][None, :]) ** 2)
-            mats.append(affinity.knn_adjacency_block(sim, vr, valid, k_basis,
-                                                     start, approx))
+            mats.append(knn_b(sim, vr, valid, k_basis, start, approx))
         elif kind == "time":
             sim = -(jnp.abs(tr[:, :1] - t[:, 0][None, :])
                     + jnp.abs(tr[:, 1:2] - t[:, 1][None, :]))
-            mats.append(affinity.knn_adjacency_block(sim, vr, valid,
-                                                     3 * k_basis, start,
-                                                     approx))
+            mats.append(knn_b(sim, vr, valid, 3 * k_basis, start, approx))
         elif kind == "username":
             same = (tr[:, None] == t[None, :]) & vr[:, None] & valid[None, :]
             not_self = (start + jnp.arange(tr.shape[0]))[:, None] \
                 != jnp.arange(cols.n)[None, :]
-            mats.append((same & not_self).astype(jnp.float32))
+            mats.append(same & not_self)
         elif kind == "tags":
             # DEFAULT precision (TPU: bf16 operands, f32 accumulate): EXACT
             # for the multi-hot count tensors (small ints <= token cap are
@@ -174,16 +177,14 @@ def fused_rowblock(cols: Columns, start, block: int,
             s_r, s_c = jnp.sum(tr, axis=1), jnp.sum(t, axis=1)
             union = s_r[:, None] + s_c[None, :] - inter
             sim = jnp.where(union > 0, inter / jnp.maximum(union, 1e-9), 0.0)
-            mats.append(affinity.knn_adjacency_block(sim, vr, valid, k_basis,
-                                                     start, approx))
+            mats.append(knn_b(sim, vr, valid, k_basis, start, approx))
         elif kind == "text_split":
             # bf16 [hi, lo] split-packed, pre-scaled/normalized columns
             # (see standard_columns): one DEFAULT-precision dot of the
             # packed tensors IS the 4-term split product (~f24 accuracy)
             x_r = _rows(t, start, block)
             sim = jnp.dot(x_r, t.T, preferred_element_type=jnp.float32)
-            mats.append(affinity.knn_adjacency_block(sim, vr, valid, k_basis,
-                                                     start, approx))
+            mats.append(knn_b(sim, vr, valid, k_basis, start, approx))
         elif kind in ("text", "text_norm"):
             if kind == "text_norm":     # pre-scaled/normalized — plain dot
                 x_c = t
@@ -202,16 +203,14 @@ def fused_rowblock(cols: Columns, start, block: int,
             # f32 under every setting.
             sim = jnp.dot(x_r, x_c.T, preferred_element_type=jnp.float32,
                           precision=jax.lax.Precision.HIGH)
-            mats.append(affinity.knn_adjacency_block(sim, vr, valid, k_basis,
-                                                     start, approx))
+            mats.append(knn_b(sim, vr, valid, k_basis, start, approx))
         elif kind == "embedding":
             x_c = t / jnp.maximum(jnp.linalg.norm(t, axis=1, keepdims=True),
                                   1e-12)
             x_r = _rows(x_c, start, block)
             sim = jnp.dot(x_r, x_c.T, preferred_element_type=jnp.float32,
                           precision=jax.lax.Precision.HIGHEST)
-            mats.append(affinity.knn_adjacency_block(sim, vr, valid, k_basis,
-                                                     start, approx))
+            mats.append(knn_b(sim, vr, valid, k_basis, start, approx))
         else:   # default: euclidean, self included in k (ref :112-119)
             safe_c = jnp.where(valid[:, None], t, 0.0)
             safe_r = jnp.where(vr[:, None], tr, 0.0)
@@ -220,10 +219,12 @@ def fused_rowblock(cols: Columns, start, block: int,
             d2 = sq_r[:, None] + sq_c[None, :] - 2.0 * jnp.dot(
                 safe_r, safe_c.T, preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)
-            mats.append(affinity.knn_adjacency_block(
-                -jnp.maximum(d2, 0.0), vr, valid, max(1, k_basis) - 1, start,
-                approx))
-    return affinity.fuse(mats)
+            mats.append(knn_b(-jnp.maximum(d2, 0.0), vr, valid,
+                              max(1, k_basis) - 1, start, approx))
+    fused = mats[0]
+    for m in mats[1:]:
+        fused = fused | m
+    return fused.astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------
