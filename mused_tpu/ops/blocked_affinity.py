@@ -76,22 +76,26 @@ def standard_columns(wf, features_cfg=None) -> Columns:
     text = text * idf[None, :]
     text = text / jnp.maximum(jnp.linalg.norm(text, axis=1, keepdims=True),
                               1e-12)
-    # "text_split": pack each f32 vector as bf16 [hi, lo] with lo = x - hi,
-    # so a single DEFAULT-precision (bf16 MXU) dot of the (n, 2H) tensors
-    # expands to hi@hi + hi@lo + lo@hi + lo@lo — the full 2-way split
-    # product, ~f24-accurate (better than Precision.HIGH's 3-term) at ~2/3
-    # of HIGH's pass count and none of HIGH's per-block operand-splitting
-    # traffic.  Measured: the text dot was 57% of the 100k-window sweep.
+    # "text_split": pre-split each f32 vector into bf16 halves hi and
+    # lo = x - hi, stored as one (n, 2H) tensor.  The consumer computes
+    # hi@hi + hi@lo + lo@hi as three DEFAULT-precision half-width dots —
+    # exactly Precision.HIGH's 3-term product, but the operands are split
+    # ONCE here instead of inside every per-block dot call.  (A single dot
+    # of the concatenated tensor with itself would NOT work: summing over
+    # the packed feature axis yields only hi@hi + lo@lo, losing the
+    # first-order cross terms — plain bf16 accuracy.)  Measured: the text
+    # dot was 57% of the 100k-window sweep.
     hi = text.astype(jnp.bfloat16)
     lo = (text - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     text_split = jnp.concatenate([hi, lo], axis=1)
     tags_valid = (jnp.asarray(wf.tags_valid)
                   if getattr(wf, "tags_valid", None) is not None
                   else jnp.sum(tags, axis=1) > 0)
+    loc_valid = jnp.all(jnp.isfinite(loc), axis=1)
     return Columns(
-        kinds=("location", "time", "username", "tags", "text_split"),
-        tensors=(loc, tim, uid, tags, text_split),
-        valids=(jnp.all(jnp.isfinite(loc), axis=1),
+        kinds=("location_xyz", "time", "username", "tags", "text_split"),
+        tensors=(_unit_xyz(loc, loc_valid), tim, uid, tags, text_split),
+        valids=(loc_valid,
                 jnp.all(jnp.isfinite(tim), axis=1)
                 & (tim[:, 0] != 0.0) & (tim[:, 1] != 0.0),
                 uid >= 0,
@@ -101,11 +105,29 @@ def standard_columns(wf, features_cfg=None) -> Columns:
     )
 
 
+def _unit_xyz(latlon, valid):
+    """(n, 2) [lat, lon] degrees -> (n, 3) unit vectors (invalid rows at a
+    fixed dummy point; they are masked out of every kNN anyway).  Hoisted
+    out of the per-block loop: the conversion is O(n) trig, once per
+    window, not once per row block."""
+    r = jnp.deg2rad(jnp.where(valid[:, None], latlon, 0.0))
+    return jnp.stack([jnp.cos(r[:, 0]) * jnp.cos(r[:, 1]),
+                      jnp.cos(r[:, 0]) * jnp.sin(r[:, 1]),
+                      jnp.sin(r[:, 0])], axis=1)
+
+
 def generic_columns(mats, types) -> Columns:
     """Columns for numeric modalities (default/embedding/location/time)."""
-    tensors, valids = [], []
+    tensors, valids, kinds = [], [], []
     for m, t in zip(mats, types):
         m = jnp.asarray(np.asarray(m, np.float32))
+        if t == "location":
+            valid = jnp.all(jnp.isfinite(m), axis=1)
+            tensors.append(_unit_xyz(m, valid))
+            valids.append(valid)
+            kinds.append("location_xyz")
+            continue
+        kinds.append(t)
         if t == "time":
             valids.append(jnp.all(jnp.isfinite(m), axis=1)
                           & (m[:, 0] != 0.0) & (m[:, 1] != 0.0))
@@ -115,7 +137,7 @@ def generic_columns(mats, types) -> Columns:
         else:
             valids.append(jnp.all(jnp.isfinite(m), axis=1))
         tensors.append(m)
-    return Columns(kinds=tuple(types), tensors=tuple(tensors),
+    return Columns(kinds=tuple(kinds), tensors=tuple(tensors),
                    valids=tuple(valids), idf=None)
 
 
@@ -139,22 +161,22 @@ def fused_rowblock(cols: Columns, start, block: int,
     for kind, t, valid in zip(cols.kinds, cols.tensors, cols.valids):
         tr = _rows(t, start, block)
         vr = _rows(valid, start, block)
-        if kind == "location":
+        if kind in ("location", "location_xyz"):
             # chord-distance ranking on 3D unit vectors: |a-b| is monotone
             # in the central angle, so the kNN sets equal haversine's — and
             # the pairwise trig (sin/cos/arcsin per PAIR, ~2G transcendentals
-            # per block at 100k windows) collapses to a tiny per-ROW
-            # conversion + three fused broadcast-difference passes.  The
-            # differences keep full relative precision at small angles (a
-            # plain unit-dot ranking saturates at 1 - theta^2/2, where f32
-            # cannot separate nearby points).  Measured: 27 -> ~15 ms/block.
-            def _xyz(ll):
-                r = jnp.deg2rad(ll)
-                return jnp.stack([jnp.cos(r[:, 0]) * jnp.cos(r[:, 1]),
-                                  jnp.cos(r[:, 0]) * jnp.sin(r[:, 1]),
-                                  jnp.sin(r[:, 0])], axis=1)
-            xr = _xyz(jnp.where(vr[:, None], tr, 0.0))
-            xc = _xyz(jnp.where(valid[:, None], t, 0.0))
+            # per block at 100k windows) collapses to three fused broadcast-
+            # difference passes.  The differences keep full relative
+            # precision at small angles (a plain unit-dot ranking saturates
+            # at 1 - theta^2/2, where f32 cannot separate nearby points).
+            # "location_xyz" tensors are pre-converted in the column
+            # builders (once per window, not once per block); raw-latlon
+            # "location" Columns convert here.  Measured: 27 -> ~15 ms/block.
+            if kind == "location":
+                xc = _unit_xyz(t, valid)
+                xr = _rows(xc, start, block)
+            else:
+                xc, xr = t, tr
             sim = -((xr[:, 0][:, None] - xc[:, 0][None, :]) ** 2
                     + (xr[:, 1][:, None] - xc[:, 1][None, :]) ** 2
                     + (xr[:, 2][:, None] - xc[:, 2][None, :]) ** 2)
@@ -179,11 +201,17 @@ def fused_rowblock(cols: Columns, start, block: int,
             sim = jnp.where(union > 0, inter / jnp.maximum(union, 1e-9), 0.0)
             mats.append(knn_b(sim, vr, valid, k_basis, start, approx))
         elif kind == "text_split":
-            # bf16 [hi, lo] split-packed, pre-scaled/normalized columns
-            # (see standard_columns): one DEFAULT-precision dot of the
-            # packed tensors IS the 4-term split product (~f24 accuracy)
-            x_r = _rows(t, start, block)
-            sim = jnp.dot(x_r, t.T, preferred_element_type=jnp.float32)
+            # bf16 [hi | lo] pre-split, pre-scaled/normalized columns (see
+            # standard_columns): hi@hi + hi@lo + lo@hi from three DEFAULT-
+            # precision half-width dots == Precision.HIGH's 3-term product,
+            # with the operand split hoisted out of the block loop
+            h = t.shape[1] // 2
+            h_c, l_c = t[:, :h], t[:, h:]
+            h_r = _rows(h_c, start, block)
+            l_r = _rows(l_c, start, block)
+            sim = (jnp.dot(h_r, h_c.T, preferred_element_type=jnp.float32)
+                   + jnp.dot(h_r, l_c.T, preferred_element_type=jnp.float32)
+                   + jnp.dot(l_r, h_c.T, preferred_element_type=jnp.float32))
             mats.append(knn_b(sim, vr, valid, k_basis, start, approx))
         elif kind in ("text", "text_norm"):
             if kind == "text_norm":     # pre-scaled/normalized — plain dot
@@ -268,7 +296,8 @@ def blocked_fd_sketch(cols: Columns, *, ell: int, block: int,
     Returns (sketch, sq_frobenius, shrink_loss) — feed to swfd.absorb_summary
     exactly like fd.hierarchical_sketch's output.
     """
-    mode = {"subspace": "rr", "subspace_ns": "subspace"}.get(mode, mode)
+    from mused_tpu.ops import fd
+    mode = fd.resolve_fold_mode(mode)
     return _blocked_fd_impl(cols.tensors, cols.valids, cols.idf,
                             kinds=cols.kinds, ell=ell, block=block,
                             k_basis=k_basis, mode=mode,

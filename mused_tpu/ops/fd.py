@@ -211,20 +211,26 @@ def shrink_rr(stacked: jax.Array, ell: int, *, oversample: int = 16,
     r = min(ell + oversample, m2)
     gram = jnp.dot(stacked, stacked.T, preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST)
+
+    def _whiten(v):
+        # exact orthonormalization Q = V (V^T V)^{-1/2} via a small eigh;
+        # dropped (near-null) directions get weight 0, which keeps
+        # Q^T Q <= I (never overestimates) even for rank-deficient iterates
+        c = jnp.dot(v.T, v, precision=jax.lax.Precision.HIGHEST)
+        lam_c, u_c = jnp.linalg.eigh(c)                  # ascending
+        inv_sqrt = jnp.where(lam_c > 1e-8 * jnp.max(lam_c),
+                             1.0 / jnp.sqrt(jnp.maximum(lam_c, 1e-30)), 0.0)
+        w = (u_c * inv_sqrt[None, :]) @ u_c.T
+        return jnp.dot(v, w, precision=jax.lax.Precision.HIGHEST)
+
     v = jax.random.normal(jax.random.key(7), (m2, r), jnp.float32)
     for _ in range(power_iters):
-        v = jnp.dot(gram, v, precision=jax.lax.Precision.HIGHEST)
-        # per-column scale keeps the iterate finite; orthogonality comes
-        # from the exact whitening below, not from this normalization
-        v = v / jnp.maximum(jnp.linalg.norm(v, axis=0, keepdims=True), 1e-30)
-    c = jnp.dot(v.T, v, precision=jax.lax.Precision.HIGHEST)
-    lam_c, u_c = jnp.linalg.eigh(c)                      # ascending
-    # C^{-1/2}: dropped (near-null) directions get weight 0, which keeps
-    # Q^T Q <= I (never overestimates) even for rank-deficient iterates
-    inv_sqrt = jnp.where(lam_c > 1e-8 * jnp.max(lam_c),
-                         1.0 / jnp.sqrt(jnp.maximum(lam_c, 1e-30)), 0.0)
-    w = (u_c * inv_sqrt[None, :]) @ u_c.T
-    q = jnp.dot(v, w, precision=jax.lax.Precision.HIGHEST)   # (m2, r)
+        # whiten BETWEEN applications of G: unorthogonalized power steps
+        # scale direction i by (lam_i/lam_1)^power, and on a decaying
+        # spectrum the trailing subspace would vanish below f32 before the
+        # final whitening could recover it (rank collapse)
+        v = _whiten(jnp.dot(gram, v, precision=jax.lax.Precision.HIGHEST))
+    q = v                                                # (m2, r) orthonormal
     gq = jnp.dot(gram, q, precision=jax.lax.Precision.HIGHEST)
     h = jnp.dot(q.T, gq, precision=jax.lax.Precision.HIGHEST)
     h = 0.5 * (h + h.T)
@@ -236,7 +242,21 @@ def shrink_rr(stacked: jax.Array, ell: int, *, oversample: int = 16,
     return b.astype(stacked.dtype), delta.astype(stacked.dtype)
 
 
-_SHRINKS = {"eigh": shrink, "subspace": shrink_fast, "rr": shrink_rr}
+_SHRINKS = {"eigh": shrink, "subspace": shrink_fast,
+            "subspace_ns": shrink_fast, "rr": shrink_rr}
+
+
+def resolve_fold_mode(mode: str) -> str:
+    """Shrink mode for FOLD-scale consumers (the huge-d blocked sweeps):
+    "subspace" routes to the Rayleigh-Ritz shrink there (at fold scale the
+    Gram dominates and rr is both faster-converging and gate-free);
+    "subspace_ns" forces the Newton-Schulz shrink; "eigh"/"rr" pass
+    through.  The one place the mode vocabulary is mapped — entry points
+    must not hand-roll this dict."""
+    if mode not in _SHRINKS:
+        raise ValueError(f"unknown fd shrink mode {mode!r}: expected one "
+                         f"of {sorted(_SHRINKS)}")
+    return "rr" if mode == "subspace" else mode
 
 
 def update_block(state: FDState, rows: jax.Array, valid: jax.Array | None = None,
@@ -256,6 +276,9 @@ def update_block(state: FDState, rows: jax.Array, valid: jax.Array | None = None
         n_new = jnp.asarray(rows.shape[0], jnp.int32)
     # All-zero chunks (padding) are an exact FD no-op; skipping the shrink
     # keeps it bitwise exact and skips the eigh.
+    if mode not in _SHRINKS:
+        raise ValueError(f"unknown fd shrink mode {mode!r}: expected one "
+                         f"of {sorted(_SHRINKS)}")
     shrink_fn = _SHRINKS[mode]
 
     def _absorb(operands):

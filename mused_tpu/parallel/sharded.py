@@ -455,8 +455,8 @@ def sharded_blocked_fd_sketch(cols, *, ell: int, block: int, k_basis: int,
             f"row blocks ({n // block}) must split evenly over "
             f"data_shards={p}; choose block so that (n/block) % p == 0")
     # "subspace" at fold scale routes to the Rayleigh-Ritz shrink, matching
-    # the single-chip blocked fold (see blocked_affinity.blocked_fd_sketch)
-    mode = {"subspace": "rr", "subspace_ns": "subspace"}.get(mode, mode)
+    # the single-chip blocked fold (see fd.resolve_fold_mode)
+    mode = fd.resolve_fold_mode(mode)
     return _sharded_blocked_fd_impl(
         cols.tensors, cols.valids, cols.idf, kinds=cols.kinds, ell=ell,
         block=block, k_basis=k_basis, mesh=mesh, topology=topology,

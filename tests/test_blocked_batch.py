@@ -200,3 +200,20 @@ def test_blocked_fd_sketch_rejects_nondividing_block(stream):
     cols = ba.standard_columns(wf)
     with pytest.raises(AssertionError):
         ba.blocked_fd_sketch(cols, ell=8, block=100, k_basis=3)
+
+
+def test_text_split_dot_matches_f32(rng):
+    """The bf16 [hi|lo] pre-split text dot (three half-width dots) must
+    reproduce the f32 dot to ~HIGH accuracy — a single dot of the packed
+    tensor with itself loses the cross terms and regresses to plain-bf16
+    error (~6e-4), which flips real text kNN edges (regression for exactly
+    that bug)."""
+    x = rng.normal(size=(64, 128)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    hi = jnp.asarray(x).astype(jnp.bfloat16)
+    lo = (jnp.asarray(x) - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    sim = (jnp.dot(hi, hi.T, preferred_element_type=jnp.float32)
+           + jnp.dot(hi, lo.T, preferred_element_type=jnp.float32)
+           + jnp.dot(lo, hi.T, preferred_element_type=jnp.float32))
+    exact = x @ x.T
+    assert np.max(np.abs(np.asarray(sim) - exact)) < 5e-6

@@ -205,3 +205,21 @@ class TestShrinkRR:
         b, delta = fd.shrink_rr(jnp.asarray(s), 32)
         np.testing.assert_array_equal(np.asarray(b), s)
         assert float(delta) == 0.0
+
+
+def test_shrink_rr_decaying_spectrum(rng):
+    """Power iterations without intermediate orthonormalization collapse the
+    trailing subspace on decaying spectra ((lam_i/lam_1)^4 < f32 eps);
+    between-iteration whitening must keep rr within ~2x of the exact eigh
+    shrink there."""
+    m, d, ell = 192, 400, 32
+    u, _ = np.linalg.qr(rng.normal(size=(m, m)))
+    v, _ = np.linalg.qr(rng.normal(size=(d, m)))
+    s = (100.0 ** (-np.arange(m) / m)).astype(np.float32)   # decade decay
+    stack = (u * s[None, :]) @ v.T
+    b_rr, _ = fd.shrink_rr(jnp.asarray(stack, jnp.float32), ell)
+    b_e, _ = fd.shrink(jnp.asarray(stack, jnp.float32), ell)
+    def err(b):
+        return np.linalg.norm(stack.T @ stack
+                              - np.asarray(b).T @ np.asarray(b), ord=2)
+    assert err(b_rr) <= 2.0 * err(b_e) + 1e-3
