@@ -65,13 +65,15 @@ def main():
     rows = (rng.random((n_bench, d)) < 0.05).astype(np.float32)
     windows = jnp.asarray(rows.reshape(n_windows, window, d))
 
+    # the engine's whole-window summary mode: "subspace" resolves to the
+    # Gram-free Rayleigh-Ritz shrink for fold-scale stacks (engine
+    # _window_step_impl does the same; docs/fd_roofline.md for the history:
+    # eigh ~128k rows/s -> NS subspace ~861k -> implicit rr ~1.1M)
+    mode = fd.resolve_fold_mode("subspace")
+
     @jax.jit
     def stream_step(state, w):
-        # plain scanned block-FD with the matmul-only adaptive shrink (the
-        # engine's default): TPU eigh solver latency capped the classic path
-        # at ~128k rows/s; the gated subspace shrink reaches ~574k on this
-        # workload with spectral error inside the FD bound (tests pin it)
-        st = fd.update_stream(fd.init(ell, d), w, mode="subspace")
+        st = fd.update_stream(fd.init(ell, d), w, mode=mode)
         state = swfd.absorb_summary(state, st.sketch, jnp.int32(window),
                                     st.sq_frobenius)
         sketch, _, _, _ = swfd.query(state, window=window, sketch_dim=ell)

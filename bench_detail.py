@@ -41,10 +41,12 @@ def config1_sketch():
     rows = (rng.random((n, d)) < 0.05).astype(np.float32)
     windows = jnp.asarray(rows.reshape(n_windows, window, d))
 
+    mode = fd.resolve_fold_mode("subspace")   # engine window-summary mode
+
     @jax.jit
     def run(ws):
         def step(state, w):
-            st = fd.update_stream(fd.init(ell, d), w, mode="subspace")
+            st = fd.update_stream(fd.init(ell, d), w, mode=mode)
             state = swfd.absorb_summary(state, st.sketch, jnp.int32(window),
                                         st.sq_frobenius, st.shrink_loss)
             sketch, _, _, _ = swfd.query(state, window=window, sketch_dim=ell)

