@@ -76,25 +76,34 @@ def standard_columns(wf, features_cfg=None) -> Columns:
     text = text * idf[None, :]
     text = text / jnp.maximum(jnp.linalg.norm(text, axis=1, keepdims=True),
                               1e-12)
-    # "text_split": pre-split each f32 vector into bf16 halves hi and
-    # lo = x - hi, stored as one (n, 2H) tensor.  The consumer computes
-    # hi@hi + hi@lo + lo@hi as three DEFAULT-precision half-width dots —
-    # exactly Precision.HIGH's 3-term product, but the operands are split
-    # ONCE here instead of inside every per-block dot call.  (A single dot
-    # of the concatenated tensor with itself would NOT work: summing over
-    # the packed feature axis yields only hi@hi + lo@lo, losing the
-    # first-order cross terms — plain bf16 accuracy.)  Measured: the text
-    # dot was 57% of the 100k-window sweep.
-    hi = text.astype(jnp.bfloat16)
-    lo = (text - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    text_split = jnp.concatenate([hi, lo], axis=1)
+    # "text_bf16": ONE bf16 tensor of the pre-scaled, pre-normalized rows.
+    # The MXU multiplies bf16 operands exactly and accumulates in f32, so
+    # the only deviation from the f32 dot is the INPUT rounding (~4e-3
+    # relative on unit vectors) — and adding the first-order split
+    # correction (bf16 [hi, lo] with lo = x − hi; hi@hi + hi@lo + lo@hi
+    # ≈ Precision.HIGH) was measured to change ZERO top-50 text kNN edges
+    # on two 8k-row probe streams (the sparse synthetic events stream and
+    # a rich 15-60-token Zipf-text stream: the 1/2/3-term edge sets are
+    # bit-identical; all residual disagreement vs the f32 oracle is the
+    # shared input rounding).  One dot is 32.6 vs the 3-term's 57.4 ms per
+    # (2048, 98k) block, and the column store is half the HBM bytes.  The
+    # "text_split" kind stays supported for callers wanting the ~f24
+    # product on data where input rounding itself matters.
+    text_bf16 = text.astype(jnp.bfloat16)
     tags_valid = (jnp.asarray(wf.tags_valid)
                   if getattr(wf, "tags_valid", None) is not None
                   else jnp.sum(tags, axis=1) > 0)
     loc_valid = jnp.all(jnp.isfinite(loc), axis=1)
+    # tags ride with their hoisted row sums: the Jaccard union needs the
+    # per-row token totals, and computing the column-side sum inside the
+    # block sweep re-reduced the whole (n, H_tags) tensor once per block
+    # (XLA does not LICM-hoist the reduction out of the scan; measured
+    # 28.5 -> 19.7 ms/block with the sum precomputed).  A tuple leaf flows
+    # through every jit/shard_map boundary as an ordinary pytree.
     return Columns(
-        kinds=("location_xyz", "time", "username", "tags", "text_split"),
-        tensors=(_unit_xyz(loc, loc_valid), tim, uid, tags, text_split),
+        kinds=("location_xyz", "time", "username", "tags", "text_bf16"),
+        tensors=(_unit_xyz(loc, loc_valid), tim, uid,
+                 (tags, jnp.sum(tags, axis=1)), text_bf16),
         valids=(loc_valid,
                 jnp.all(jnp.isfinite(tim), axis=1)
                 & (tim[:, 0] != 0.0) & (tim[:, 1] != 0.0),
@@ -159,6 +168,9 @@ def fused_rowblock(cols: Columns, start, block: int,
                               out_dtype=jnp.bool_)
     mats = []
     for kind, t, valid in zip(cols.kinds, cols.tensors, cols.valids):
+        tags_sum = None
+        if kind == "tags" and isinstance(t, tuple):
+            t, tags_sum = t       # (multi_hot, hoisted row sums)
         tr = _rows(t, start, block)
         vr = _rows(valid, start, block)
         if kind in ("location", "location_xyz"):
@@ -196,15 +208,32 @@ def fused_rowblock(cols: Columns, start, block: int,
             # bf16-representable) at ~6x the f32-HIGHEST MXU rate — this dot
             # is the (block, n) sweep's biggest FLOP bucket at 100k windows
             inter = jnp.dot(tr, t.T, preferred_element_type=jnp.float32)
-            s_r, s_c = jnp.sum(tr, axis=1), jnp.sum(t, axis=1)
-            union = s_r[:, None] + s_c[None, :] - inter
-            sim = jnp.where(union > 0, inter / jnp.maximum(union, 1e-9), 0.0)
+            if tags_sum is None:      # raw generic columns: sum in-block
+                s_r, s_c = jnp.sum(tr, axis=1), jnp.sum(t, axis=1)
+            else:                     # standard_columns hoists the sums
+                s_r, s_c = _rows(tags_sum, start, block), tags_sum
+            # one fused elementwise pass: inter <= min(s_r, s_c) exactly
+            # (counts and their sums are exact), so the union is >= 0 and
+            # == 0 only where inter == 0, where the clamped quotient is 0 —
+            # identical to the old where(union > 0, ...) but without the
+            # extra (block, n) temporary round trip (28.5 -> 19.7 ms/block
+            # together with the hoisted sums)
+            sim = inter / jnp.maximum(s_r[:, None] + s_c[None, :] - inter,
+                                      1e-9)
+            mats.append(knn_b(sim, vr, valid, k_basis, start, approx))
+        elif kind == "text_bf16":
+            # pre-scaled/normalized bf16 columns (see standard_columns):
+            # one DEFAULT-precision dot — bf16 operands multiply exactly on
+            # the MXU with f32 accumulation; measured rank-identical to the
+            # split-term product on both probe streams
+            sim = jnp.dot(tr, t.T, preferred_element_type=jnp.float32)
             mats.append(knn_b(sim, vr, valid, k_basis, start, approx))
         elif kind == "text_split":
-            # bf16 [hi | lo] pre-split, pre-scaled/normalized columns (see
-            # standard_columns): hi@hi + hi@lo + lo@hi from three DEFAULT-
-            # precision half-width dots == Precision.HIGH's 3-term product,
-            # with the operand split hoisted out of the block loop
+            # bf16 [hi | lo] pre-split, pre-scaled/normalized columns:
+            # hi@hi + hi@lo + lo@hi from three DEFAULT-precision half-width
+            # dots == Precision.HIGH's 3-term product, with the operand
+            # split hoisted out of the block loop — the high-precision
+            # option for data where bf16 input rounding matters
             h = t.shape[1] // 2
             h_c, l_c = t[:, :h], t[:, h:]
             h_r = _rows(h_c, start, block)

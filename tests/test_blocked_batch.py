@@ -23,10 +23,10 @@ def test_fused_rowblock_matches_dense(stream):
     """Rematerialized row blocks must reproduce the dense fused adjacency.
 
     The blocked path ranks location by the (haversine-rank-equivalent)
-    unit-xyz dot and computes the text dot on bf16 [hi, lo] split-packed
-    vectors (~f24), so a borderline kNN tie can legitimately flip vs the
-    dense engine's f32 haversine/cosine — the agreement requirement is
-    near-total, not bitwise."""
+    unit-xyz chord distance and computes the text dot on bf16-rounded
+    vectors (exact products, f32 accumulation), so a borderline kNN tie
+    can legitimately flip vs the dense engine's f32 haversine/cosine —
+    the agreement requirement is near-total, not bitwise."""
     from mused_tpu.engine.streaming import StreamingEngine
     mods, mtypes, _ = stream
     n, block = 256, 64
@@ -181,9 +181,9 @@ def test_standard_columns_honors_nondefault_hash_dims(stream):
     loc, tim, user, tags, text = mods
     wf = feat.featurize_window(loc, tim, user, tags, text, fc)
     cols = ba.standard_columns(wf, fc)
-    assert cols.tensors[3].shape[1] == 4096
-    # text is bf16 [hi, lo] split-packed: 2x the configured hash dim
-    assert cols.tensors[4].shape[1] == 2 * 8192
+    assert cols.tensors[3][0].shape[1] == 4096   # (multi_hot, row sums)
+    # text is stored as ONE bf16 tensor at the configured hash dim
+    assert cols.tensors[4].shape[1] == 8192
     assert cols.tensors[4].dtype == jnp.bfloat16
     blk = np.asarray(ba.fused_rowblock(cols, jnp.int32(0), 256, 3))
     diff = int(np.sum(blk != dense))
