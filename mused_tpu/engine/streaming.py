@@ -518,6 +518,15 @@ class StreamingEngine:
                 "DBSCAN_incr accumulates every inserted point (exact "
                 "incremental semantics); at huge windows use DBSCAN_centr "
                 "(blocked) instead")
+        # fused stride-binned candidate selection (text/tags kNN without the
+        # HBM sim strip): auto on TPU, or per the explicit config override
+        from mused_tpu.ops.pallas import blocked_select as bsel
+        fuse_sel = cfg.huge_window_fused_select
+        if fuse_sel is None:
+            fuse_sel = jax.default_backend() == "tpu"
+        nbins = (bsel.default_nbins(cols.n, k_max=3 * cfg.k_basis)
+                 if fuse_sel else 0)
+        select = "binned" if nbins else "strip"
         key = jax.random.fold_in(jax.random.key(cfg.seed), window_index)
         with self.timer.span("device_step"):
             if cfg.approach == "SWFDMC":
@@ -537,12 +546,14 @@ class StreamingEngine:
                         cols, ell=ell, block=block, k_basis=cfg.k_basis,
                         mesh=self.mesh, topology=cfg.merge_topology,
                         mode=cfg.fd_shrink,
-                        approx_knn=cfg.huge_window_approx_knn)
+                        approx_knn=cfg.huge_window_approx_knn,
+                        select=select, nbins=nbins)
                 else:
                     sk, sq_fro, _loss = ba.blocked_fd_sketch(
                         cols, ell=ell, block=block, k_basis=cfg.k_basis,
                         mode=cfg.fd_shrink,
-                        approx_knn=cfg.huge_window_approx_knn)
+                        approx_knn=cfg.huge_window_approx_knn,
+                        select=select, nbins=nbins)
                 # the padded columns are invalid -> their adjacency columns
                 # are zero; slice the sketch back to d=n
                 reduced = sk.T[:n]
@@ -550,7 +561,8 @@ class StreamingEngine:
                 reduced = ba.blocked_svd_reduce(
                     cols, key, rank=cfg.reduced_dim, block=block,
                     k_basis=cfg.k_basis,
-                    approx_knn=cfg.huge_window_approx_knn)[:n]
+                    approx_knn=cfg.huge_window_approx_knn,
+                    select=select, nbins=nbins)[:n]
             if cfg.approach == "sSVDMC_mini":
                 new_mbk, labels = kmeans.minibatch_step(
                     self.state.minibatch, reduced, key)

@@ -100,10 +100,16 @@ def standard_columns(wf, features_cfg=None) -> Columns:
     # (XLA does not LICM-hoist the reduction out of the scan; measured
     # 28.5 -> 19.7 ms/block with the sum precomputed).  A tuple leaf flows
     # through every jit/shard_map boundary as an ordinary pytree.
+    # tags store bf16: the multi-hot counts are small ints (bf16-exact), the
+    # MXU consumes bf16 operands anyway, and the (n, H_tags) column panel is
+    # the sweep's second-biggest read — halving it is pure bandwidth.  The
+    # Jaccard sums are computed in f32 FIRST (sums up to H exceed bf16's
+    # exact-integer range).
     return Columns(
         kinds=("location_xyz", "time", "username", "tags", "text_bf16"),
         tensors=(_unit_xyz(loc, loc_valid), tim, uid,
-                 (tags, jnp.sum(tags, axis=1)), text_bf16),
+                 (tags.astype(jnp.bfloat16), jnp.sum(tags, axis=1)),
+                 text_bf16),
         valids=(loc_valid,
                 jnp.all(jnp.isfinite(tim), axis=1)
                 & (tim[:, 0] != 0.0) & (tim[:, 1] != 0.0),
@@ -155,17 +161,60 @@ def _rows(t, start, size):
 
 
 def fused_rowblock(cols: Columns, start, block: int,
-                   k_basis: int, approx: bool = False) -> jax.Array:
+                   k_basis: int, approx: bool = False,
+                   select: str = "strip", nbins: int = 0) -> jax.Array:
     """(block, n) fused adjacency rows [start, start+block) — pure function of
     the feature tensors; `start` may be traced (used inside lax.scan).
     ``approx`` selects approx_max_k for the kNN selections (see
     affinity.knn_adjacency_block).
 
+    ``select="binned"`` (with ``nbins`` from blocked_select.default_nbins)
+    routes the MXU modalities (text/tags) through the fused stride-binned
+    candidate kernel (ops/pallas/blocked_select.py): the (block, n) f32 sim
+    strip never reaches HBM — only (block, nbins) candidates do — and the
+    per-modality kNN becomes exact lax.top_k over the candidates plus ONE
+    scatter of the union'd column ids (replacing per-modality bool strips).
+    On non-TPU backends the bit-identical XLA emulation runs instead (the
+    test oracle).  Modalities the kernel doesn't cover keep the strip path
+    and OR in densely.
+
     Per-modality adjacencies are built as BOOL and OR-fused bitwise, with a
     single cast to f32 at the end: the sweep is HBM-bandwidth-bound and the
     five f32 (block, n) adjacency temporaries were ~1/3 of its traffic."""
+    from mused_tpu.ops.pallas import blocked_select as bs
     knn_b = functools.partial(affinity.knn_adjacency_block,
                               out_dtype=jnp.bool_)
+    n = cols.n
+    binned = select == "binned" and nbins > 0 and n % nbins == 0
+    use_kernel = binned and jax.default_backend() == "tpu"
+    tn = bs.pick_tn(n, nbins) if binned else 0
+
+    def _binned_cands(t, tr, valid, vr, k, metric, row_sums=None):
+        """(block, k) global col ids (sentinel n when absent) via the
+        stride-binned candidates; kernel on TPU, emulation elsewhere."""
+        k = max(0, min(k, n - 1))
+        if k == 0:
+            return None
+        if use_kernel:
+            vals, idx = bs.binned_candidates_pallas(
+                t, tr, valid, start, metric=metric, nbins=nbins,
+                block=block, row_sums=row_sums, tn=tn)
+        else:
+            if metric == "jaccard":
+                inter = jnp.dot(tr, t.T,
+                                preferred_element_type=jnp.float32)
+                s_r = (_rows(row_sums, start, block)[:, None]
+                       .astype(jnp.float32))
+                sim = inter / jnp.maximum(
+                    s_r + row_sums[None, :].astype(jnp.float32) - inter,
+                    1e-9)
+            else:
+                sim = jnp.dot(tr, t.T, preferred_element_type=jnp.float32)
+            vals, idx = bs.binned_candidates_reference(sim, valid, start,
+                                                       nbins)
+        return bs.candidates_topk(vals, idx, vr, k, n)
+
+    cand_cols = []
     mats = []
     for kind, t, valid in zip(cols.kinds, cols.tensors, cols.valids):
         tags_sum = None
@@ -203,25 +252,33 @@ def fused_rowblock(cols: Columns, start, block: int,
                 != jnp.arange(cols.n)[None, :]
             mats.append(same & not_self)
         elif kind == "tags":
+            sums = (jnp.sum(t.astype(jnp.float32), axis=1)
+                    if tags_sum is None else tags_sum)
+            if binned and t.shape[1] % 128 == 0:
+                cand_cols.append(_binned_cands(t, tr, valid, vr, k_basis,
+                                               "jaccard", row_sums=sums))
+                continue
             # DEFAULT precision (TPU: bf16 operands, f32 accumulate): EXACT
             # for the multi-hot count tensors (small ints <= token cap are
             # bf16-representable) at ~6x the f32-HIGHEST MXU rate — this dot
             # is the (block, n) sweep's biggest FLOP bucket at 100k windows
             inter = jnp.dot(tr, t.T, preferred_element_type=jnp.float32)
-            if tags_sum is None:      # raw generic columns: sum in-block
-                s_r, s_c = jnp.sum(tr, axis=1), jnp.sum(t, axis=1)
-            else:                     # standard_columns hoists the sums
-                s_r, s_c = _rows(tags_sum, start, block), tags_sum
+            s_r = (jnp.sum(tr.astype(jnp.float32), axis=1)
+                   if tags_sum is None else _rows(tags_sum, start, block))
             # one fused elementwise pass: inter <= min(s_r, s_c) exactly
             # (counts and their sums are exact), so the union is >= 0 and
             # == 0 only where inter == 0, where the clamped quotient is 0 —
             # identical to the old where(union > 0, ...) but without the
             # extra (block, n) temporary round trip (28.5 -> 19.7 ms/block
             # together with the hoisted sums)
-            sim = inter / jnp.maximum(s_r[:, None] + s_c[None, :] - inter,
+            sim = inter / jnp.maximum(s_r[:, None] + sums[None, :] - inter,
                                       1e-9)
             mats.append(knn_b(sim, vr, valid, k_basis, start, approx))
         elif kind == "text_bf16":
+            if binned and t.shape[1] % 128 == 0:
+                cand_cols.append(_binned_cands(t, tr, valid, vr, k_basis,
+                                               "dot"))
+                continue
             # pre-scaled/normalized bf16 columns (see standard_columns):
             # one DEFAULT-precision dot — bf16 operands multiply exactly on
             # the MXU with f32 accumulation; measured rank-identical to the
@@ -278,9 +335,21 @@ def fused_rowblock(cols: Columns, start, block: int,
                 precision=jax.lax.Precision.HIGHEST)
             mats.append(knn_b(-jnp.maximum(d2, 0.0), vr, valid,
                               max(1, k_basis) - 1, start, approx))
-    fused = mats[0]
-    for m in mats[1:]:
-        fused = fused | m
+    cand_cols = [c for c in cand_cols if c is not None]
+    if cand_cols:
+        # ONE scatter of the union'd candidate ids builds the kNN edges for
+        # every binned modality (sentinel index n drops via JAX's
+        # out-of-bounds scatter semantics); dense modalities OR in after
+        all_idx = jnp.concatenate(cand_cols, axis=1)
+        rows = jnp.broadcast_to(jnp.arange(block)[:, None], all_idx.shape)
+        fused = jnp.zeros((block, cols.n), jnp.bool_).at[rows, all_idx].max(
+            jnp.ones(all_idx.shape, jnp.bool_))
+        for m in mats:
+            fused = fused | m
+    else:
+        fused = mats[0]
+        for m in mats[1:]:
+            fused = fused | m
     return fused.astype(jnp.float32)
 
 
@@ -289,7 +358,8 @@ def fused_rowblock(cols: Columns, start, block: int,
 # ---------------------------------------------------------------------------
 
 def _scan_blocks(cols: Columns, block: int, k_basis: int, f, init,
-                 approx: bool = False):
+                 approx: bool = False, select: str = "strip",
+                 nbins: int = 0):
     """fold f(carry, fused_block, start) over all row blocks via lax.scan."""
     n = cols.n
     n_blocks = -(-n // block)
@@ -300,7 +370,8 @@ def _scan_blocks(cols: Columns, block: int, k_basis: int, f, init,
         # rows are recomputed identically and masked by the caller via
         # row-index arithmetic where needed
         start = jnp.minimum(start, n - block)
-        fused = fused_rowblock(cols, start, block, k_basis, approx)
+        fused = fused_rowblock(cols, start, block, k_basis, approx,
+                               select, nbins)
         return f(carry, fused, start), None
 
     carry, _ = jax.lax.scan(body, init, jnp.arange(n_blocks))
@@ -309,7 +380,8 @@ def _scan_blocks(cols: Columns, block: int, k_basis: int, f, init,
 
 def blocked_fd_sketch(cols: Columns, *, ell: int, block: int,
                       k_basis: int, mode: str = "subspace",
-                      approx_knn: bool = False):
+                      approx_knn: bool = False, select: str = "strip",
+                      nbins: int = 0):
     """FD sketch (ell, n) of the implicit fused adjacency's rows, one
     rematerialized sweep (the huge-window SWFDMC regime, BASELINE.md #3:
     windows too large to materialize even once).
@@ -330,15 +402,17 @@ def blocked_fd_sketch(cols: Columns, *, ell: int, block: int,
     return _blocked_fd_impl(cols.tensors, cols.valids, cols.idf,
                             kinds=cols.kinds, ell=ell, block=block,
                             k_basis=k_basis, mode=mode,
-                            approx_knn=approx_knn)
+                            approx_knn=approx_knn, select=select,
+                            nbins=nbins)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("kinds", "ell", "block", "k_basis",
-                                    "mode", "approx_knn"))
+                                    "mode", "approx_knn", "select", "nbins"))
 def _blocked_fd_impl(tensors, valids, idf, *, kinds, ell: int, block: int,
                      k_basis: int, mode: str = "subspace",
-                     approx_knn: bool = False):
+                     approx_knn: bool = False, select: str = "strip",
+                     nbins: int = 0):
     from mused_tpu.ops import fd
     cols = Columns(kinds=kinds, tensors=tensors, valids=valids, idf=idf)
     n = cols.n
@@ -351,14 +425,14 @@ def _blocked_fd_impl(tensors, valids, idf, *, kinds, ell: int, block: int,
         return fd.update_stream(state, fused, mode=mode)
 
     state = _scan_blocks(cols, block, k_basis, f, fd.init(ell, n),
-                         approx=approx_knn)
+                         approx=approx_knn, select=select, nbins=nbins)
     return state.sketch, state.sq_frobenius, state.shrink_loss
 
 
 def blocked_svd_reduce(cols: Columns, key: jax.Array, *, rank: int,
                        block: int, k_basis: int, n_iter: int = 2,
-                       oversample: int = 8,
-                       approx_knn: bool = False) -> jax.Array:
+                       oversample: int = 8, approx_knn: bool = False,
+                       select: str = "strip", nbins: int = 0) -> jax.Array:
     """TruncatedSVD.fit_transform of the implicit fused adjacency, computed
     with (2 + 2*n_iter) rematerialized sweeps over row blocks.
 
@@ -369,15 +443,18 @@ def blocked_svd_reduce(cols: Columns, key: jax.Array, *, rank: int,
     return _blocked_svd_impl(
         cols.tensors, cols.valids, cols.idf, key, kinds=cols.kinds,
         rank=rank, block=block, k_basis=k_basis, n_iter=n_iter,
-        oversample=oversample, approx_knn=approx_knn)
+        oversample=oversample, approx_knn=approx_knn, select=select,
+        nbins=nbins)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("kinds", "block", "k_basis", "rank",
-                                    "n_iter", "oversample", "approx_knn"))
+                                    "n_iter", "oversample", "approx_knn",
+                                    "select", "nbins"))
 def _blocked_svd_impl(tensors, valids, idf, key, *, kinds, rank: int,
                       block: int, k_basis: int, n_iter: int,
-                      oversample: int, approx_knn: bool = False) -> jax.Array:
+                      oversample: int, approx_knn: bool = False,
+                      select: str = "strip", nbins: int = 0) -> jax.Array:
     cols = Columns(kinds=kinds, tensors=tensors, valids=valids, idf=idf)
     n = cols.n
     assert n % block == 0, "choose block dividing n (pad rows upstream)"
@@ -390,7 +467,7 @@ def _blocked_svd_impl(tensors, valids, idf, key, *, kinds, rank: int,
                 acc, jnp.dot(fused, v, preferred_element_type=jnp.float32),
                 start, axis=0)
         return _scan_blocks(cols, block, k_basis, f, jnp.zeros((n, r)),
-                            approx=approx_knn)
+                            approx=approx_knn, select=select, nbins=nbins)
 
     def mul_AT(v):         # A^T @ v via block sweep: (n, r)
         def f(acc, fused, start):
@@ -398,7 +475,7 @@ def _blocked_svd_impl(tensors, valids, idf, key, *, kinds, rank: int,
             return acc + jnp.dot(fused.T, vb,
                                  preferred_element_type=jnp.float32)
         return _scan_blocks(cols, block, k_basis, f, jnp.zeros((n, r)),
-                            approx=approx_knn)
+                            approx=approx_knn, select=select, nbins=nbins)
 
     q, _ = jnp.linalg.qr(mul_A(omega))
     for _ in range(n_iter):

@@ -1,0 +1,260 @@
+"""Pallas TPU kernel: fused similarity + stride-binned candidate selection
+for the rematerialized huge-window sweep (blocked_affinity.fused_rowblock).
+
+The XLA strip path materializes a (block, n) f32 similarity strip in HBM
+(805 MB at block=2048, n=98k), then approx_max_k re-reads it — ~2.4 GB of
+HBM traffic per modality per block (column panel + strip write + strip
+read).  This kernel never materializes the strip: the (block, tn) sim tile
+lives only in VMEM and max-accumulates into a (block, nbins) candidate
+buffer; only candidates (~30 MB) ever reach HBM.  Traffic drops to ~1×
+column-panel reads — the sweep's HBM floor.
+
+Binning is BY RESIDUE (slot = col % nbins), not by contiguous ranges:
+event streams are near-sorted, so a row's true top-k columns cluster in
+index space — contiguous bins (lax.approx_max_k's PartialReduce) collide
+exactly there, while residue classes spread any <= nbins consecutive
+columns into distinct bins (perfect recall on contiguous neighbor runs).
+Each column tile of tn contiguous columns covers tn consecutive slots, so
+the in-kernel update is an aligned elementwise max on a (block, tn) slab —
+no in-tile reduction, no argmax network.
+
+Candidate -> adjacency: the caller runs exact lax.top_k over the (block,
+nbins) candidate values (tiny) and scatters the winning column ids.  The
+kernel stores the GROUP id g (col = g * nbins + slot) as int8 — n/nbins
+<= 127 groups — so the candidate buffer is f32 values + int8 groups.
+
+Semantics mirror affinity.knn_adjacency_block (reference
+matrix_operations.py:74-110 kNN-per-modality contract): invalid columns
+and the self column rank at NEG; ties keep the lowest column index (the
+lowest group wins via strict >, and lax.top_k outside prefers the lowest
+slot).  ``binned_candidates_reference`` is the bit-identical XLA
+emulation — the CPU path and the test oracle.
+
+Metrics:
+  dot      — pre-scaled/normalized rows (text_bf16 columns, embeddings)
+  jaccard  — multi-hot counts with HOISTED row sums (tags columns):
+             inter via one MXU contraction, union from the sums
+  chord    — negative squared euclidean on (n, 3) unit-xyz rows, the
+             haversine-rank-equivalent location metric; fed K-padded
+  l1       — negative L1 on (n, 2) time rows; K-padded
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e30
+
+
+def _sim_tile(ar, bc, metric: str, s_r, s_c):
+    """(block, tn) similarity tile.  ar: (block, K) rows; bc: (tn, K).
+    s_r (block, 1) / s_c (1, tn) are the metric's hoisted row statistics:
+    token sums for jaccard, squared norms for chord (computed once per
+    window outside the kernel — no in-kernel transposes/reductions)."""
+    if metric == "dot":
+        return jnp.dot(ar, bc.T, preferred_element_type=jnp.float32)
+    if metric == "jaccard":
+        inter = jnp.dot(ar, bc.T, preferred_element_type=jnp.float32)
+        # counts and sums are exact (bf16 ints, f32 sums): union >= 0, and
+        # == 0 only where inter == 0 -> clamped quotient 0 (matches the
+        # where(union > 0) guard of the strip path)
+        return inter / jnp.maximum(s_r + s_c - inter, 1e-9)
+    if metric == "chord":
+        # K-padded unit-xyz: pads are zero in BOTH operands, so the padded
+        # dot terms vanish; |a-b|^2 = |a|^2 + |b|^2 - 2ab with the norms
+        # hoisted
+        d2 = s_r + s_c - 2.0 * jnp.dot(ar, bc.T,
+                                       preferred_element_type=jnp.float32)
+        return -jnp.maximum(d2, 0.0)
+    if metric == "l1":
+        # time modality: 2 real features; VPU broadcast per feature
+        acc = jnp.zeros((ar.shape[0], bc.shape[0]), jnp.float32)
+        for c in range(2):
+            acc += jnp.abs(ar[:, c][:, None] - bc[:, c][None, :])
+        return -acc
+    raise ValueError(f"unknown metric {metric}")
+
+
+def _kernel(start_ref, cols_ref, rows_ref, colv_ref, sr_ref, sc_ref,
+            vals_ref, grp_ref, *, metric: str, tm: int, tn: int,
+            nbins: int):
+    i = pl.program_id(0)                 # row tile (outer: acc stays VMEM-
+    j = pl.program_id(1)                 # resident across the inner j sweep)
+    wraps = nbins // tn
+    g = j // wraps                       # group id of this tile
+    slot0 = (j % wraps) * tn             # tile covers slots [slot0, slot0+tn)
+
+    @pl.when(j == 0)
+    def _():
+        vals_ref[:] = jnp.full((tm, nbins), NEG, jnp.float32)
+        grp_ref[:] = jnp.zeros((tm, nbins), jnp.int8)
+
+    stats = metric in ("jaccard", "chord")
+    s_r = sr_ref[:] if stats else None                     # (tm, 1)
+    s_c = sc_ref[:] if stats else None                     # (1, tn)
+    sim = _sim_tile(rows_ref[:], cols_ref[:], metric, s_r, s_c)
+
+    # mask invalid columns and the self column
+    start = start_ref[0, 0]
+    col0 = j * tn
+    col_ids = col0 + jax.lax.broadcasted_iota(jnp.int32, (tm, tn), 1)
+    row_ids = (start + i * tm
+               + jax.lax.broadcasted_iota(jnp.int32, (tm, tn), 0))
+    mask = (colv_ref[:] > 0) & (row_ids != col_ids)
+    sim = jnp.where(mask, sim, NEG)
+
+    slot = pl.multiple_of(slot0, tn)
+    old = vals_ref[:, pl.ds(slot, tn)]
+    take = sim > old                     # strict: lowest group wins ties
+    vals_ref[:, pl.ds(slot, tn)] = jnp.where(take, sim, old)
+    grp_ref[:, pl.ds(slot, tn)] = jnp.where(
+        take, jnp.int8(g), grp_ref[:, pl.ds(slot, tn)])
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("metric", "nbins", "tn", "tm", "block",
+                                    "interpret"))
+def binned_candidates_pallas(cols: jax.Array, rows: jax.Array,
+                             col_valid: jax.Array, start, *,
+                             metric: str, nbins: int, block: int,
+                             row_sums: jax.Array | None = None,
+                             tn: int = 512, tm: int = 2048,
+                             interpret: bool = False):
+    """Stride-binned kNN candidates for rows [start, start+block).
+
+    cols: (n, K) full column panel (bf16 or f32; K-padded to 128 for the
+    MXU metrics).  rows: (block, K) the row slice (caller slices — start
+    may be traced).  Returns (vals (block, nbins) f32, idx (block, nbins)
+    int32 global column ids).
+
+    Grid (block/tm, n/tn), j inner: the (tm, nbins) accumulator block and
+    the (tm, K) row tile stay VMEM-resident across the whole column sweep
+    and flush once per row tile.  The default tm=2048 keeps the WHOLE row
+    block resident, so the (n, K) column panel streams through VMEM
+    exactly once per block — the sweep's HBM floor (~60 MB of VMEM at
+    n~100k/K=4096; v5e has 128 MB physical, the 16 MB scoped default is
+    lifted via vmem_limit_bytes below).
+    """
+    n = cols.shape[0]
+    tm = min(tm, block)
+    assert n % tn == 0 and nbins % tn == 0 and n % nbins == 0, \
+        (n, tn, nbins)
+    assert block % tm == 0, (block, tm)
+    assert n // nbins <= 127, "int8 group ids"
+    start_arr = jnp.asarray(start, jnp.int32).reshape(1, 1)
+    colv = col_valid.astype(jnp.float32).reshape(1, n)
+    if metric in ("jaccard", "chord"):
+        assert row_sums is not None, metric
+        s_r = jax.lax.dynamic_slice_in_dim(
+            row_sums, start, block).astype(jnp.float32).reshape(block, 1)
+        s_c = row_sums.astype(jnp.float32).reshape(1, n)
+    else:   # dummy tiny operands so the kernel signature is static
+        s_r = jnp.zeros((block, 1), jnp.float32)
+        s_c = jnp.zeros((1, n), jnp.float32)
+
+    itemsize = 2 if cols.dtype == jnp.bfloat16 else 4
+    est = (tm * cols.shape[1] * itemsize          # resident row tile
+           + 2 * tn * cols.shape[1] * itemsize    # double-buffered B tile
+           + tm * tn * 4                          # sim tile
+           + tm * nbins * 5)                      # f32 vals + i8 grp acc
+    est = est + est // 2 + (1 << 24)              # Mosaic's extra buffers
+    grid = (block // tm, n // tn)
+    vals, grp = pl.pallas_call(
+        functools.partial(_kernel, metric=metric, tm=tm, tn=tn,
+                          nbins=nbins),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),               # start
+            pl.BlockSpec((tn, cols.shape[1]), lambda i, j: (j, 0)),
+            pl.BlockSpec((tm, rows.shape[1]), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, tn), lambda i, j: (0, j)),          # col valid
+            pl.BlockSpec((tm, 1), lambda i, j: (i, 0)),          # s_r
+            pl.BlockSpec((1, tn), lambda i, j: (0, j)),          # s_c
+        ],
+        out_specs=[
+            pl.BlockSpec((tm, nbins), lambda i, j: (i, 0)),
+            pl.BlockSpec((tm, nbins), lambda i, j: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((block, nbins), jnp.float32),
+            jax.ShapeDtypeStruct((block, nbins), jnp.int8),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(120 << 20, max(est, 32 << 20))),
+        interpret=interpret,
+    )(start_arr, cols, rows, colv, s_r, s_c)
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (block, nbins), 1)
+    idx = grp.astype(jnp.int32) * nbins + slot_ids
+    return vals, idx
+
+
+def binned_candidates_reference(sim: jax.Array, col_valid: jax.Array,
+                                start, nbins: int):
+    """XLA emulation of the kernel's exact semantics from a materialized
+    (block, n) sim strip: the CPU path and the bit-parity test oracle."""
+    block, n = sim.shape
+    g = n // nbins
+    col_ids = jnp.arange(n)[None, :]
+    row_ids = start + jnp.arange(block)[:, None]
+    sim = jnp.where((col_valid[None, :]) & (row_ids != col_ids), sim, NEG)
+    # col = grp * nbins + slot  ->  (block, g, nbins); lowest group wins
+    # ties (argmax returns the first max), matching the kernel's strict >
+    s = sim.reshape(block, g, nbins)
+    vals = jnp.max(s, axis=1)
+    grp = jnp.argmax(s, axis=1)
+    idx = grp.astype(jnp.int32) * nbins + jnp.arange(nbins)[None, :]
+    return vals, idx
+
+
+def candidates_topk(vals: jax.Array, idx: jax.Array, row_valid: jax.Array,
+                    k: int, n: int):
+    """Exact top-k over the candidate bins -> (block, k) global column ids,
+    with invalid/absent edges mapped to the out-of-range sentinel ``n``
+    (dropped by JAX scatter)."""
+    kk = min(k, vals.shape[1])
+    sel_vals, sel_pos = jax.lax.top_k(vals, kk)
+    sel_idx = jnp.take_along_axis(idx, sel_pos, axis=1)
+    edge = (sel_vals > NEG / 2) & row_valid[:, None]
+    return jnp.where(edge, sel_idx, n)
+
+
+def pad_features_128(x: jax.Array) -> jax.Array:
+    """Pad the feature axis to a lane-aligned multiple of 128 (zeros vanish
+    in dot/chord metrics)."""
+    pad = (-x.shape[1]) % 128
+    if pad == 0:
+        return x
+    return jnp.pad(x, ((0, 0), (0, pad)))
+
+
+def pick_tn(n: int, nbins: int) -> int:
+    """Column-tile width dividing both nbins and n."""
+    for tn in (512, 256, 128):
+        if nbins % tn == 0 and n % tn == 0:
+            return tn
+    return nbins          # tiny cases: one tile per bin wrap
+
+
+def default_nbins(n: int, tn: int = 512, target_reduction: int = 32,
+                  k_max: int = 0) -> int:
+    """Largest divisor structure: nbins = n / g with g | (n // tn), g <=
+    target_reduction, and at least ~8*k_max candidate bins when feasible."""
+    if n % tn != 0:
+        return 0                      # caller falls back to the strip path
+    groups = n // tn
+    g = 1
+    for cand in range(min(target_reduction, groups), 0, -1):
+        if groups % cand == 0:
+            g = cand
+            break
+    nbins = n // g
+    while k_max and nbins < 8 * k_max and g > 1:
+        g //= 2
+        while groups % g != 0:
+            g -= 1
+        nbins = n // g
+    return nbins

@@ -434,7 +434,8 @@ def sharded_window_step(location, times, user_ids, tags, text, n_clusters,
 def sharded_blocked_fd_sketch(cols, *, ell: int, block: int, k_basis: int,
                               mesh, topology: str = "allgather",
                               mode: str = "subspace",
-                              approx_knn: bool = False):
+                              approx_knn: bool = False,
+                              select: str = "strip", nbins: int = 0):
     """Multi-chip FD sketch of the implicit fused adjacency of a HUGE window.
 
     The single-chip huge-window path (ops/blocked_affinity.blocked_fd_sketch,
@@ -463,17 +464,18 @@ def sharded_blocked_fd_sketch(cols, *, ell: int, block: int, k_basis: int,
     return _sharded_blocked_fd_impl(
         cols.tensors, cols.valids, cols.idf, kinds=cols.kinds, ell=ell,
         block=block, k_basis=k_basis, mesh=mesh, topology=topology,
-        mode=mode, approx_knn=approx_knn)
+        mode=mode, approx_knn=approx_knn, select=select, nbins=nbins)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("kinds", "ell", "block", "k_basis",
                                     "mesh", "topology", "mode",
-                                    "approx_knn"))
+                                    "approx_knn", "select", "nbins"))
 def _sharded_blocked_fd_impl(tensors, valids, idf, *, kinds, ell: int,
                              block: int, k_basis: int, mesh,
                              topology: str, mode: str = "subspace",
-                             approx_knn: bool = False):
+                             approx_knn: bool = False,
+                             select: str = "strip", nbins: int = 0):
     from mused_tpu.ops import blocked_affinity as ba
     n = tensors[0].shape[0]
     starts = jnp.arange(n // block, dtype=jnp.int32) * block
@@ -484,7 +486,7 @@ def _sharded_blocked_fd_impl(tensors, valids, idf, *, kinds, ell: int,
 
         def step(state, start):
             fused = ba.fused_rowblock(cols, start, block, k_basis,
-                                      approx_knn)
+                                      approx_knn, select, nbins)
             return fd.update_stream(state, fused, mode=mode), None
 
         st, _ = jax.lax.scan(step, fd.init(ell, n), starts_s)

@@ -95,6 +95,14 @@ class PipelineConfig:
     # cols (the per-block wall) at ~98.5% edge recall, far below the
     # OR-fusion/sketch noise floor.  The dense-window paths stay exact.
     # False restores exact top_k everywhere.
+    huge_window_fused_select: bool | None = None
+    # huge-window blocked path: route the MXU modalities (text/tags) through
+    # the fused stride-binned candidate kernel (ops/pallas/blocked_select.py)
+    # — the (block, n) f32 sim strip never round-trips HBM; selection becomes
+    # exact top-k over ~n/32 stride-binned candidates (residue classes, so
+    # contiguous neighbor runs in near-sorted streams never collide).
+    # None = auto: ON on TPU, OFF elsewhere (the XLA emulation is bit-equal
+    # but saves nothing on CPU).  Explicit True/False wins.
     fd_shrink: str = "subspace"  # "subspace": matmul-only adaptive shrink
                                  # (gated eigh fallback; ~4.5x faster sketch
                                  # streams) | "eigh": guaranteed classic FD.

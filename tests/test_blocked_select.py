@@ -1,0 +1,158 @@
+"""Stride-binned candidate selection kernel (ops/pallas/blocked_select):
+interpret-mode kernel vs the XLA reference emulation must be bit-identical,
+and candidates->top-k must reproduce exact kNN when nbins == n."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mused_tpu.ops.pallas import blocked_select as bs
+from mused_tpu.ops import affinity
+
+
+def _strip_sim(x, start, block, metric, sums=None):
+    xr = x[start:start + block]
+    if metric == "dot":
+        return jnp.dot(xr.astype(jnp.float32), x.astype(jnp.float32).T)
+    if metric == "jaccard":
+        inter = jnp.dot(xr.astype(jnp.float32), x.astype(jnp.float32).T)
+        s = np.asarray(sums, np.float32)
+        union = s[start:start + block, None] + s[None, :] - inter
+        return jnp.where(union > 0, inter / jnp.maximum(union, 1e-9), 0.0)
+    raise ValueError(metric)
+
+
+@pytest.mark.parametrize("metric", ["dot", "jaccard"])
+@pytest.mark.parametrize("nbins", [128, 256, 512])
+def test_kernel_matches_reference(metric, nbins):
+    rng = np.random.default_rng(0)
+    n, block, start, tn, k = 512, 128, 256, 128, 7
+    if metric == "jaccard":
+        x = (rng.random((n, 256)) < 0.05).astype(np.float32)
+        sums = x.sum(axis=1)
+    else:
+        x = rng.standard_normal((n, 256)).astype(np.float32)
+        x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        sums = None
+    valid = rng.random(n) > 0.1
+    xin = jnp.asarray(x)
+    row_sums = None if sums is None else jnp.asarray(sums)
+
+    vals_k, idx_k = bs.binned_candidates_pallas(
+        xin, xin[start:start + block], jnp.asarray(valid),
+        jnp.int32(start), metric=metric, nbins=nbins, block=block,
+        row_sums=row_sums, tn=tn, interpret=True)
+
+    sim = _strip_sim(xin, start, block, metric, sums)
+    vals_r, idx_r = bs.binned_candidates_reference(
+        sim, jnp.asarray(valid), start, nbins)
+
+    np.testing.assert_allclose(np.asarray(vals_k), np.asarray(vals_r),
+                               rtol=1e-5, atol=1e-5)
+    # where values are materially distinct, the winning column must agree
+    # exactly; true ties may legitimately pick different groups only if
+    # the kernel's strict-> and argmax disagree — they must not:
+    np.testing.assert_array_equal(np.asarray(idx_k), np.asarray(idx_r))
+
+
+def test_exact_when_nbins_equals_n():
+    """nbins == n puts every column in its own bin: candidates + exact
+    top-k must equal affinity.knn_adjacency_block (exact path)."""
+    rng = np.random.default_rng(1)
+    n, block, start, k = 256, 64, 64, 5
+    x = rng.standard_normal((n, 128)).astype(np.float32)
+    valid = rng.random(n) > 0.2
+    row_valid = valid[start:start + block]
+    xin = jnp.asarray(x)
+
+    sim = jnp.dot(xin[start:start + block], xin.T)
+    vals, idx = bs.binned_candidates_reference(
+        sim, jnp.asarray(valid), start, nbins=n)
+    cand = bs.candidates_topk(vals, idx, jnp.asarray(row_valid), k, n)
+    rows = jnp.broadcast_to(jnp.arange(block)[:, None], cand.shape)
+    adj = jnp.zeros((block, n), jnp.bool_).at[rows, cand].max(
+        jnp.ones(cand.shape, jnp.bool_))
+
+    want = affinity.knn_adjacency_block(
+        sim, jnp.asarray(row_valid), jnp.asarray(valid), k,
+        jnp.int32(start), False, out_dtype=jnp.bool_)
+    np.testing.assert_array_equal(np.asarray(adj), np.asarray(want))
+
+
+def test_ties_prefer_lowest_group():
+    """Duplicate columns (exact sim ties across groups) must keep the
+    lowest column index, matching lax.top_k order."""
+    n, block, nbins, tn = 256, 64, 128, 128
+    x = np.zeros((n, 128), np.float32)
+    x[:, 0] = 1.0                      # every pair ties at sim 1.0
+    vals_k, idx_k = bs.binned_candidates_pallas(
+        jnp.asarray(x), jnp.asarray(x[:block]), jnp.ones(n, bool),
+        jnp.int32(0), metric="dot", nbins=nbins, block=block, tn=tn,
+        interpret=True)
+    idx = np.asarray(idx_k)
+    # slot s of row r: candidates are cols {s, s+128}; the self col is
+    # excluded, otherwise the LOWER index must win the tie
+    for r in (0, 5, 63):
+        for s in (0, 3, 127):
+            want = s + nbins if s == r else s
+            assert idx[r, s] == want, (r, s, idx[r, s])
+
+
+def _standard_cols():
+    from mused_tpu.data.synthetic import synthetic_events_dataframe
+    from mused_tpu.data.sed2012 import prepare_modalities
+    from mused_tpu.data import features as feat
+    from mused_tpu.ops import blocked_affinity as ba
+    from mused_tpu.utils.config import FeatureConfig
+    df = synthetic_events_dataframe(n_rows=300, n_events=4, noise_rate=0.5,
+                                    seed=0)
+    mods, _, _ = prepare_modalities(df, subset_size=256, binary=True,
+                                    sort_by_uploaded=False, noise_rate=0.5,
+                                    seed=0)
+    fc = FeatureConfig()
+    wf = feat.featurize_window(*mods, fc)
+    return ba.standard_columns(wf, fc)
+
+
+def test_fused_rowblock_binned_exact_at_nbins_n():
+    """select="binned" with nbins == n is exact top-k: the fused adjacency
+    must equal the strip path (approx=False) bit-for-bit — exercises the
+    scatter union, the jaccard emulator with hoisted sums, and the bf16
+    text/tags columns."""
+    from mused_tpu.ops import blocked_affinity as ba
+    cols = _standard_cols()
+    n, block = cols.n, 64
+    for start in (0, 64, 192):
+        strip = ba.fused_rowblock(cols, jnp.int32(start), block, 5,
+                                  approx=False)
+        binned = ba.fused_rowblock(cols, jnp.int32(start), block, 5,
+                                   approx=False, select="binned", nbins=n)
+        np.testing.assert_array_equal(np.asarray(strip), np.asarray(binned))
+
+
+def test_blocked_fd_sketch_binned_quality():
+    """At a real reduction (nbins = n/2) the binned sketch must stay close
+    to the exact strip sketch (spectral structure, not bitwise)."""
+    from mused_tpu.ops import blocked_affinity as ba
+    cols = _standard_cols()
+    n = cols.n
+    sk_s, sq_s, _ = ba.blocked_fd_sketch(cols, ell=16, block=64, k_basis=5,
+                                         mode="eigh")
+    sk_b, sq_b, _ = ba.blocked_fd_sketch(cols, ell=16, block=64, k_basis=5,
+                                         mode="eigh", select="binned",
+                                         nbins=n // 2)
+    # total adjacency mass within 10% and top singular directions aligned
+    assert abs(float(sq_b) - float(sq_s)) / max(float(sq_s), 1.0) < 0.1
+    gs = np.asarray(sk_s).T @ np.asarray(sk_s)
+    gb = np.asarray(sk_b).T @ np.asarray(sk_b)
+    num = np.linalg.norm(gs - gb)
+    assert num / max(np.linalg.norm(gs), 1e-9) < 0.35
+
+
+def test_default_nbins():
+    assert bs.default_nbins(98304) == 3072
+    assert bs.default_nbins(98304, k_max=150) == 3072
+    n = 2048
+    nb = bs.default_nbins(n)
+    assert nb % 128 == 0 and n % nb == 0
+    assert bs.default_nbins(1000) == 0          # not tn-divisible
