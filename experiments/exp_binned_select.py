@@ -73,12 +73,10 @@ def text_strip(start, t, v):
 def text_kernel(start, t, v):
     tr = jax.lax.dynamic_slice_in_dim(t, start, block, axis=0)
     vr = jax.lax.dynamic_slice_in_dim(v, start, block, axis=0)
-    vals, idx = bs.binned_candidates_pallas(
+    vals, grp = bs.binned_candidates_pallas(
         t, tr, v, start, metric="dot", nbins=nbins, block=block)
-    cand = bs.candidates_topk(vals, idx, vr, k_basis, window)
-    rows = jnp.broadcast_to(jnp.arange(block)[:, None], cand.shape)
-    adj = jnp.zeros((block, window), jnp.bool_).at[rows, cand].max(
-        jnp.ones(cand.shape, jnp.bool_))
+    keep = bs.budgeted_keep(vals, vr, k_basis)
+    adj = bs.adjacency_from_candidates([keep], [grp], window)
     return jnp.sum(adj)
 
 
@@ -94,13 +92,11 @@ def tags_strip(start, t, v, s):
 def tags_kernel(start, t, v, s):
     tr = jax.lax.dynamic_slice_in_dim(t, start, block, axis=0)
     vr = jax.lax.dynamic_slice_in_dim(v, start, block, axis=0)
-    vals, idx = bs.binned_candidates_pallas(
+    vals, grp = bs.binned_candidates_pallas(
         t, tr, v, start, metric="jaccard", nbins=nbins, block=block,
         row_sums=s)
-    cand = bs.candidates_topk(vals, idx, vr, k_basis, window)
-    rows = jnp.broadcast_to(jnp.arange(block)[:, None], cand.shape)
-    adj = jnp.zeros((block, window), jnp.bool_).at[rows, cand].max(
-        jnp.ones(cand.shape, jnp.bool_))
+    keep = bs.budgeted_keep(vals, vr, k_basis)
+    adj = bs.adjacency_from_candidates([keep], [grp], window)
     return jnp.sum(adj)
 
 
@@ -121,12 +117,10 @@ def text_exact_edges(t, v):
 @jax.jit
 def text_binned_edges(t, v):
     tr = t[:block]
-    vals, idx = bs.binned_candidates_pallas(
+    vals, grp = bs.binned_candidates_pallas(
         t, tr, v, jnp.int32(0), metric="dot", nbins=nbins, block=block)
-    cand = bs.candidates_topk(vals, idx, v[:block], k_basis, window)
-    rows = jnp.broadcast_to(jnp.arange(block)[:, None], cand.shape)
-    return jnp.zeros((block, window), jnp.bool_).at[rows, cand].max(
-        jnp.ones(cand.shape, jnp.bool_))
+    keep = bs.budgeted_keep(vals, v[:block], k_basis)
+    return bs.adjacency_from_candidates([keep], [grp], window)
 
 
 ex = np.asarray(text_exact_edges(t_text, v_text))

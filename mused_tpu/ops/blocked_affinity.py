@@ -190,13 +190,13 @@ def fused_rowblock(cols: Columns, start, block: int,
     tn = bs.pick_tn(n, nbins) if binned else 0
 
     def _binned_cands(t, tr, valid, vr, k, metric, row_sums=None):
-        """(block, k) global col ids (sentinel n when absent) via the
-        stride-binned candidates; kernel on TPU, emulation elsewhere."""
+        """(keep, grp) candidate mask + group ids via the stride-binned
+        candidates; kernel on TPU, bit-equal emulation elsewhere."""
         k = max(0, min(k, n - 1))
         if k == 0:
             return None
         if use_kernel:
-            vals, idx = bs.binned_candidates_pallas(
+            vals, grp = bs.binned_candidates_pallas(
                 t, tr, valid, start, metric=metric, nbins=nbins,
                 block=block, row_sums=row_sums, tn=tn)
         else:
@@ -210,9 +210,9 @@ def fused_rowblock(cols: Columns, start, block: int,
                     1e-9)
             else:
                 sim = jnp.dot(tr, t.T, preferred_element_type=jnp.float32)
-            vals, idx = bs.binned_candidates_reference(sim, valid, start,
+            vals, grp = bs.binned_candidates_reference(sim, valid, start,
                                                        nbins)
-        return bs.candidates_topk(vals, idx, vr, k, n)
+        return bs.budgeted_keep(vals, vr, k), grp
 
     cand_cols = []
     mats = []
@@ -238,13 +238,37 @@ def fused_rowblock(cols: Columns, start, block: int,
                 xr = _rows(xc, start, block)
             else:
                 xc, xr = t, tr
+            if binned and use_kernel:
+                vals, grp = bs.binned_candidates_pallas(
+                    xc, xr, valid, start, metric="chord3", nbins=nbins,
+                    block=block, tn=tn)
+                cand_cols.append((bs.budgeted_keep(vals, vr, k_basis), grp))
+                continue
             sim = -((xr[:, 0][:, None] - xc[:, 0][None, :]) ** 2
                     + (xr[:, 1][:, None] - xc[:, 1][None, :]) ** 2
                     + (xr[:, 2][:, None] - xc[:, 2][None, :]) ** 2)
+            if binned:
+                vals, grp = bs.binned_candidates_reference(sim, valid,
+                                                           start, nbins)
+                cand_cols.append((bs.budgeted_keep(vals, vr, k_basis), grp))
+                continue
             mats.append(knn_b(sim, vr, valid, k_basis, start, approx))
         elif kind == "time":
+            if binned and use_kernel:
+                vals, grp = bs.binned_candidates_pallas(
+                    t, tr, valid, start, metric="l1", nbins=nbins,
+                    block=block, tn=tn)
+                cand_cols.append((bs.budgeted_keep(vals, vr, 3 * k_basis),
+                                  grp))
+                continue
             sim = -(jnp.abs(tr[:, :1] - t[:, 0][None, :])
                     + jnp.abs(tr[:, 1:2] - t[:, 1][None, :]))
+            if binned:
+                vals, grp = bs.binned_candidates_reference(sim, valid,
+                                                           start, nbins)
+                cand_cols.append((bs.budgeted_keep(vals, vr, 3 * k_basis),
+                                  grp))
+                continue
             mats.append(knn_b(sim, vr, valid, 3 * k_basis, start, approx))
         elif kind == "username":
             same = (tr[:, None] == t[None, :]) & vr[:, None] & valid[None, :]
@@ -337,13 +361,11 @@ def fused_rowblock(cols: Columns, start, block: int,
                               max(1, k_basis) - 1, start, approx))
     cand_cols = [c for c in cand_cols if c is not None]
     if cand_cols:
-        # ONE scatter of the union'd candidate ids builds the kNN edges for
-        # every binned modality (sentinel index n drops via JAX's
-        # out-of-bounds scatter semantics); dense modalities OR in after
-        all_idx = jnp.concatenate(cand_cols, axis=1)
-        rows = jnp.broadcast_to(jnp.arange(block)[:, None], all_idx.shape)
-        fused = jnp.zeros((block, cols.n), jnp.bool_).at[rows, all_idx].max(
-            jnp.ones(all_idx.shape, jnp.bool_))
+        # scatter-free union: candidate (r, slot, grp) IS column
+        # grp*nbins + slot, so the dense edges for every binned modality
+        # build in ONE fused elementwise broadcast; dense modalities OR in
+        fused = bs.adjacency_from_candidates(
+            [k for k, _ in cand_cols], [g for _, g in cand_cols], cols.n)
         for m in mats:
             fused = fused | m
     else:

@@ -70,6 +70,16 @@ def _sim_tile(ar, bc, metric: str, s_r, s_c):
         d2 = s_r + s_c - 2.0 * jnp.dot(ar, bc.T,
                                        preferred_element_type=jnp.float32)
         return -jnp.maximum(d2, 0.0)
+    if metric == "chord3":
+        # unit-xyz location via explicit per-coordinate differences: keeps
+        # full relative precision at small central angles where the
+        # norms-minus-dot form (and any dot ranking) saturates in f32 —
+        # the same numerics as the strip path's broadcast-difference sim
+        acc = jnp.zeros((ar.shape[0], bc.shape[0]), jnp.float32)
+        for c in range(3):
+            d = ar[:, c][:, None] - bc[:, c][None, :]
+            acc += d * d
+        return -acc
     if metric == "l1":
         # time modality: 2 real features; VPU broadcast per feature
         acc = jnp.zeros((ar.shape[0], bc.shape[0]), jnp.float32)
@@ -187,15 +197,14 @@ def binned_candidates_pallas(cols: jax.Array, rows: jax.Array,
             vmem_limit_bytes=min(120 << 20, max(est, 32 << 20))),
         interpret=interpret,
     )(start_arr, cols, rows, colv, s_r, s_c)
-    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (block, nbins), 1)
-    idx = grp.astype(jnp.int32) * nbins + slot_ids
-    return vals, idx
+    return vals, grp
 
 
 def binned_candidates_reference(sim: jax.Array, col_valid: jax.Array,
                                 start, nbins: int):
     """XLA emulation of the kernel's exact semantics from a materialized
-    (block, n) sim strip: the CPU path and the bit-parity test oracle."""
+    (block, n) sim strip: the CPU path and the bit-parity test oracle.
+    Returns (vals (block, nbins) f32, grp (block, nbins) int8)."""
     block, n = sim.shape
     g = n // nbins
     col_ids = jnp.arange(n)[None, :]
@@ -205,21 +214,43 @@ def binned_candidates_reference(sim: jax.Array, col_valid: jax.Array,
     # ties (argmax returns the first max), matching the kernel's strict >
     s = sim.reshape(block, g, nbins)
     vals = jnp.max(s, axis=1)
-    grp = jnp.argmax(s, axis=1)
-    idx = grp.astype(jnp.int32) * nbins + jnp.arange(nbins)[None, :]
-    return vals, idx
+    grp = jnp.argmax(s, axis=1).astype(jnp.int8)
+    return vals, grp
 
 
-def candidates_topk(vals: jax.Array, idx: jax.Array, row_valid: jax.Array,
-                    k: int, n: int):
-    """Exact top-k over the candidate bins -> (block, k) global column ids,
-    with invalid/absent edges mapped to the out-of-range sentinel ``n``
-    (dropped by JAX scatter)."""
+def budgeted_keep(vals: jax.Array, row_valid: jax.Array, k: int):
+    """Exact-k candidate mask: the k-th candidate value thresholds the
+    bins, and ties AT the threshold are admitted in slot order up to the
+    remaining budget — at nbins == n this reproduces lax.top_k's
+    lowest-index tie preference exactly; at a real reduction the tie order
+    is deterministic-arbitrary (the reference's own argsort tie order is
+    quicksort-arbitrary, SURVEY §2.4)."""
     kk = min(k, vals.shape[1])
-    sel_vals, sel_pos = jax.lax.top_k(vals, kk)
-    sel_idx = jnp.take_along_axis(idx, sel_pos, axis=1)
-    edge = (sel_vals > NEG / 2) & row_valid[:, None]
-    return jnp.where(edge, sel_idx, n)
+    thr = jax.lax.top_k(vals, kk)[0][:, -1:]
+    real = vals > NEG / 2
+    above = (vals > thr) & real
+    tie = (vals == thr) & real
+    budget = kk - jnp.sum(above.astype(jnp.int32), axis=1, keepdims=True)
+    order = jnp.cumsum(tie.astype(jnp.int32), axis=1)
+    keep = above | (tie & (order <= budget))
+    return keep & row_valid[:, None]
+
+
+def adjacency_from_candidates(keeps, grps, n: int) -> jax.Array:
+    """(block, n) bool adjacency from per-modality candidate masks —
+    NO scatter: candidate (r, slot) with group g IS column g*nbins + slot,
+    so the dense adjacency is one elementwise broadcast over
+    (block, groups, nbins), and the modality union fuses into the same
+    pass.  (The scatter this replaces measured ~12 ms/block at n~100k —
+    more than the similarity matmul itself.)"""
+    block, nbins = keeps[0].shape
+    groups = n // nbins
+    gids = jax.lax.broadcasted_iota(jnp.int8, (block, groups, nbins), 1)
+    adj = None
+    for keep, grp in zip(keeps, grps):
+        m = keep[:, None, :] & (grp[:, None, :] == gids)
+        adj = m if adj is None else (adj | m)
+    return adj.reshape(block, n)
 
 
 def pad_features_128(x: jax.Array) -> jax.Array:
@@ -239,10 +270,13 @@ def pick_tn(n: int, nbins: int) -> int:
     return nbins          # tiny cases: one tile per bin wrap
 
 
-def default_nbins(n: int, tn: int = 512, target_reduction: int = 32,
+def default_nbins(n: int, tn: int = 512, target_reduction: int = 64,
                   k_max: int = 0) -> int:
     """Largest divisor structure: nbins = n / g with g | (n // tn), g <=
-    target_reduction, and at least ~8*k_max candidate bins when feasible."""
+    target_reduction, and at least ~8*k_max candidate bins when feasible.
+    Reduction 64 (nbins=1536 at n~100k) measured fastest: larger candidate
+    buffers push the (tm, nbins) accumulators against VMEM and slow the
+    whole sweep (3072 bins: 5.0 s; 2048: 3.0; 1536: 2.86 s/window)."""
     if n % tn != 0:
         return 0                      # caller falls back to the strip path
     groups = n // tn

@@ -38,13 +38,13 @@ def test_kernel_matches_reference(metric, nbins):
     xin = jnp.asarray(x)
     row_sums = None if sums is None else jnp.asarray(sums)
 
-    vals_k, idx_k = bs.binned_candidates_pallas(
+    vals_k, grp_k = bs.binned_candidates_pallas(
         xin, xin[start:start + block], jnp.asarray(valid),
         jnp.int32(start), metric=metric, nbins=nbins, block=block,
         row_sums=row_sums, tn=tn, interpret=True)
 
     sim = _strip_sim(xin, start, block, metric, sums)
-    vals_r, idx_r = bs.binned_candidates_reference(
+    vals_r, grp_r = bs.binned_candidates_reference(
         sim, jnp.asarray(valid), start, nbins)
 
     np.testing.assert_allclose(np.asarray(vals_k), np.asarray(vals_r),
@@ -52,7 +52,7 @@ def test_kernel_matches_reference(metric, nbins):
     # where values are materially distinct, the winning column must agree
     # exactly; true ties may legitimately pick different groups only if
     # the kernel's strict-> and argmax disagree — they must not:
-    np.testing.assert_array_equal(np.asarray(idx_k), np.asarray(idx_r))
+    np.testing.assert_array_equal(np.asarray(grp_k), np.asarray(grp_r))
 
 
 def test_exact_when_nbins_equals_n():
@@ -66,12 +66,10 @@ def test_exact_when_nbins_equals_n():
     xin = jnp.asarray(x)
 
     sim = jnp.dot(xin[start:start + block], xin.T)
-    vals, idx = bs.binned_candidates_reference(
+    vals, grp = bs.binned_candidates_reference(
         sim, jnp.asarray(valid), start, nbins=n)
-    cand = bs.candidates_topk(vals, idx, jnp.asarray(row_valid), k, n)
-    rows = jnp.broadcast_to(jnp.arange(block)[:, None], cand.shape)
-    adj = jnp.zeros((block, n), jnp.bool_).at[rows, cand].max(
-        jnp.ones(cand.shape, jnp.bool_))
+    keep = bs.budgeted_keep(vals, jnp.asarray(row_valid), k)
+    adj = bs.adjacency_from_candidates([keep], [grp], n)
 
     want = affinity.knn_adjacency_block(
         sim, jnp.asarray(row_valid), jnp.asarray(valid), k,
@@ -85,17 +83,17 @@ def test_ties_prefer_lowest_group():
     n, block, nbins, tn = 256, 64, 128, 128
     x = np.zeros((n, 128), np.float32)
     x[:, 0] = 1.0                      # every pair ties at sim 1.0
-    vals_k, idx_k = bs.binned_candidates_pallas(
+    vals_k, grp_k = bs.binned_candidates_pallas(
         jnp.asarray(x), jnp.asarray(x[:block]), jnp.ones(n, bool),
         jnp.int32(0), metric="dot", nbins=nbins, block=block, tn=tn,
         interpret=True)
-    idx = np.asarray(idx_k)
+    grp = np.asarray(grp_k)
     # slot s of row r: candidates are cols {s, s+128}; the self col is
-    # excluded, otherwise the LOWER index must win the tie
+    # excluded, otherwise the LOWER index (group 0) must win the tie
     for r in (0, 5, 63):
         for s in (0, 3, 127):
-            want = s + nbins if s == r else s
-            assert idx[r, s] == want, (r, s, idx[r, s])
+            want = 1 if s == r else 0
+            assert grp[r, s] == want, (r, s, grp[r, s])
 
 
 def _standard_cols():
@@ -150,8 +148,9 @@ def test_blocked_fd_sketch_binned_quality():
 
 
 def test_default_nbins():
-    assert bs.default_nbins(98304) == 3072
-    assert bs.default_nbins(98304, k_max=150) == 3072
+    assert bs.default_nbins(98304) == 1536
+    assert bs.default_nbins(98304, k_max=150) == 1536
+    assert bs.default_nbins(32768, k_max=150) == 2048   # 8*k floor bumps
     n = 2048
     nb = bs.default_nbins(n)
     assert nb % 128 == 0 and n % nb == 0
