@@ -161,15 +161,22 @@ def config3_huge_window():
     fc = FeatureConfig()
     wf = feat.featurize_window(*mods, fc)
     cols = ba.standard_columns(wf, fc)
-    # approx_knn=True is the engine's huge-window default (PipelineConfig)
+    # mirror the engine defaults: approx_knn on, fused binned selection
+    # auto-enabled on TPU (PipelineConfig.huge_window_fused_select)
+    from mused_tpu.ops.pallas import blocked_select as bsel
+    nbins = (bsel.default_nbins(cols.n, k_max=150)
+             if jax.default_backend() == "tpu" else 0)
+    select = "binned" if nbins else "strip"
     sk, sq, loss = ba.blocked_fd_sketch(cols, ell=64, block=2048, k_basis=50,
-                                        approx_knn=True)
+                                        approx_knn=True, select=select,
+                                        nbins=nbins)
     _materialize(sk)                      # compile + warm
     dt = float("inf")
     for _ in range(2):                    # best-of-2 (tunnel noise)
         t0 = time.perf_counter()
         sk, sq, loss = ba.blocked_fd_sketch(cols, ell=64, block=2048,
-                                            k_basis=50, approx_knn=True)
+                                            k_basis=50, approx_knn=True,
+                                            select=select, nbins=nbins)
         _materialize(sk)
         dt = min(dt, time.perf_counter() - t0)
     RESULTS["3_hugewindow_rows_per_sec_per_chip"] = round(window / dt, 1)

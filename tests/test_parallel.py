@@ -307,6 +307,24 @@ def test_sharded_blocked_fd_rejects_uneven_blocks(rng, mesh8):
                                           mesh=mesh8)   # 3 blocks over 8
 
 
+def test_sharded_blocked_fd_binned_select(rng, mesh8):
+    """The fused stride-binned selection composes with the sharded sweep:
+    at nbins == n it is exact, so the sharded binned sketch must equal the
+    sharded strip sketch bit-for-bit (same per-chip fold order)."""
+    from mused_tpu.ops import blocked_affinity as ba
+    latlon = rng.uniform(low=(-60, -170), high=(60, 170),
+                         size=(512, 2)).astype(np.float32)
+    times = rng.uniform(low=1.0, high=1e6, size=(512, 2)).astype(np.float32)
+    cols = ba.generic_columns([latlon, times], ("location", "time"))
+    sk_s, sq_s, _ = sharded.sharded_blocked_fd_sketch(
+        cols, ell=8, block=64, k_basis=3, mesh=mesh8)
+    sk_b, sq_b, _ = sharded.sharded_blocked_fd_sketch(
+        cols, ell=8, block=64, k_basis=3, mesh=mesh8,
+        select="binned", nbins=512)
+    np.testing.assert_array_equal(np.asarray(sk_s), np.asarray(sk_b))
+    assert float(sq_s) == float(sq_b)
+
+
 def _run_engine_blocked(engine_stream, approach, shards):
     from mused_tpu import api
     from mused_tpu.utils.config import PipelineConfig
