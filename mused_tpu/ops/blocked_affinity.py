@@ -162,7 +162,8 @@ def _rows(t, start, size):
 
 def fused_rowblock(cols: Columns, start, block: int,
                    k_basis: int, approx: bool = False,
-                   select: str = "strip", nbins: int = 0) -> jax.Array:
+                   select: str = "strip", nbins: int = 0,
+                   out_dtype=jnp.float32) -> jax.Array:
     """(block, n) fused adjacency rows [start, start+block) — pure function of
     the feature tensors; `start` may be traced (used inside lax.scan).
     ``approx`` selects approx_max_k for the kNN selections (see
@@ -372,7 +373,10 @@ def fused_rowblock(cols: Columns, start, block: int,
         fused = mats[0]
         for m in mats[1:]:
             fused = fused | m
-    return fused.astype(jnp.float32)
+    # out_dtype=bfloat16 for the FD fold: the 0/1 edges are bf16-exact and
+    # the fold's G-applications are HBM-bound on re-reading this block —
+    # half the bytes is pure bandwidth (fd.shrink_rr_pair)
+    return fused.astype(out_dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -381,7 +385,7 @@ def fused_rowblock(cols: Columns, start, block: int,
 
 def _scan_blocks(cols: Columns, block: int, k_basis: int, f, init,
                  approx: bool = False, select: str = "strip",
-                 nbins: int = 0):
+                 nbins: int = 0, out_dtype=jnp.float32):
     """fold f(carry, fused_block, start) over all row blocks via lax.scan."""
     n = cols.n
     n_blocks = -(-n // block)
@@ -393,7 +397,7 @@ def _scan_blocks(cols: Columns, block: int, k_basis: int, f, init,
         # row-index arithmetic where needed
         start = jnp.minimum(start, n - block)
         fused = fused_rowblock(cols, start, block, k_basis, approx,
-                               select, nbins)
+                               select, nbins, out_dtype)
         return f(carry, fused, start), None
 
     carry, _ = jax.lax.scan(body, init, jnp.arange(n_blocks))
@@ -446,8 +450,12 @@ def _blocked_fd_impl(tensors, valids, idf, *, kinds, ell: int, block: int,
     def f(state, fused, start):
         return fd.update_stream(state, fused, mode=mode)
 
+    # rr folds absorb split-operand and read the block several times: bf16
+    # 0/1 edges are exact and halve every read (fd.shrink_rr_pair)
+    out_dtype = jnp.bfloat16 if mode == "rr" else jnp.float32
     state = _scan_blocks(cols, block, k_basis, f, fd.init(ell, n),
-                         approx=approx_knn, select=select, nbins=nbins)
+                         approx=approx_knn, select=select, nbins=nbins,
+                         out_dtype=out_dtype)
     return state.sketch, state.sq_frobenius, state.shrink_loss
 
 
@@ -483,21 +491,27 @@ def _blocked_svd_impl(tensors, valids, idf, key, *, kinds, rank: int,
     r = min(rank + oversample, n)
     omega = jax.random.normal(key, (n, r), jnp.float32)
 
+    # the 0/1 fused blocks are bf16-exact, and every sweep product reads
+    # the freshly built block once: bf16 halves that traffic.  The matvec
+    # converts to f32 in the dot's operand load (f32 accumulation).
     def mul_A(v):          # A @ v via block sweep: (n, r)
         def f(acc, fused, start):
             return jax.lax.dynamic_update_slice_in_dim(
-                acc, jnp.dot(fused, v, preferred_element_type=jnp.float32),
+                acc, jnp.dot(fused.astype(jnp.float32), v,
+                             preferred_element_type=jnp.float32),
                 start, axis=0)
         return _scan_blocks(cols, block, k_basis, f, jnp.zeros((n, r)),
-                            approx=approx_knn, select=select, nbins=nbins)
+                            approx=approx_knn, select=select, nbins=nbins,
+                            out_dtype=jnp.bfloat16)
 
     def mul_AT(v):         # A^T @ v via block sweep: (n, r)
         def f(acc, fused, start):
             vb = jax.lax.dynamic_slice_in_dim(v, start, block, axis=0)
-            return acc + jnp.dot(fused.T, vb,
+            return acc + jnp.dot(fused.astype(jnp.float32).T, vb,
                                  preferred_element_type=jnp.float32)
         return _scan_blocks(cols, block, k_basis, f, jnp.zeros((n, r)),
-                            approx=approx_knn, select=select, nbins=nbins)
+                            approx=approx_knn, select=select, nbins=nbins,
+                            out_dtype=jnp.bfloat16)
 
     q, _ = jnp.linalg.qr(mul_A(omega))
     for _ in range(n_iter):

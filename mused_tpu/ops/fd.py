@@ -253,6 +253,60 @@ def shrink_rr(stacked: jax.Array, ell: int, *, oversample: int = 16,
     return b.astype(stacked.dtype), delta.astype(stacked.dtype)
 
 
+def shrink_rr_pair(sketch: jax.Array, rows: jax.Array, ell: int, *,
+                   oversample: int = 16,
+                   power_iters: int = 1) -> tuple[jax.Array, jax.Array]:
+    """shrink_rr on the IMPLICIT stack [sketch; rows] — the two operands are
+    never concatenated, and ``rows`` may arrive in a narrower dtype.
+
+    Rationale (huge-window fold, rows = a (2048, ~100k) 0/1 adjacency
+    block): the absorb is HBM-traffic-bound — concatenating writes an
+    815 MB stack that the three G-applications then re-read, and keeping
+    the 0/1 rows in bf16 (EXACT for 0/1) halves every one of those reads.
+    Each product splits as S^T v = sketch^T v_s + rows^T v_r (and
+    S y = [sketch y; rows y]); the convert of bf16 rows fuses into the
+    dot's operand load, so f32 stack bytes never materialize.  The math —
+    whitened subspace iteration, y-trick Rayleigh quotient, exact trace
+    residual — is identical to shrink_rr (same bound argument; only f32
+    summation order differs).
+    """
+    ellr, d = sketch.shape
+    m = rows.shape[0]
+    m2 = ellr + m
+    r = min(ell + oversample, m2)
+    hi = jax.lax.Precision.HIGHEST
+    rows_f = rows.astype(jnp.float32)     # fuses into the dots' loads
+
+    def _whiten(v):
+        c = jnp.dot(v.T, v, precision=hi)
+        lam_c, u_c = jnp.linalg.eigh(c)
+        inv_sqrt = jnp.where(lam_c > 1e-8 * jnp.max(lam_c),
+                             1.0 / jnp.sqrt(jnp.maximum(lam_c, 1e-30)), 0.0)
+        w = (u_c * inv_sqrt[None, :]) @ u_c.T
+        return jnp.dot(v, w, precision=hi)
+
+    def _st(v):          # S^T v from the split operands: (d, r)
+        return (jnp.dot(sketch.T, v[:ellr], precision=hi)
+                + jnp.dot(rows_f.T, v[ellr:], precision=hi))
+
+    def _s(y):           # S y: (m2, r)
+        return jnp.concatenate([jnp.dot(sketch, y, precision=hi),
+                                jnp.dot(rows_f, y, precision=hi)], axis=0)
+
+    v = jax.random.normal(jax.random.key(7), (m2, r), jnp.float32)
+    for _ in range(power_iters):
+        v = _whiten(_s(_st(v)))
+    y = _st(v)                                            # (d, r)
+    h = jnp.dot(y.T, y, precision=hi)
+    h = 0.5 * (h + h.T)
+    _, p = jnp.linalg.eigh(h)
+    b = jnp.dot(p[:, ::-1][:, :ell].T, y.T, precision=hi)  # (ell, d)
+    sq = (jnp.sum(sketch * sketch)
+          + jnp.sum(jnp.square(rows_f), dtype=jnp.float32))
+    delta = jnp.maximum(sq - jnp.sum(b * b), 0.0)
+    return b.astype(sketch.dtype), delta.astype(sketch.dtype)
+
+
 _SHRINKS = {"eigh": shrink, "subspace": shrink_fast,
             "subspace_ns": shrink_fast, "rr": shrink_rr}
 
@@ -282,9 +336,14 @@ def update_block(state: FDState, rows: jax.Array, valid: jax.Array | None = None
     matmul-only adaptive shrink (see shrink_fast; ~5-6x faster streams on
     full-rank data, guaranteed-exact fallback on degenerate stacks).
     """
-    rows = rows.astype(state.sketch.dtype)
+    if mode != "rr":
+        # rr absorbs split-operand (below) and keeps narrow row dtypes —
+        # casting a (2048, ~100k) bf16 adjacency block to f32 here would
+        # materialize the very stack bytes shrink_rr_pair exists to avoid
+        rows = rows.astype(state.sketch.dtype)
     if valid is not None:
-        rows = jnp.where(valid[:, None], rows, 0.0)
+        rows = jnp.where(valid[:, None], rows,
+                         jnp.zeros((), rows.dtype))
         n_new = jnp.sum(valid.astype(jnp.int32))
     else:
         n_new = jnp.asarray(rows.shape[0], jnp.int32)
@@ -297,6 +356,8 @@ def update_block(state: FDState, rows: jax.Array, valid: jax.Array | None = None
 
     def _absorb(operands):
         sk, rw = operands
+        if mode == "rr":
+            return shrink_rr_pair(sk, rw, state.ell)
         return shrink_fn(jnp.concatenate([sk, rw], axis=0), state.ell)
 
     def _skip(operands):
@@ -307,7 +368,9 @@ def update_block(state: FDState, rows: jax.Array, valid: jax.Array | None = None
         jnp.any(rows != 0), _absorb, _skip, (state.sketch, rows))
     return FDState(
         sketch=new_sketch,
-        sq_frobenius=state.sq_frobenius + jnp.sum(rows * rows),
+        sq_frobenius=state.sq_frobenius
+        + jnp.sum(jnp.square(rows.astype(jnp.float32)),
+                  dtype=jnp.float32).astype(state.sq_frobenius.dtype),
         shrink_loss=state.shrink_loss + delta,
         count=state.count + n_new,
     )

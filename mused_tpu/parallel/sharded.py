@@ -485,8 +485,11 @@ def _sharded_blocked_fd_impl(tensors, valids, idf, *, kinds, ell: int,
                           idf=idf)
 
         def step(state, start):
+            # bf16 0/1 edges for rr folds (see blocked_affinity): the
+            # split-operand absorb re-reads the block; half the bytes
+            out_dt = jnp.bfloat16 if mode == "rr" else jnp.float32
             fused = ba.fused_rowblock(cols, start, block, k_basis,
-                                      approx_knn, select, nbins)
+                                      approx_knn, select, nbins, out_dt)
             return fd.update_stream(state, fused, mode=mode), None
 
         st, _ = jax.lax.scan(step, fd.init(ell, n), starts_s)

@@ -223,3 +223,46 @@ def test_shrink_rr_decaying_spectrum(rng):
         return np.linalg.norm(stack.T @ stack
                               - np.asarray(b).T @ np.asarray(b), ord=2)
     assert err(b_rr) <= 2.0 * err(b_e) + 1e-3
+
+
+class TestShrinkRRPair:
+    """Split-operand rr absorb (fd.shrink_rr_pair) — the bf16 huge-window
+    fold path (rows never concatenated onto the f32 sketch)."""
+
+    def test_matches_concat_rr(self, rng):
+        """Pair form == shrink_rr on the explicit concat, up to f32
+        summation order (the only difference by construction)."""
+        sk = rng.normal(size=(64, 500)).astype(np.float32)
+        rows = rng.normal(size=(192, 500)).astype(np.float32)
+        b_pair, d_pair = fd.shrink_rr_pair(jnp.asarray(sk), jnp.asarray(rows), 64)
+        b_cat, d_cat = fd.shrink_rr(jnp.asarray(np.vstack([sk, rows])), 64)
+        np.testing.assert_allclose(
+            np.asarray(b_pair).T @ np.asarray(b_pair),
+            np.asarray(b_cat).T @ np.asarray(b_cat), rtol=1e-3, atol=1e-2)
+        np.testing.assert_allclose(float(d_pair), float(d_cat),
+                                   rtol=1e-3, atol=1e-2)
+
+    def test_bf16_01_rows_exact(self, rng):
+        """0/1 adjacency rows are bf16-exact: the bf16 fold must match the
+        f32 fold at covariance level (operand dtype is the only change)."""
+        rows01 = (rng.random(size=(192, 500)) < 0.05).astype(np.float32)
+        sk = rng.normal(size=(64, 500)).astype(np.float32)
+        b16, d16 = fd.shrink_rr_pair(jnp.asarray(sk),
+                                     jnp.asarray(rows01, jnp.bfloat16), 64)
+        b32, d32 = fd.shrink_rr_pair(jnp.asarray(sk), jnp.asarray(rows01), 64)
+        np.testing.assert_allclose(
+            np.asarray(b16).T @ np.asarray(b16),
+            np.asarray(b32).T @ np.asarray(b32), rtol=1e-3, atol=1e-2)
+        np.testing.assert_allclose(float(d16), float(d32), rtol=1e-3, atol=1e-2)
+
+    def test_update_stream_rr_bf16_bound_holds(self, rng):
+        """End-to-end: bf16 0/1 rows through update_stream(mode='rr') keep
+        the honest error bound AND the bookkeeping (sq_frobenius exact)."""
+        a = (rng.random(size=(600, 300)) < 0.08).astype(np.float32)
+        st = fd.update_stream(fd.init(32, 300),
+                              jnp.asarray(a, jnp.bfloat16), mode="rr")
+        true_err = float(fd.covariance_error(jnp.asarray(a), st.sketch))
+        assert float(fd.error_bound(st)) >= true_err - 1e-2
+        np.testing.assert_allclose(float(st.sq_frobenius),
+                                   float(np.sum(a * a)), rtol=1e-6)
+        assert int(st.count) == 600
