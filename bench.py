@@ -43,14 +43,32 @@ def numpy_rowwise_fd(rows: np.ndarray, ell: int) -> float:
     return time.perf_counter() - t0
 
 
+def tpu_reachable(timeout: float = 180.0) -> bool:
+    """Probe backend init in a SUBPROCESS with a hard timeout.
+
+    The axon tunnel has two failure modes: a RuntimeError (handled below)
+    and an indefinite HANG inside backend init (observed 2026-08-17: >400s
+    with no error).  Probing in-process would wedge the bench in the second
+    mode — and once init has been attempted the process's platform is
+    stuck, so the probe must not run in this interpreter."""
+    import subprocess
+    import sys
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; assert jax.devices()[0].platform != 'cpu'"],
+            timeout=timeout, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     import jax
     from mused_tpu.utils.runtime import enable_compilation_cache
     enable_compilation_cache()
     import jax.numpy as jnp
-    try:
-        jax.devices()
-    except RuntimeError:
+    if not tpu_reachable():
         # TPU tunnel unavailable: fall back to CPU so the bench still reports
         jax.config.update("jax_platforms", "cpu")
 

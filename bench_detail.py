@@ -266,9 +266,10 @@ def main():
     from mused_tpu.utils.runtime import enable_compilation_cache
     enable_compilation_cache()
     import jax
-    try:
-        jax.devices()
-    except RuntimeError:
+    from bench import tpu_reachable
+    if not tpu_reachable():
+        # errored OR hung tunnel (probed in a subprocess — in-process init
+        # would wedge on the hang mode and pin the platform besides)
         jax.config.update("jax_platforms", "cpu")
     RESULTS["backend"] = jax.default_backend()
 
