@@ -79,19 +79,13 @@ def _blocked_columns(data_modalities, modality_types, cfg):
 def _blocked_reduce(data_modalities, modality_types, cfg, key):
     from mused_tpu.ops import blocked_affinity as ba
     from mused_tpu.ops.pallas import blocked_select as bsel
-    import jax
     n = len(data_modalities[0])
     cols, block = _blocked_columns(data_modalities, modality_types, cfg)
-    fuse_sel = cfg.huge_window_fused_select
-    if fuse_sel is None:
-        fuse_sel = jax.default_backend() == "tpu"
-    nbins = (bsel.default_nbins(cols.n, k_max=3 * cfg.k_basis)
-             if fuse_sel else 0)
+    select, nbins = bsel.resolve_select(cfg, cols.n)
     reduced = ba.blocked_svd_reduce(cols, key, rank=cfg.reduced_dim,
                                     block=block, k_basis=cfg.k_basis,
                                     approx_knn=cfg.huge_window_approx_knn,
-                                    select="binned" if nbins else "strip",
-                                    nbins=nbins)
+                                    select=select, nbins=nbins)
     return reduced[:n]
 
 

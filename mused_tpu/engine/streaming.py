@@ -521,12 +521,7 @@ class StreamingEngine:
         # fused stride-binned candidate selection (text/tags kNN without the
         # HBM sim strip): auto on TPU, or per the explicit config override
         from mused_tpu.ops.pallas import blocked_select as bsel
-        fuse_sel = cfg.huge_window_fused_select
-        if fuse_sel is None:
-            fuse_sel = jax.default_backend() == "tpu"
-        nbins = (bsel.default_nbins(cols.n, k_max=3 * cfg.k_basis)
-                 if fuse_sel else 0)
-        select = "binned" if nbins else "strip"
+        select, nbins = bsel.resolve_select(cfg, cols.n)
         key = jax.random.fold_in(jax.random.key(cfg.seed), window_index)
         with self.timer.span("device_step"):
             if cfg.approach == "SWFDMC":

@@ -190,9 +190,12 @@ def fused_rowblock(cols: Columns, start, block: int,
     use_kernel = binned and jax.default_backend() == "tpu"
     tn = bs.pick_tn(n, nbins) if binned else 0
 
-    def _binned_cands(t, tr, valid, vr, k, metric, row_sums=None):
+    def _binned_cands(t, tr, valid, vr, k, metric, row_sums=None,
+                      sim_fn=None):
         """(keep, grp) candidate mask + group ids via the stride-binned
-        candidates; kernel on TPU, bit-equal emulation elsewhere."""
+        candidates; kernel on TPU, bit-equal emulation elsewhere.
+        ``sim_fn`` builds the emulation's (block, n) sim strip for the
+        non-dot metrics (chord3/l1)."""
         k = max(0, min(k, n - 1))
         if k == 0:
             return None
@@ -201,7 +204,9 @@ def fused_rowblock(cols: Columns, start, block: int,
                 t, tr, valid, start, metric=metric, nbins=nbins,
                 block=block, row_sums=row_sums, tn=tn)
         else:
-            if metric == "jaccard":
+            if sim_fn is not None:
+                sim = sim_fn()
+            elif metric == "jaccard":
                 inter = jnp.dot(tr, t.T,
                                 preferred_element_type=jnp.float32)
                 s_r = (_rows(row_sums, start, block)[:, None]
@@ -239,37 +244,28 @@ def fused_rowblock(cols: Columns, start, block: int,
                 xr = _rows(xc, start, block)
             else:
                 xc, xr = t, tr
-            if binned and use_kernel:
-                vals, grp = bs.binned_candidates_pallas(
-                    xc, xr, valid, start, metric="chord3", nbins=nbins,
-                    block=block, tn=tn)
-                cand_cols.append((bs.budgeted_keep(vals, vr, k_basis), grp))
+            if binned:
+                cand_cols.append(_binned_cands(
+                    xc, xr, valid, vr, k_basis, "chord3",
+                    sim_fn=lambda: -(
+                        (xr[:, 0][:, None] - xc[:, 0][None, :]) ** 2
+                        + (xr[:, 1][:, None] - xc[:, 1][None, :]) ** 2
+                        + (xr[:, 2][:, None] - xc[:, 2][None, :]) ** 2)))
                 continue
             sim = -((xr[:, 0][:, None] - xc[:, 0][None, :]) ** 2
                     + (xr[:, 1][:, None] - xc[:, 1][None, :]) ** 2
                     + (xr[:, 2][:, None] - xc[:, 2][None, :]) ** 2)
-            if binned:
-                vals, grp = bs.binned_candidates_reference(sim, valid,
-                                                           start, nbins)
-                cand_cols.append((bs.budgeted_keep(vals, vr, k_basis), grp))
-                continue
             mats.append(knn_b(sim, vr, valid, k_basis, start, approx))
         elif kind == "time":
-            if binned and use_kernel:
-                vals, grp = bs.binned_candidates_pallas(
-                    t, tr, valid, start, metric="l1", nbins=nbins,
-                    block=block, tn=tn)
-                cand_cols.append((bs.budgeted_keep(vals, vr, 3 * k_basis),
-                                  grp))
+            if binned:
+                cand_cols.append(_binned_cands(
+                    t, tr, valid, vr, 3 * k_basis, "l1",
+                    sim_fn=lambda: -(
+                        jnp.abs(tr[:, :1] - t[:, 0][None, :])
+                        + jnp.abs(tr[:, 1:2] - t[:, 1][None, :]))))
                 continue
             sim = -(jnp.abs(tr[:, :1] - t[:, 0][None, :])
                     + jnp.abs(tr[:, 1:2] - t[:, 1][None, :]))
-            if binned:
-                vals, grp = bs.binned_candidates_reference(sim, valid,
-                                                           start, nbins)
-                cand_cols.append((bs.budgeted_keep(vals, vr, 3 * k_basis),
-                                  grp))
-                continue
             mats.append(knn_b(sim, vr, valid, 3 * k_basis, start, approx))
         elif kind == "username":
             same = (tr[:, None] == t[None, :]) & vr[:, None] & valid[None, :]

@@ -138,8 +138,8 @@ def binned_candidates_pallas(cols: jax.Array, rows: jax.Array,
 
     cols: (n, K) full column panel (bf16 or f32; K-padded to 128 for the
     MXU metrics).  rows: (block, K) the row slice (caller slices — start
-    may be traced).  Returns (vals (block, nbins) f32, idx (block, nbins)
-    int32 global column ids).
+    may be traced).  Returns (vals (block, nbins) f32, grp (block, nbins)
+    int8 group ids; global column = grp * nbins + slot).
 
     Grid (block/tm, n/tn), j inner: the (tm, nbins) accumulator block and
     the (tm, K) row tile stay VMEM-resident across the whole column sweep
@@ -260,6 +260,19 @@ def pad_features_128(x: jax.Array) -> jax.Array:
     if pad == 0:
         return x
     return jnp.pad(x, ((0, 0), (0, pad)))
+
+
+def resolve_select(cfg, n: int) -> tuple[str, int]:
+    """Resolve PipelineConfig.huge_window_fused_select for an n-column
+    blocked sweep: (select, nbins) for the blocked_affinity entry points.
+    None = auto (the kernel on TPU, the strip path elsewhere — the XLA
+    emulation is bit-equal but saves nothing on CPU); explicit True forces
+    the binned path (CPU runs the emulation), False forces the strip."""
+    fuse_sel = cfg.huge_window_fused_select
+    if fuse_sel is None:
+        fuse_sel = jax.default_backend() == "tpu"
+    nbins = default_nbins(n, k_max=3 * cfg.k_basis) if fuse_sel else 0
+    return ("binned" if nbins else "strip"), nbins
 
 
 def pick_tn(n: int, nbins: int) -> int:
