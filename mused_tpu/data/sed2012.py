@@ -193,12 +193,23 @@ def parse_metadata(metadata_path: str, ground_truth: dict,
         # regex pipeline was the ingest wall at corpus scale
         cols = native.parse_sed2012(metadata_path,
                                     skip_records=skip_records,
-                                    max_records=max_records, clean=True)
+                                    max_records=max_records, clean=True,
+                                    arrow_strings=True)
         if cols is not None:
             tag_lists, ti = [], 0
             for c in cols["tag_counts"]:
                 tag_lists.append(cols["tags"][ti:ti + c])
                 ti += c
+
+            def _str_col(v):
+                # pyarrow arrays (title/description fast path) wrap into
+                # pandas' str dtype without materializing Python strings;
+                # plain lists take pandas' normal inference (identical
+                # result — the fixture parity tests compare whole frames)
+                if isinstance(v, list):
+                    return v
+                return pd.array(v, dtype=pd.StringDtype(na_value=np.nan))
+
             df = pd.DataFrame({
                 "id": cols["id"],
                 "datetaken": [s.strip() for s in cols["taken"]],
@@ -211,8 +222,8 @@ def parse_metadata(metadata_path: str, ground_truth: dict,
                                      cols["lat"]),
                 "longitude": np.where(np.isnan(cols["lat"]), np.nan,
                                       cols["lon"]),
-                "title": cols["title"],
-                "description": cols["description"],
+                "title": _str_col(cols["title"]),
+                "description": _str_col(cols["description"]),
                 "tags": tag_lists,
                 "username": [s.strip() for s in cols["username"]],
                 "event_id": [ground_truth.get(p, 0) for p in cols["id"]],

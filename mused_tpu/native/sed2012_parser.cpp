@@ -36,6 +36,8 @@
 #include <cstdlib>
 #include <cstring>
 #include <string>
+#include <thread>
+#include <utility>
 #include <vector>
 
 namespace {
@@ -57,6 +59,25 @@ struct Columns {
     void tag_item(const std::string& s) {
         if (tag_items++) tag_blob.push_back('\0');
         tag_blob.append(s);
+    }
+    // splice another chunk's columns onto this one (the parallel-scan
+    // stitch): pure byte appends, no per-record work
+    void append(const Columns& o) {
+        lat.insert(lat.end(), o.lat.begin(), o.lat.end());
+        lon.insert(lon.end(), o.lon.begin(), o.lon.end());
+        for (int c = 0; c < 6; c++) {
+            if (o.str_items[c] == 0) continue;
+            if (str_items[c]) strs[c].push_back('\0');
+            strs[c].append(o.strs[c]);
+            str_items[c] += o.str_items[c];
+        }
+        tag_counts.insert(tag_counts.end(), o.tag_counts.begin(),
+                          o.tag_counts.end());
+        if (o.tag_items) {
+            if (tag_items) tag_blob.push_back('\0');
+            tag_blob.append(o.tag_blob);
+            tag_items += o.tag_items;
+        }
     }
 };
 
@@ -283,54 +304,22 @@ size_t tag_close(const char* data, size_t pos, size_t limit,
     return limit;
 }
 
-}  // namespace
-
-extern "C" {
-
-// Returns the number of records written (>= 0), or -1 on I/O failure.
-// *out_blob receives a malloc'd buffer (caller frees via mused_free_blob);
-// *out_len its byte length.
-int64_t mused_parse_sed2012(const char* path, int64_t skip_records,
-                            int64_t max_records, int64_t clean,
-                            char** out_blob, int64_t* out_len) {
-    FILE* f = fopen(path, "rb");
-    if (!f) return -1;
-    fseek(f, 0, SEEK_END);
-    long size = ftell(f);
-    fseek(f, 0, SEEK_SET);
-    if (size < 0) { fclose(f); return -1; }
-    std::vector<char> body(static_cast<size_t>(size));
-    if (size > 0 && fread(body.data(), 1, size, f) != static_cast<size_t>(size)) {
-        fclose(f);
-        return -1;
-    }
-    fclose(f);
-    // XML line-ending normalization (XML 1.0 §2.11): literal "\r\n" and
-    // lone "\r" in the input become "\n" at parse time, BEFORE entity
-    // decoding ("&#13;" still yields a real '\r').  ElementTree does this;
-    // it changes clean_text results because regex '.' excludes '\n' only —
-    // a span like "<\r...>" matches on raw bytes but not post-parse.
-    {
-        size_t w = 0, r = 0, len = body.size();
-        while (r < len) {
-            char c = body[r++];
-            if (c == '\r') {
-                if (r < len && body[r] == '\n') r++;
-                c = '\n';
-            }
-            body[w++] = c;
-        }
-        body.resize(w);
-    }
-    const char* data = body.data();
-    size_t n = body.size();
-
-    Columns cols;
+// Parse every photo record whose "<photo" START lies in [from, claim_end)
+// into `cols`; record BODIES may extend past claim_end (bounded by n) — the
+// chunk that owns a record's start owns the whole record.  `spans` (when
+// non-null) records each written record's (start, resume) byte positions,
+// which the parallel stitch uses to detect chunk-boundary conflicts.
+// skip/max follow the sequential semantics (the parallel driver only calls
+// with skip=0/max=-1).  Returns the number of records written.
+int64_t scan_range(const char* data, size_t n, size_t from, size_t claim_end,
+                   bool clean, int64_t skip_records, int64_t max_records,
+                   Columns& cols,
+                   std::vector<std::pair<size_t, size_t>>* spans) {
     int64_t seen = 0, written = 0;
-    size_t pos = 0;
-    while (pos < n) {
+    size_t pos = from;
+    while (pos < claim_end) {
         size_t p = find(data, pos, n, "<photo");
-        if (p >= n) break;
+        if (p >= claim_end) break;
         size_t after = p + 6;
         if (after < n && data[after] != ' ' && data[after] != '\t'
                 && data[after] != '\n' && data[after] != '\r'
@@ -343,10 +332,11 @@ int64_t mused_parse_sed2012(const char* path, int64_t skip_records,
         if (tag_end >= n) break;
         size_t photo_end = find_markup(data, tag_end, n, "</photo>");
         size_t body_end = self_closed ? tag_end : photo_end;
+        size_t resume = self_closed ? tag_end : photo_end + 8;
 
         seen++;
         if (seen <= skip_records) {
-            pos = (self_closed ? tag_end : photo_end + 8);
+            pos = resume;
             continue;
         }
         if (max_records >= 0 && written >= max_records) break;
@@ -401,7 +391,123 @@ int64_t mused_parse_sed2012(const char* path, int64_t skip_records,
         cols.tag_counts.push_back(tag_count);
 
         written++;
-        pos = (self_closed ? tag_end : photo_end + 8);
+        if (spans) spans->emplace_back(p, resume);
+        pos = resume;
+    }
+    return written;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns the number of records written (>= 0), or -1 on I/O failure.
+// *out_blob receives a malloc'd buffer (caller frees via mused_free_blob);
+// *out_len its byte length.
+//
+// `threads` splits the scan across chunks cut at "<photo" starts
+// (0 = auto: hardware_concurrency clamped to [1, 16]).  Records are owned
+// by the chunk containing their start; a cut that lands on markup-looking
+// text inside another record's CDATA makes that chunk's first spans overlap
+// the previous chunk's last record, which the stitch detects by byte
+// position and repairs with an exact sequential reparse of the gap — so
+// the threaded output is byte-identical to threads=1 on any input.
+// skip/max bounded scans stay sequential (their record counting is a
+// whole-file prefix walk by definition).
+int64_t mused_parse_sed2012(const char* path, int64_t skip_records,
+                            int64_t max_records, int64_t clean,
+                            int64_t threads, char** out_blob,
+                            int64_t* out_len) {
+    FILE* f = fopen(path, "rb");
+    if (!f) return -1;
+    fseek(f, 0, SEEK_END);
+    long size = ftell(f);
+    fseek(f, 0, SEEK_SET);
+    if (size < 0) { fclose(f); return -1; }
+    std::vector<char> body(static_cast<size_t>(size));
+    if (size > 0 && fread(body.data(), 1, size, f) != static_cast<size_t>(size)) {
+        fclose(f);
+        return -1;
+    }
+    fclose(f);
+    // XML line-ending normalization (XML 1.0 §2.11): literal "\r\n" and
+    // lone "\r" in the input become "\n" at parse time, BEFORE entity
+    // decoding ("&#13;" still yields a real '\r').  ElementTree does this;
+    // it changes clean_text results because regex '.' excludes '\n' only —
+    // a span like "<\r...>" matches on raw bytes but not post-parse.
+    {
+        size_t w = 0, r = 0, len = body.size();
+        while (r < len) {
+            char c = body[r++];
+            if (c == '\r') {
+                if (r < len && body[r] == '\n') r++;
+                c = '\n';
+            }
+            body[w++] = c;
+        }
+        body.resize(w);
+    }
+    const char* data = body.data();
+    size_t n = body.size();
+
+    size_t T;
+    if (threads > 0) {
+        T = static_cast<size_t>(threads > 64 ? 64 : threads);
+    } else {
+        unsigned t_auto = std::thread::hardware_concurrency();
+        T = t_auto ? (t_auto > 16 ? 16 : t_auto) : 1;
+        if (n < (4u << 20)) T = 1;   // tiny files don't amortize spawns
+    }
+    // bounded scans count a whole-file record prefix: sequential by
+    // definition
+    if (skip_records > 0 || max_records >= 0) T = 1;
+
+    Columns cols;
+    int64_t written = 0;
+    if (T <= 1) {
+        written = scan_range(data, n, 0, n, clean != 0, skip_records,
+                             max_records, cols, nullptr);
+    } else {
+        // cut at "<photo" starts near the equal-byte splits; cuts are
+        // nondecreasing (find may return the same position twice -> an
+        // empty chunk, which the stitch skips)
+        std::vector<size_t> cuts(T + 1, 0);
+        cuts[T] = n;
+        for (size_t t = 1; t < T; t++) {
+            size_t c = find(data, n * t / T, n, "<photo");
+            cuts[t] = c < cuts[t - 1] ? cuts[t - 1] : c;
+        }
+        std::vector<Columns> parts(T);
+        std::vector<std::vector<std::pair<size_t, size_t>>> spans(T);
+        std::vector<std::thread> pool;
+        for (size_t t = 0; t < T; t++)
+            pool.emplace_back([&, t] {
+                scan_range(data, n, cuts[t], cuts[t + 1], clean != 0, 0, -1,
+                           parts[t], &spans[t]);
+            });
+        for (auto& th : pool) th.join();
+
+        // stitch in order; `resume` = byte end of the last kept record.  A
+        // chunk whose first record starts before resume began inside the
+        // previous record (a "<photo" inside CDATA): reparse the gap
+        // sequentially — exactness over the (never-observed) hostile case.
+        size_t resume = 0;
+        for (size_t t = 0; t < T; t++) {
+            if (spans[t].empty()) continue;
+            if (spans[t].front().first >= resume) {
+                cols.append(parts[t]);
+                written += static_cast<int64_t>(spans[t].size());
+                resume = spans[t].back().second;
+            } else {
+                size_t from = resume > cuts[t] ? resume : cuts[t];
+                Columns re;
+                std::vector<std::pair<size_t, size_t>> rs;
+                written += scan_range(data, n, from, cuts[t + 1],
+                                      clean != 0, 0, -1, re, &rs);
+                cols.append(re);
+                if (!rs.empty()) resume = rs.back().second;
+            }
+        }
     }
 
     // pack the column-oriented blob (see ABI comment above)

@@ -239,6 +239,67 @@ def test_native_clean_text_fuzz_parity(tmp_path):
     assert len(df) == 150
 
 
+def test_native_parser_threaded_byte_identical(tmp_path):
+    """The chunk-parallel scan (sed2012_parser.cpp scan_range + stitch) must
+    be byte-identical to threads=1 — including when chunk cuts land on
+    '<photo' text inside another record's CDATA (the stitch-conflict
+    reparse) and when records straddle chunk boundaries."""
+    from mused_tpu import native
+    if not native._load_sed():
+        pytest.skip("native toolchain unavailable")
+    import random
+    rng = random.Random(1)
+    parts = ['<?xml version="1.0" encoding="UTF-8"?>\n<photos>\n']
+    for i in range(400):
+        # every few records, a CDATA description containing phantom markup
+        # ('<photo id="evil">', '</photo>') that a naive chunk cut would
+        # misparse; vary record sizes so cuts land everywhere
+        evil = ('<![CDATA[look <photo id="evil" dateTaken="x"> fake '
+                'and </photo> done]]>' if i % 3 == 0 else
+                "plain text " * rng.randint(0, 8))
+        parts.append(
+            f'<photo id="{i}" dateTaken="2012-01-01 00:00:0{i % 10}.0" '
+            f'dateUploaded="2012-01-01 01:00:00.0" username="u{i % 7}">'
+            f'<location latitude="{i % 90}.5" longitude="-{i % 180}.25"/>'
+            f'<title>t {i} {"pad " * rng.randint(0, 6)}</title>'
+            f'<description>{evil}</description>'
+            f'<tags><tag>a{i}</tag><tag>b{i % 5}</tag></tags></photo>\n')
+    parts.append('</photos>\n')
+    p = tmp_path / "mt.xml"
+    p.write_text("".join(parts))
+    seq = native.parse_sed2012(str(p), clean=True, threads=1)
+    for t in (2, 3, 5, 13):
+        par = native.parse_sed2012(str(p), clean=True, threads=t)
+        assert par["n"] == seq["n"] == 400
+        for k in seq:
+            if isinstance(seq[k], list):
+                assert par[k] == seq[k], (t, k)
+            else:
+                np.testing.assert_array_equal(par[k], seq[k], err_msg=f"{t} {k}")
+
+
+def test_native_parser_arrow_strings_roundtrip(tmp_path):
+    """arrow_strings=True returns title/description as pyarrow arrays whose
+    values equal the list path's decode+split, and parse_metadata builds an
+    identical DataFrame either way (it uses arrow_strings internally)."""
+    from mused_tpu import native
+    if not native._load_sed():
+        pytest.skip("native toolchain unavailable")
+    pa = pytest.importorskip("pyarrow")
+    p = tmp_path / "m.xml"
+    p.write_text(GNARLY_XML)
+    lists = native.parse_sed2012(str(p), clean=True)
+    arrow = native.parse_sed2012(str(p), clean=True, arrow_strings=True)
+    assert isinstance(arrow["title"], pa.Array)
+    assert arrow["title"].to_pylist() == lists["title"]
+    assert arrow["description"].to_pylist() == lists["description"]
+    # the helper's framing/UTF-8 guards: malformed inputs fall back to None
+    assert native._arrow_strings_from_blob(b"a\x00b", 3) is None  # count
+    assert native._arrow_strings_from_blob(b"\xff\xfe", 1) is None  # utf-8
+    assert native._arrow_strings_from_blob(b"", 0).to_pylist() == []
+    assert native._arrow_strings_from_blob(b"", 1).to_pylist() == [""]
+
+
 def test_timestamp_column_vectorization_parity():
     """convert_timestamp_column == per-row convert_to_timestamp (reference
     data_loader.py:187-188 semantics: local-time mktime, fractional seconds
