@@ -54,6 +54,9 @@ def main():
     from mused_tpu import native
     from mused_tpu.data import sed2012
 
+    if native.parse_sed2012(PATH, max_records=1, clean=True) is None:
+        sys.exit("native parser unavailable — make -C mused_tpu/native")
+
     # (a) raw C scan + blob decode
     for _ in range(2):
         t0 = time.perf_counter()

@@ -95,6 +95,21 @@ def convert_timestamp_column(values) -> np.ndarray:
     return (secs - np.datetime64(0, "s")).astype(np.float64)
 
 
+_LIST_STR_DTYPE: object = False          # unprobed sentinel
+
+
+def _list_str_dtype():
+    """The dtype pandas infers for a list-of-str column IF it is a string
+    dtype (pandas >= 3 / future string inference), else None — callers keep
+    list columns on None so the native and iterparse ingest paths build
+    dtype-identical frames on any pandas version."""
+    global _LIST_STR_DTYPE
+    if _LIST_STR_DTYPE is False:
+        dtype = pd.Series(["a"]).dtype
+        _LIST_STR_DTYPE = None if dtype == np.dtype(object) else dtype
+    return _LIST_STR_DTYPE
+
+
 def parse_ground_truth(lines, ground_truth: dict, class_counter: int = 1) -> int:
     """One ground-truth txt: each line lists a comma-separated photo-id group
     forming one event class (reference data_loader.py:115-128).  Returns the
@@ -181,7 +196,9 @@ def parse_metadata(metadata_path: str, ground_truth: dict,
     the native scanner reads the whole file (<= ~3x corpus size peak;
     measured 0.75 GB RSS on a 96 MB corpus) for a ~3.8x end-to-end speedup;
     the Python iterparse fallback streams at O(one record) — prefer it via
-    the env var on memory-constrained hosts.
+    the env var on memory-constrained hosts.  The threaded scan
+    (MUSED_TPU_PARSER_THREADS) stitches chunk outputs by move, adding at
+    most ~one chunk of transient memory over the sequential bound.
     """
     if use_native is None:
         use_native = os.environ.get("MUSED_TPU_NO_NATIVE_PARSER", "") != "1"
@@ -203,12 +220,17 @@ def parse_metadata(metadata_path: str, ground_truth: dict,
 
             def _str_col(v):
                 # pyarrow arrays (title/description fast path) wrap into
-                # pandas' str dtype without materializing Python strings;
-                # plain lists take pandas' normal inference (identical
-                # result — the fixture parity tests compare whole frames)
+                # pandas' inferred string dtype without materializing
+                # Python strings; plain lists take pandas' normal
+                # inference (identical result — the fixture parity tests
+                # compare whole frames).  On pandas < 3 (lists infer
+                # object dtype) the arrow array is converted back to a
+                # list so native and iterparse frames stay identical.
                 if isinstance(v, list):
                     return v
-                return pd.array(v, dtype=pd.StringDtype(na_value=np.nan))
+                dtype = _list_str_dtype()
+                return v.to_pylist() if dtype is None else pd.array(
+                    v, dtype=dtype)
 
             df = pd.DataFrame({
                 "id": cols["id"],

@@ -30,6 +30,7 @@
 //
 // Build: make -C mused_tpu/native  (libmused_sed2012.so)
 
+#include <atomic>
 #include <cctype>
 #include <cstdint>
 #include <cstdio>
@@ -60,24 +61,45 @@ struct Columns {
         if (tag_items++) tag_blob.push_back('\0');
         tag_blob.append(s);
     }
+    bool empty() const {
+        if (!lat.empty() || !lon.empty() || !tag_counts.empty() || tag_items)
+            return false;
+        for (size_t c : str_items)
+            if (c) return false;
+        return true;
+    }
+
     // splice another chunk's columns onto this one (the parallel-scan
-    // stitch): pure byte appends, no per-record work
-    void append(const Columns& o) {
+    // stitch): pure byte appends, no per-record work.  Takes ownership —
+    // the first splice into an empty store is a move, later ones append
+    // then release o's buffers, so peak transient memory is one extra
+    // chunk, not a second copy of the whole corpus.
+    void append(Columns&& o) {
+        if (empty()) {
+            *this = std::move(o);
+            return;
+        }
         lat.insert(lat.end(), o.lat.begin(), o.lat.end());
         lon.insert(lon.end(), o.lon.begin(), o.lon.end());
+        o.lat = std::vector<double>();
+        o.lon = std::vector<double>();
         for (int c = 0; c < 6; c++) {
-            if (o.str_items[c] == 0) continue;
-            if (str_items[c]) strs[c].push_back('\0');
-            strs[c].append(o.strs[c]);
-            str_items[c] += o.str_items[c];
+            if (o.str_items[c]) {
+                if (str_items[c]) strs[c].push_back('\0');
+                strs[c].append(o.strs[c]);
+                str_items[c] += o.str_items[c];
+            }
+            o.strs[c] = std::string();
         }
         tag_counts.insert(tag_counts.end(), o.tag_counts.begin(),
                           o.tag_counts.end());
+        o.tag_counts = std::vector<uint32_t>();
         if (o.tag_items) {
             if (tag_items) tag_blob.push_back('\0');
             tag_blob.append(o.tag_blob);
             tag_items += o.tag_items;
         }
+        o.tag_blob = std::string();
     }
 };
 
@@ -397,10 +419,10 @@ int64_t scan_range(const char* data, size_t n, size_t from, size_t claim_end,
     return written;
 }
 
-}  // namespace
-
-extern "C" {
-
+// Implementation behind the extern "C" entry (which adds the catch-all:
+// no exception — thread-spawn system_error, bad_alloc — may cross the
+// ctypes boundary; the ABI contract is "return -1 on failure").
+//
 // Returns the number of records written (>= 0), or -1 on I/O failure.
 // *out_blob receives a malloc'd buffer (caller frees via mused_free_blob);
 // *out_len its byte length.
@@ -413,11 +435,13 @@ extern "C" {
 // position and repairs with an exact sequential reparse of the gap — so
 // the threaded output is byte-identical to threads=1 on any input.
 // skip/max bounded scans stay sequential (their record counting is a
-// whole-file prefix walk by definition).
-int64_t mused_parse_sed2012(const char* path, int64_t skip_records,
-                            int64_t max_records, int64_t clean,
-                            int64_t threads, char** out_blob,
-                            int64_t* out_len) {
+// whole-file prefix walk by definition).  A failed threaded attempt
+// (thread limits, worker allocation failure) falls back to the
+// sequential scan rather than erroring.
+int64_t parse_sed2012_impl(const char* path, int64_t skip_records,
+                           int64_t max_records, int64_t clean,
+                           int64_t threads, char** out_blob,
+                           int64_t* out_len) {
     FILE* f = fopen(path, "rb");
     if (!f) return -1;
     fseek(f, 0, SEEK_END);
@@ -464,51 +488,74 @@ int64_t mused_parse_sed2012(const char* path, int64_t skip_records,
 
     Columns cols;
     int64_t written = 0;
-    if (T <= 1) {
-        written = scan_range(data, n, 0, n, clean != 0, skip_records,
-                             max_records, cols, nullptr);
-    } else {
-        // cut at "<photo" starts near the equal-byte splits; cuts are
-        // nondecreasing (find may return the same position twice -> an
-        // empty chunk, which the stitch skips)
-        std::vector<size_t> cuts(T + 1, 0);
-        cuts[T] = n;
-        for (size_t t = 1; t < T; t++) {
-            size_t c = find(data, n * t / T, n, "<photo");
-            cuts[t] = c < cuts[t - 1] ? cuts[t - 1] : c;
-        }
-        std::vector<Columns> parts(T);
-        std::vector<std::vector<std::pair<size_t, size_t>>> spans(T);
-        std::vector<std::thread> pool;
-        for (size_t t = 0; t < T; t++)
-            pool.emplace_back([&, t] {
-                scan_range(data, n, cuts[t], cuts[t + 1], clean != 0, 0, -1,
-                           parts[t], &spans[t]);
-            });
-        for (auto& th : pool) th.join();
-
-        // stitch in order; `resume` = byte end of the last kept record.  A
-        // chunk whose first record starts before resume began inside the
-        // previous record (a "<photo" inside CDATA): reparse the gap
-        // sequentially — exactness over the (never-observed) hostile case.
-        size_t resume = 0;
-        for (size_t t = 0; t < T; t++) {
-            if (spans[t].empty()) continue;
-            if (spans[t].front().first >= resume) {
-                cols.append(parts[t]);
-                written += static_cast<int64_t>(spans[t].size());
-                resume = spans[t].back().second;
-            } else {
-                size_t from = resume > cuts[t] ? resume : cuts[t];
-                Columns re;
-                std::vector<std::pair<size_t, size_t>> rs;
-                written += scan_range(data, n, from, cuts[t + 1],
-                                      clean != 0, 0, -1, re, &rs);
-                cols.append(re);
-                if (!rs.empty()) resume = rs.back().second;
+    bool done = false;
+    if (T > 1) {
+        try {
+            // cut at "<photo" starts near the equal-byte splits; cuts are
+            // nondecreasing (find may return the same position twice -> an
+            // empty chunk, which the stitch skips)
+            std::vector<size_t> cuts(T + 1, 0);
+            cuts[T] = n;
+            for (size_t t = 1; t < T; t++) {
+                size_t c = find(data, n * t / T, n, "<photo");
+                cuts[t] = c < cuts[t - 1] ? cuts[t - 1] : c;
             }
+            std::vector<Columns> parts(T);
+            std::vector<std::vector<std::pair<size_t, size_t>>> spans(T);
+            std::atomic<bool> failed{false};
+            std::vector<std::thread> pool;
+            try {
+                for (size_t t = 0; t < T; t++)
+                    pool.emplace_back([&, t] {
+                        try {
+                            scan_range(data, n, cuts[t], cuts[t + 1],
+                                       clean != 0, 0, -1, parts[t],
+                                       &spans[t]);
+                        } catch (...) {
+                            failed.store(true);
+                        }
+                    });
+            } catch (...) {
+                failed.store(true);   // spawn limit hit; join what started
+            }
+            for (auto& th : pool) th.join();
+
+            if (!failed.load()) {
+                // stitch in order; `resume` = byte end of the last kept
+                // record.  A chunk whose first record starts before resume
+                // began inside the previous record (a "<photo" inside
+                // CDATA): reparse the gap sequentially — exactness over
+                // the (never-observed) hostile case.
+                size_t resume = 0;
+                for (size_t t = 0; t < T; t++) {
+                    if (spans[t].empty()) continue;
+                    if (spans[t].front().first >= resume) {
+                        written += static_cast<int64_t>(spans[t].size());
+                        resume = spans[t].back().second;
+                        cols.append(std::move(parts[t]));
+                    } else {
+                        size_t from = resume > cuts[t] ? resume : cuts[t];
+                        Columns re;
+                        std::vector<std::pair<size_t, size_t>> rs;
+                        written += scan_range(data, n, from, cuts[t + 1],
+                                              clean != 0, 0, -1, re, &rs);
+                        cols.append(std::move(re));
+                        if (!rs.empty()) resume = rs.back().second;
+                    }
+                }
+                done = true;
+            }
+        } catch (...) {
+            // fall through to the sequential scan
+        }
+        if (!done) {
+            cols = Columns();
+            written = 0;
         }
     }
+    if (!done)
+        written = scan_range(data, n, 0, n, clean != 0, skip_records,
+                             max_records, cols, nullptr);
 
     // pack the column-oriented blob (see ABI comment above)
     std::string out_s;
@@ -535,6 +582,22 @@ int64_t mused_parse_sed2012(const char* path, int64_t skip_records,
     *out_blob = out;
     *out_len = static_cast<int64_t>(out_s.size());
     return written;
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t mused_parse_sed2012(const char* path, int64_t skip_records,
+                            int64_t max_records, int64_t clean,
+                            int64_t threads, char** out_blob,
+                            int64_t* out_len) {
+    try {
+        return parse_sed2012_impl(path, skip_records, max_records, clean,
+                                  threads, out_blob, out_len);
+    } catch (...) {   // bad_alloc etc.: the ABI promises -1, never an abort
+        return -1;
+    }
 }
 
 void mused_free_blob(char* blob) { free(blob); }
