@@ -451,6 +451,18 @@ class StreamingEngine:
                     "sketch merge); other approaches need window_size <= "
                     f"{LARGE_WINDOW_ROWS} or data_shards=1")
             self.mesh = mesh_mod.make_mesh(n_data=cfg.data_shards)
+        if cfg.huge_window_layout not in ("rows", "columns"):
+            raise ValueError(
+                f"huge_window_layout={cfg.huge_window_layout!r}: expected "
+                "'rows' (replicated features, row blocks sharded) or "
+                "'columns' (features column-sharded — the capacity layout)")
+        if (cfg.huge_window_layout == "columns"
+                and cfg.huge_window_fused_select is False):
+            raise ValueError(
+                "huge_window_layout='columns' IS the fused stride-binned "
+                "selection sharded over the mesh (a full sim strip cannot "
+                "exist on one chip there); huge_window_fused_select=False "
+                "is contradictory")
 
     # ------------------------------------------------------------------
     def host_snapshot(self) -> dict:
@@ -501,17 +513,31 @@ class StreamingEngine:
         p = self.mesh.shape["data"] if self.mesh is not None else 1
         block = min(LARGE_BLOCK, max(n // p, 1))
         pad = (-n) % (block * p)
+        n_pad = n + pad
+        # "columns" layout: the features themselves shard over the mesh —
+        # never build the full-window column panels on any one device
+        col_layout = (self.mesh is not None
+                      and cfg.huge_window_layout == "columns")
+        feats_t = types_t = None
         if isinstance(features, (featmod.WindowFeatures,
                                  featmod.SparseWindowFeatures)):
             if pad:
                 from mused_tpu.engine.batch import _pad_window_features
                 features = _pad_window_features(features, pad)
-            cols = ba.standard_columns(features, cfg.features)
+            if col_layout:
+                feats_t = tuple(features)
+                types_t = _types_for(features, modality_types)
+            else:
+                cols = ba.standard_columns(features, cfg.features)
         else:
             mats = [np.pad(np.asarray(m, np.float32), ((0, pad), (0, 0)),
                            constant_values=np.nan) if pad else m
                     for m in features]
-            cols = ba.generic_columns(mats, tuple(modality_types))
+            if col_layout:
+                feats_t = tuple(np.asarray(m, np.float32) for m in mats)
+                types_t = tuple(modality_types)
+            else:
+                cols = ba.generic_columns(mats, tuple(modality_types))
 
         if cfg.approach == "DBSCAN_incr":
             raise ValueError(
@@ -521,12 +547,24 @@ class StreamingEngine:
         # fused stride-binned candidate selection (text/tags kNN without the
         # HBM sim strip): auto on TPU, or per the explicit config override
         from mused_tpu.ops.pallas import blocked_select as bsel
-        select, nbins = bsel.resolve_select(cfg, cols.n)
+        if not col_layout:
+            select, nbins = bsel.resolve_select(cfg, cols.n)
         key = jax.random.fold_in(jax.random.key(cfg.seed), window_index)
         with self.timer.span("device_step"):
             if cfg.approach == "SWFDMC":
                 ell = min(cfg.reduced_dim, n)
-                if self.mesh is not None:
+                if col_layout:
+                    # capacity layout: feature shards + column-sharded FD
+                    # fold (parallel/colsharded) — each chip holds 1/p of
+                    # the window's panels and every collective rides ICI
+                    from mused_tpu.parallel import colsharded as cs
+                    sk, sq_fro, _loss = cs.colsharded_blocked_fd_sketch(
+                        feats_t, types_t, ell=ell, block=block,
+                        k_basis=cfg.k_basis, mesh=self.mesh,
+                        mode=cfg.fd_shrink,
+                        tags_dim=cfg.features.tags_hash_dim,
+                        text_dim=cfg.features.text_hash_dim)
+                elif self.mesh is not None:
                     # row-sharded blocked sweep + ICI sketch merge: each chip
                     # rematerializes its own range of adjacency row blocks
                     from mused_tpu.parallel import sharded as shard_mod
@@ -884,7 +922,8 @@ def process_streaming_data(results, data_modalities, modality_types,
                            merge_topology: str = "allgather",
                            verbose: bool = False, matching: str = "auto",
                            windows_per_batch: int = 1,
-                           k_estimate: str = "labels"):
+                           k_estimate: str = "labels",
+                           huge_window_layout: str = "rows"):
     """Drop-in equivalent of reference main.py:13-130.
 
     New over the reference: pass ``checkpoint_dir`` to checkpoint the full
@@ -908,7 +947,8 @@ def process_streaming_data(results, data_modalities, modality_types,
             n_clusters_override=int(n_clusters_total),
             data_shards=data_shards, merge_topology=merge_topology,
             verbose=verbose, matching=matching,
-            windows_per_batch=windows_per_batch, k_estimate=k_estimate)
+            windows_per_batch=windows_per_batch, k_estimate=k_estimate,
+            huge_window_layout=huge_window_layout)
 
     engine = StreamingEngine(cfg)
     all_clusters: list[np.ndarray] = []

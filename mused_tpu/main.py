@@ -178,6 +178,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--merge-topology", choices=["allgather", "ring"],
                    default="allgather",
                    help="multi-chip FD sketch merge collective")
+    p.add_argument("--huge-window-layout", choices=["rows", "columns"],
+                   default="rows",
+                   help="multi-chip huge-window sweep layout: rows = "
+                        "replicated features, row blocks sharded "
+                        "(throughput); columns = features column-sharded "
+                        "over the mesh (capacity — windows whose panels "
+                        "exceed one chip's HBM; SWFDMC only)")
     p.add_argument("--windows-per-batch", type=int, default=1,
                    help="dispatch this many tumbling windows per device call "
                         "(one lax.scan; numerically identical to per-window "
@@ -253,6 +260,8 @@ def cli(argv=None) -> int:
                                        engine_opts={
                                            "data_shards": args.data_shards,
                                            "merge_topology": args.merge_topology,
+                                           "huge_window_layout":
+                                               args.huge_window_layout,
                                            "verbose": args.verbose,
                                            "matching": args.matching,
                                            "windows_per_batch":

@@ -132,6 +132,7 @@ def binned_candidates_pallas(cols: jax.Array, rows: jax.Array,
                              col_valid: jax.Array, start, *,
                              metric: str, nbins: int, block: int,
                              row_sums: jax.Array | None = None,
+                             row_stats: jax.Array | None = None,
                              tn: int = 512, tm: int = 2048,
                              interpret: bool = False):
     """Stride-binned kNN candidates for rows [start, start+block).
@@ -140,6 +141,15 @@ def binned_candidates_pallas(cols: jax.Array, rows: jax.Array,
     MXU metrics).  rows: (block, K) the row slice (caller slices — start
     may be traced).  Returns (vals (block, nbins) f32, grp (block, nbins)
     int8 group ids; global column = grp * nbins + slot).
+
+    ``row_stats`` optionally supplies the (block,) row-side metric
+    statistics explicitly (jaccard token sums / chord squared norms).  The
+    default slices them out of ``row_sums`` — correct only when the row
+    panel is a slice of the column panel.  Column-sharded callers
+    (parallel/colsharded.py) hold only a column SHARD: their row panel is
+    psum-broadcast from the owner chip and ``start`` is the shard-local
+    offset (possibly negative, used solely for the self-column mask), so
+    the row stats must arrive pre-sliced.
 
     Grid (block/tm, n/tn), j inner: the (tm, nbins) accumulator block and
     the (tm, K) row tile stay VMEM-resident across the whole column sweep
@@ -159,8 +169,11 @@ def binned_candidates_pallas(cols: jax.Array, rows: jax.Array,
     colv = col_valid.astype(jnp.float32).reshape(1, n)
     if metric in ("jaccard", "chord"):
         assert row_sums is not None, metric
-        s_r = jax.lax.dynamic_slice_in_dim(
-            row_sums, start, block).astype(jnp.float32).reshape(block, 1)
+        if row_stats is not None:
+            s_r = row_stats.astype(jnp.float32).reshape(block, 1)
+        else:
+            s_r = jax.lax.dynamic_slice_in_dim(
+                row_sums, start, block).astype(jnp.float32).reshape(block, 1)
         s_c = row_sums.astype(jnp.float32).reshape(1, n)
     else:   # dummy tiny operands so the kernel signature is static
         s_r = jnp.zeros((block, 1), jnp.float32)

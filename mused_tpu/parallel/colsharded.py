@@ -1,0 +1,577 @@
+"""Column-sharded huge-window sweep — the TP / sequence-parallel analog.
+
+The row-sharded huge-window path (parallel/sharded.sharded_blocked_fd_sketch)
+REPLICATES the window's column feature tensors on every chip: each chip
+rematerializes its own range of (block, n) adjacency row blocks against the
+full column panels.  That is the throughput-optimal layout, but it caps the
+window size at one chip's HBM — at n window rows the replicated dense text
+panel alone is n * text_hash_dim bf16 bytes (~0.8 GB at n≈100k, ~8 GB at
+n≈1M), with the tags panel close behind.
+
+This module removes that ceiling by sharding the FEATURES themselves: the
+window-row axis shards over the mesh "data" axis, so chip q owns rows
+[q·n/p, (q+1)·n/p) — which are also that chip's adjacency COLUMNS (the fused
+matrix is n×n over the same rows).  Every chip sweeps EVERY row block, but
+only its (block, n/p) column slice:
+
+  per row block b (lockstep on all chips):
+    row panel = psum(owner chip's slice)                  — O(block·K) ICI
+    stride-binned kNN candidates over the local columns   — MXU/VPU
+      (ops/pallas/blocked_select kernel on TPU, its bit-equal XLA
+       emulation elsewhere)
+    global candidate merge: pmax values, then pmin of the
+      achieving global group                              — O(block·nbins) ICI
+      (bit-identical tie semantics to the single-chip kernel: the lowest
+       global group among achievers of the max wins)
+    replicated exact top-k (budgeted_keep) -> each chip's
+      (block, n/p) adjacency slice, scatter-free          — VPU
+    column-sharded FD absorb: every contraction over the
+      sharded d axis is a psum of a small (m2, r) product — MXU + ICI
+
+The FD shrink math is identical to the single-chip shrinks (ops/fd.py:
+shrink / shrink_rr_pair — same bound arguments, same honest trace-residual
+accounting); only the f32 summation order differs (per-shard partial sums
+combined by the psum).  The per-absorb collectives are tiny: (m2, r) and
+(r, r) products at m2 = ell + block, r = ell + oversample.
+
+Work decomposition vs the row-sharded layout: p chips × (n/block) blocks ×
+(n/p) columns here, vs p chips × (n/(p·block)) blocks × n columns there —
+the same total FLOPs, traded for p× less feature/panel HBM per chip.  Use
+"rows" for throughput when the features fit; "columns" when they do not
+(PipelineConfig.huge_window_layout).
+
+Reference behavior reproduced: the per-modality kNN adjacency conventions of
+/root/reference/matrix_operations.py:14-132 (per-modality k, validity,
+self-exclusion, OR fusion :134-141) and the whole-window sketch feed of
+/root/reference/main.py:58-76 — re-decomposed for a TPU mesh; the reference
+is single-process NumPy and cannot run this regime at all.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from mused_tpu.ops import affinity, fd
+from mused_tpu.ops.pallas import blocked_select as bs
+
+shard_map = jax.shard_map
+
+NEG = affinity.NEG
+_AXIS = "data"
+
+
+# ---------------------------------------------------------------------------
+# geometry
+# ---------------------------------------------------------------------------
+
+def default_nbins_colsharded(n: int, p: int, target_reduction: int = 64,
+                             k_max: int = 0) -> int:
+    """Candidate-bin count for a p-way column-sharded sweep.
+
+    Same structure as blocked_select.default_nbins (nbins = n/g), with the
+    extra constraint p | g so each chip's column shard covers WHOLE
+    candidate groups: n/p = nbins · (g/p).  That makes local binning use
+    the global slot function unchanged (the shard offset q·n/p is a
+    multiple of nbins, so col % nbins is the same slot locally and
+    globally) and keeps per-chip group ids in int8 range.
+
+    Preferences, in order: enough candidate bins for recall (nbins >=
+    8·k_max — floored at g = p, where each LOCAL column is its own bin and
+    per-chip selection is exact), then MXU-lane-aligned bins (128 | nbins),
+    then the largest reduction.  Returns 0 when no structure exists
+    (p ∤ n, or p > the int8 group budget).
+    """
+    if p < 1 or n % p:
+        return 0
+    cands = [g for g in range(p, min(target_reduction, 127) + 1)
+             if g % p == 0 and n % g == 0]
+    if not cands:
+        return 0
+    ok = [g for g in cands if not k_max or (n // g) >= 8 * k_max] or [p]
+    aligned = [g for g in ok if (n // g) % 128 == 0]
+    return n // (max(aligned) if aligned else max(ok))
+
+
+def _bcast_rows(x_local: jax.Array, start, block: int,
+                axis_name: str = _AXIS) -> jax.Array:
+    """Rows [start, start+block) of the row-sharded global tensor,
+    replicated to every chip.
+
+    Each global row block lives wholly on one chip (block | n/p, enforced
+    by the caller); the owner slices locally, everyone else contributes
+    zeros, and one psum replicates the panel — O(block · K) ICI bytes per
+    block instead of the O(n · K) replication the row-sharded layout pays
+    up front.  Exact for every dtype (a one-hot sum adds zeros).
+    """
+    n_local = x_local.shape[0]
+    me = jax.lax.axis_index(axis_name)
+    owner = start // n_local
+    local_start = jnp.where(me == owner, start - owner * n_local, 0)
+    sl = jax.lax.dynamic_slice_in_dim(x_local, local_start, block, axis=0)
+    if sl.dtype == jnp.bool_:
+        contrib = jnp.where(me == owner, sl, False).astype(jnp.int32)
+        return jax.lax.psum(contrib, axis_name).astype(jnp.bool_)
+    contrib = jnp.where(me == owner, sl, jnp.zeros((), sl.dtype))
+    return jax.lax.psum(contrib, axis_name)
+
+
+def _merge_candidates(vals: jax.Array, grp_i8: jax.Array, groups_local: int,
+                      axis_name: str = _AXIS):
+    """Global (block, nbins) candidates from per-chip locals.
+
+    pmax merges the values; the winning group is the LOWEST global group
+    among achievers of the max (pmin over achievers) — exactly the
+    single-chip kernel's strict-> / first-argmax tie rule, since within a
+    chip the local argmax already picked the lowest local group and global
+    group ids increase with the chip index.
+    """
+    me = jax.lax.axis_index(axis_name)
+    g_global = grp_i8.astype(jnp.int32) + me * groups_local
+    vmax = jax.lax.pmax(vals, axis_name)
+    cand = jnp.where(vals == vmax, g_global, jnp.int32(1) << 30)
+    return vmax, jax.lax.pmin(cand, axis_name)
+
+
+def _adjacency_local(keeps, gwins, groups_local: int, nbins: int,
+                     axis_name: str = _AXIS) -> jax.Array:
+    """(block, n/p) bool adjacency slice from replicated kept candidates —
+    the column-sharded mirror of blocked_select.adjacency_from_candidates
+    (same scatter-free broadcast; this chip materializes only the groups it
+    owns, offset me·groups_local in the global group space)."""
+    me = jax.lax.axis_index(axis_name)
+    block = keeps[0].shape[0]
+    gids = me * groups_local + jax.lax.broadcasted_iota(
+        jnp.int32, (block, groups_local, nbins), 1)
+    adj = None
+    for keep, gw in zip(keeps, gwins):
+        m = keep[:, None, :] & (gw[:, None, :] == gids)
+        adj = m if adj is None else adj | m
+    return adj.reshape(block, groups_local * nbins)
+
+
+# ---------------------------------------------------------------------------
+# per-shard column prep (mirror of blocked_affinity.standard_columns /
+# generic_columns with the text document frequencies psum'd over the mesh)
+# ---------------------------------------------------------------------------
+
+def _unit_xyz(latlon, valid):
+    r = jnp.deg2rad(jnp.where(valid[:, None], latlon, 0.0))
+    return jnp.stack([jnp.cos(r[:, 0]) * jnp.cos(r[:, 1]),
+                      jnp.cos(r[:, 0]) * jnp.sin(r[:, 1]),
+                      jnp.sin(r[:, 0])], axis=1)
+
+
+def _prep_local_modalities(feat_shards: tuple, types: tuple, k_basis: int,
+                           tags_dim: int, text_dim: int,
+                           axis_name: str = _AXIS) -> list:
+    """Per-chip modality descriptors [(metric, tensor, valid, stats, k)].
+
+    ``metric`` is a blocked_select kernel metric ("dot"/"jaccard"/"chord3"/
+    "l1"/"chord") or "username" (dense equality, no kNN).  ``stats`` is the
+    (n/p,) row statistic the metric needs (jaccard token sums, chord squared
+    norms), else None.  Numerics identical to blocked_affinity's column
+    builders; the TF-IDF document frequencies are GLOBAL via psum
+    (reference matrix_operations.py:91-110 fits one vectorizer on the whole
+    window)."""
+    if types[0] == "standard_sparse":
+        loc, tim, uid, tags_ids, text_ids, text_cnt, tags_valid = feat_shards
+        tags = affinity.counts_from_tokens(tags_ids, None, tags_dim)
+        text = affinity.counts_from_tokens(text_ids, text_cnt, text_dim)
+        uid = uid.astype(jnp.int32)
+    elif types == ("standard",):
+        loc, tim, uid, tags, text, tags_valid = feat_shards
+        tags = tags.astype(jnp.float32)
+        text = text.astype(jnp.float32)
+        uid = uid.astype(jnp.int32)
+    else:
+        return _prep_generic(feat_shards, types, k_basis)
+
+    loc_valid = jnp.all(jnp.isfinite(loc), axis=1)
+    tim_valid = (jnp.all(jnp.isfinite(tim), axis=1)
+                 & (tim[:, 0] != 0.0) & (tim[:, 1] != 0.0))
+    text_valid = jnp.sum(text, axis=1) > 0
+    n_docs = jnp.maximum(jax.lax.psum(
+        jnp.sum(text_valid.astype(jnp.float32)), axis_name), 1.0)
+    df = jax.lax.psum(
+        jnp.sum((text > 0) & text_valid[:, None], axis=0).astype(jnp.float32),
+        axis_name)
+    idf = jnp.log((1.0 + n_docs) / (1.0 + df)) + 1.0
+    text = text * idf[None, :]
+    text = text / jnp.maximum(jnp.linalg.norm(text, axis=1, keepdims=True),
+                              1e-12)
+    tags_sums = jnp.sum(tags, axis=1)         # f32 BEFORE the bf16 cast
+    return [
+        ("chord3", _unit_xyz(loc, loc_valid), loc_valid, None, k_basis),
+        ("l1", tim, tim_valid, None, 3 * k_basis),
+        ("username", uid, uid >= 0, None, 0),
+        ("jaccard", bs.pad_features_128(tags.astype(jnp.bfloat16)),
+         tags_valid, tags_sums, k_basis),
+        ("dot", bs.pad_features_128(text.astype(jnp.bfloat16)),
+         text_valid, None, k_basis),
+    ]
+
+
+def _prep_generic(feat_shards: tuple, types: tuple, k_basis: int) -> list:
+    """Generic numeric modalities (embedding / location / time / default) —
+    the column-sharded mirror of blocked_affinity.generic_columns's kinds."""
+    mods = []
+    for x, t in zip(feat_shards, types):
+        x = x.astype(jnp.float32)
+        if t == "location":
+            valid = jnp.all(jnp.isfinite(x), axis=1)
+            mods.append(("chord3", _unit_xyz(x, valid), valid, None, k_basis))
+        elif t == "time":
+            valid = (jnp.all(jnp.isfinite(x), axis=1)
+                     & (x[:, 0] != 0.0) & (x[:, 1] != 0.0))
+            mods.append(("l1", jnp.where(valid[:, None], x, 0.0), valid,
+                         None, 3 * k_basis))
+        elif t == "embedding":
+            fin = jnp.all(jnp.isfinite(x), axis=1)
+            safe = jnp.where(fin[:, None], x, 0.0)
+            norm = jnp.linalg.norm(safe, axis=1, keepdims=True)
+            unit = safe / jnp.maximum(norm, 1e-12)
+            mods.append(("dot", bs.pad_features_128(unit),
+                         fin & (norm[:, 0] > 0), None, k_basis))
+        else:   # default euclidean: k includes self (ref :112-119)
+            valid = jnp.all(jnp.isfinite(x), axis=1)
+            safe = jnp.where(valid[:, None], x, 0.0)
+            mods.append(("chord", bs.pad_features_128(safe), valid,
+                         jnp.sum(safe * safe, axis=1),
+                         max(1, k_basis) - 1))
+    return mods
+
+
+def _sim_strip(metric: str, t, tr, s_c, s_r):
+    """(block, n/p) similarity strip for the XLA emulation path — the same
+    formulas as blocked_affinity.fused_rowblock's strip builders and the
+    kernel's _sim_tile (the emulation oracle is bit-parity-tested against
+    the kernel)."""
+    if metric == "dot":
+        return jnp.dot(tr, t.T, preferred_element_type=jnp.float32)
+    if metric == "jaccard":
+        inter = jnp.dot(tr, t.T, preferred_element_type=jnp.float32)
+        return inter / jnp.maximum(
+            s_r[:, None] + s_c[None, :] - inter, 1e-9)
+    if metric == "chord3":
+        return -((tr[:, 0][:, None] - t[:, 0][None, :]) ** 2
+                 + (tr[:, 1][:, None] - t[:, 1][None, :]) ** 2
+                 + (tr[:, 2][:, None] - t[:, 2][None, :]) ** 2)
+    if metric == "l1":
+        return -(jnp.abs(tr[:, :1] - t[:, 0][None, :])
+                 + jnp.abs(tr[:, 1:2] - t[:, 1][None, :]))
+    if metric == "chord":
+        d2 = (s_r[:, None] + s_c[None, :]
+              - 2.0 * jnp.dot(tr, t.T, preferred_element_type=jnp.float32))
+        return -jnp.maximum(d2, 0.0)
+    raise ValueError(f"unknown metric {metric}")
+
+
+def _fused_block_local(mods: list, start, block: int, n: int, nbins: int,
+                       use_kernel: bool, tn: int,
+                       axis_name: str = _AXIS) -> jax.Array:
+    """This chip's (block, n/p) slice of fused adjacency rows
+    [start, start+block) — OR of the per-modality kNN adjacencies
+    (reference matrix_operations.py:134-141)."""
+    n_local = mods[0][1].shape[0]
+    groups_local = n_local // nbins
+    me = jax.lax.axis_index(axis_name)
+    # self-column mask offset: the kernel/emulation compare
+    # (start_adj + local row) == local column  <=>  global row == global col
+    start_adj = start - me * n_local
+
+    keeps, gwins, dense = [], [], []
+    for metric, t, valid, stats, k in mods:
+        vr = _bcast_rows(valid, start, block, axis_name)
+        if metric == "username":
+            # connects ALL same-user rows, k ignored (ref :55-72)
+            tr = _bcast_rows(t, start, block, axis_name)
+            same = (tr[:, None] == t[None, :]) & vr[:, None] & valid[None, :]
+            not_self = ((start + jnp.arange(block))[:, None]
+                        != (me * n_local + jnp.arange(n_local))[None, :])
+            dense.append(same & not_self)
+            continue
+        k_eff = max(0, min(k, n - 1))
+        if k_eff == 0:
+            continue
+        tr = _bcast_rows(t, start, block, axis_name)
+        sr = (_bcast_rows(stats, start, block, axis_name)
+              if stats is not None else None)
+        if use_kernel:
+            vals, grp = bs.binned_candidates_pallas(
+                t, tr, valid, start_adj, metric=metric, nbins=nbins,
+                block=block, row_sums=stats, row_stats=sr, tn=tn)
+        else:
+            sim = _sim_strip(metric, t, tr, stats, sr)
+            vals, grp = bs.binned_candidates_reference(sim, valid,
+                                                       start_adj, nbins)
+        vmax, gwin = _merge_candidates(vals, grp, groups_local, axis_name)
+        keeps.append(bs.budgeted_keep(vmax, vr, k_eff))
+        gwins.append(gwin)
+
+    if keeps:
+        fused = _adjacency_local(keeps, gwins, groups_local, nbins, axis_name)
+        for m in dense:
+            fused = fused | m
+    else:
+        fused = dense[0]
+        for m in dense[1:]:
+            fused = fused | m
+    return fused
+
+
+# ---------------------------------------------------------------------------
+# column-sharded FD shrinks: d-contractions psum over the mesh
+# ---------------------------------------------------------------------------
+
+def _shrink_eigh_psum(sketch_l: jax.Array, rows_l: jax.Array, ell: int,
+                      axis_name: str = _AXIS, eps: float = 1e-30):
+    """Classic FD shrink (ops/fd.shrink) on the column-sharded stack
+    [sketch; rows]: the (m2, m2) Gram accumulates shard partials by psum,
+    the small eigh runs replicated (identical inputs on every chip), and
+    the reconstruction stays local.  Same guarantee, psum summation order.
+    """
+    hi = jax.lax.Precision.HIGHEST
+    s = jnp.concatenate([sketch_l, rows_l.astype(jnp.float32)], axis=0)
+    gram = jax.lax.psum(
+        jnp.dot(s, s.T, preferred_element_type=jnp.float32, precision=hi),
+        axis_name)
+    lam, u = jnp.linalg.eigh(gram)
+    lam = jnp.maximum(lam[::-1], 0.0)
+    u = u[:, ::-1]
+    delta = lam[ell]
+    scale = jnp.sqrt(jnp.maximum(lam - delta, 0.0) / jnp.maximum(lam, eps))
+    shrunk = jnp.dot(u.T * scale[:, None], s,
+                     preferred_element_type=jnp.float32, precision=hi)[:ell]
+    return shrunk, delta
+
+
+def _shrink_rr_pair_psum(sketch_l: jax.Array, rows_l: jax.Array, ell: int,
+                         axis_name: str = _AXIS, oversample: int = 16,
+                         power_iters: int = 1):
+    """fd.shrink_rr_pair on column-sharded operands: the iterate v (m2, r)
+    and the Rayleigh quotient are replicated; y = S^T v stays sharded
+    (d/p, r); every contraction over d — S y, y^T y, the norms — psums its
+    shard partials.  Identical math and honest trace-residual accounting;
+    only f32 summation order differs."""
+    hi = jax.lax.Precision.HIGHEST
+    ellr = sketch_l.shape[0]
+    m2 = ellr + rows_l.shape[0]
+    r = min(ell + oversample, m2)
+    rows_f = rows_l.astype(jnp.float32)       # fuses into the dots' loads
+
+    def _whiten(v):                            # v replicated -> local math
+        c = jnp.dot(v.T, v, precision=hi)
+        lam_c, u_c = jnp.linalg.eigh(c)
+        inv_sqrt = jnp.where(lam_c > 1e-8 * jnp.max(lam_c),
+                             1.0 / jnp.sqrt(jnp.maximum(lam_c, 1e-30)), 0.0)
+        return jnp.dot(v, (u_c * inv_sqrt[None, :]) @ u_c.T, precision=hi)
+
+    def _st(v):                                # S^T v: (d/p, r), local
+        return (jnp.dot(sketch_l.T, v[:ellr], precision=hi)
+                + jnp.dot(rows_f.T, v[ellr:], precision=hi))
+
+    def _s(y):                                 # S y: (m2, r), psum over d
+        local = jnp.concatenate([jnp.dot(sketch_l, y, precision=hi),
+                                 jnp.dot(rows_f, y, precision=hi)], axis=0)
+        return jax.lax.psum(local, axis_name)
+
+    v = jax.random.normal(jax.random.key(7), (m2, r), jnp.float32)
+    for _ in range(power_iters):
+        v = _whiten(_s(_st(v)))
+    y = _st(v)
+    h = jax.lax.psum(jnp.dot(y.T, y, precision=hi), axis_name)
+    h = 0.5 * (h + h.T)
+    _, pvec = jnp.linalg.eigh(h)
+    b = jnp.dot(pvec[:, ::-1][:, :ell].T, y.T, precision=hi)   # (ell, d/p)
+    sq = jax.lax.psum(jnp.sum(sketch_l * sketch_l)
+                      + jnp.sum(jnp.square(rows_f), dtype=jnp.float32),
+                      axis_name)
+    bsq = jax.lax.psum(jnp.sum(b * b), axis_name)
+    delta = jnp.maximum(sq - bsq, 0.0)
+    return b.astype(sketch_l.dtype), delta
+
+
+def _update_colsharded(state: fd.FDState, rows_l: jax.Array, mode: str,
+                       axis_name: str = _AXIS) -> fd.FDState:
+    """fd.update_stream on a column-sharded (m, n/p) row slice: the same
+    absorb granularity as the single-chip fold (eigh chunks ell rows per
+    shrink, rr absorbs the whole block — fd.update_stream's block choice),
+    so the two folds run the SAME sequence of shrinks and differ only in
+    psum summation order."""
+    m = rows_l.shape[0]
+    ell = state.ell
+    chunk = ell if mode == "eigh" else max(ell, min(m, 4096))
+    if m <= chunk:
+        return _absorb_colsharded(state, rows_l, mode, axis_name)
+    n_chunks = -(-m // chunk)
+    pad = n_chunks * chunk - m
+    if pad:    # zero rows are exact FD no-ops (fd.update_stream's padding)
+        rows_l = jnp.concatenate(
+            [rows_l, jnp.zeros((pad, rows_l.shape[1]), rows_l.dtype)], axis=0)
+    chunks = rows_l.reshape(n_chunks, chunk, rows_l.shape[1])
+
+    def body(st, c):
+        return _absorb_colsharded(st, c, mode, axis_name), None
+
+    state, _ = jax.lax.scan(body, state, chunks)
+    return state
+
+
+def _absorb_colsharded(state: fd.FDState, rows_l: jax.Array, mode: str,
+                       axis_name: str = _AXIS) -> fd.FDState:
+    """fd.update_block on a column-sharded (block, n/p) row slice: the skip
+    condition and the Frobenius bookkeeping reduce over the mesh so every
+    chip takes the same branch; zero blocks (padding) stay exact no-ops."""
+    nonzero = jax.lax.psum(
+        jnp.any(rows_l != 0).astype(jnp.float32), axis_name) > 0
+
+    def _absorb(operands):
+        sk, rw = operands
+        if mode == "rr":
+            return _shrink_rr_pair_psum(sk, rw, state.ell, axis_name)
+        return _shrink_eigh_psum(sk, rw, state.ell, axis_name)
+
+    def _skip(operands):
+        return operands[0], jnp.zeros((), jnp.float32)
+
+    new_sketch, delta = jax.lax.cond(nonzero, _absorb, _skip,
+                                     (state.sketch, rows_l))
+    sq_inc = jax.lax.psum(
+        jnp.sum(jnp.square(rows_l.astype(jnp.float32)), dtype=jnp.float32),
+        axis_name)
+    return fd.FDState(
+        sketch=new_sketch,
+        sq_frobenius=state.sq_frobenius + sq_inc,
+        shrink_loss=state.shrink_loss + delta,
+        count=state.count + jnp.int32(rows_l.shape[0]),
+    )
+
+
+# ---------------------------------------------------------------------------
+# entry points
+# ---------------------------------------------------------------------------
+
+def _place_row_sharded(feats: tuple, mesh) -> tuple:
+    """device_put each (n, ...) feature array row-sharded over the mesh —
+    the host array splits straight to per-chip shards; the full panel never
+    materializes on any single device (the whole point of this layout)."""
+    out = []
+    for x in feats:
+        spec = P(_AXIS, *([None] * (getattr(x, "ndim", 1) - 1)))
+        out.append(jax.device_put(x, NamedSharding(mesh, spec)))
+    return tuple(out)
+
+
+def colsharded_blocked_fd_sketch(feats: tuple, types: tuple, *, ell: int,
+                                 block: int, k_basis: int, mesh,
+                                 mode: str = "subspace",
+                                 tags_dim: int = 2048, text_dim: int = 4096,
+                                 nbins: int | None = None):
+    """FD sketch (ell, n) of the implicit fused adjacency of a HUGE window,
+    with the window's FEATURES column-sharded over the mesh "data" axis.
+
+    ``feats``/``types`` follow the engine's feature-layout encoding
+    (("standard_sparse",) | ("standard",) | generic modality types — see
+    engine.streaming._fuse_dispatch); arrays are (n, ...) host or device and
+    are placed row-sharded here.  Returns (sketch (ell, n) column-sharded
+    global array, sq_frobenius, shrink_loss) — the same contract as
+    blocked_affinity.blocked_fd_sketch, against which this path is
+    adjacency-bit-exact (the fold differs only in psum summation order).
+
+    Requirements: p | n, block | n/p, and a binnable structure
+    (default_nbins_colsharded) — this layout has no strip fallback since a
+    (block, n) strip is exactly what cannot exist on one chip.
+    """
+    n = feats[0].shape[0]
+    p = mesh.shape[_AXIS]
+    if n % p:
+        raise ValueError(f"n={n} must split evenly over data_shards={p}")
+    n_local = n // p
+    if n_local % block:
+        raise ValueError(
+            f"block={block} must divide the per-chip row range n/p="
+            f"{n_local} (pad upstream, as the engine does)")
+    if nbins is None:
+        nbins = default_nbins_colsharded(n, p, k_max=3 * k_basis)
+    if not nbins or n_local % nbins:
+        raise ValueError(
+            f"no column-sharded bin structure for n={n}, p={p} "
+            f"(need p | groups and tn | n/p; got nbins={nbins})")
+    mode = fd.resolve_fold_mode(mode)
+    if mode not in ("eigh", "rr"):
+        raise ValueError(f"colsharded fold supports 'eigh'/'rr' (via "
+                         f"'subspace'), got {mode!r}")
+    feats = _place_row_sharded(feats, mesh)
+    return _colsharded_fd_impl(feats, types=types, ell=ell, block=block,
+                               k_basis=k_basis, mesh=mesh, mode=mode,
+                               tags_dim=tags_dim, text_dim=text_dim,
+                               nbins=nbins)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("types", "ell", "block", "k_basis",
+                                    "mesh", "mode", "tags_dim", "text_dim",
+                                    "nbins"))
+def _colsharded_fd_impl(feats: tuple, *, types: tuple, ell: int, block: int,
+                        k_basis: int, mesh, mode: str, tags_dim: int,
+                        text_dim: int, nbins: int):
+    n = feats[0].shape[0]
+    p = mesh.shape[_AXIS]
+    n_local = n // p
+    use_kernel = jax.default_backend() == "tpu"
+    tn = bs.pick_tn(n_local, nbins)
+    starts = jnp.arange(n // block, dtype=jnp.int32) * block
+
+    def body(*feat_shards):
+        mods = _prep_local_modalities(feat_shards, types, k_basis,
+                                      tags_dim, text_dim)
+        out_dt = jnp.bfloat16 if mode == "rr" else jnp.float32
+
+        def step(state, start):
+            fused = _fused_block_local(mods, start, block, n, nbins,
+                                       use_kernel, tn)
+            return _update_colsharded(state, fused.astype(out_dt), mode), None
+
+        st, _ = jax.lax.scan(step, fd.init(ell, n_local), starts)
+        return (st.sketch, st.sq_frobenius[None], st.shrink_loss[None])
+
+    in_specs = tuple(P(_AXIS, *([None] * (f.ndim - 1))) for f in feats)
+    sketch, sq, loss = shard_map(
+        body, mesh=mesh,
+        in_specs=in_specs,
+        out_specs=(P(None, _AXIS), P(_AXIS), P(_AXIS)),
+        check_vma=False,
+    )(*feats)
+    return sketch, sq[0], loss[0]
+
+
+def colsharded_fused_rows(feats: tuple, types: tuple, *, start: int,
+                          block: int, k_basis: int, mesh,
+                          tags_dim: int = 2048, text_dim: int = 4096,
+                          nbins: int | None = None) -> jax.Array:
+    """(block, n) fused adjacency rows [start, start+block) assembled from
+    the column-sharded sweep — the parity/debug surface (tested bit-equal
+    to blocked_affinity.fused_rowblock's binned path)."""
+    n = feats[0].shape[0]
+    p = mesh.shape[_AXIS]
+    if nbins is None:
+        nbins = default_nbins_colsharded(n, p, k_max=3 * k_basis)
+    if not nbins:
+        raise ValueError(f"no bin structure for n={n}, p={p}")
+    n_local = n // p
+    use_kernel = jax.default_backend() == "tpu"
+    tn = bs.pick_tn(n_local, nbins)
+    feats = _place_row_sharded(feats, mesh)
+
+    def body(*feat_shards):
+        mods = _prep_local_modalities(feat_shards, types, k_basis,
+                                      tags_dim, text_dim)
+        return _fused_block_local(mods, jnp.int32(start), block, n, nbins,
+                                  use_kernel, tn)
+
+    in_specs = tuple(P(_AXIS, *([None] * (f.ndim - 1))) for f in feats)
+    return shard_map(body, mesh=mesh, in_specs=in_specs,
+                     out_specs=P(None, _AXIS), check_vma=False)(*feats)

@@ -145,6 +145,15 @@ class PipelineConfig:
     # 1 = single-chip. window_size must be divisible by data_shards.
     data_shards: int = 1
     merge_topology: str = "allgather"   # SWFD sketch merge: allgather | ring
+    huge_window_layout: str = "rows"
+    # multi-chip HUGE-window (rematerialized blocked) sweep layout:
+    # "rows" = column features replicated, each chip sweeps its own range of
+    # adjacency row blocks (throughput-optimal; parallel/sharded); "columns"
+    # = the features themselves shard over the mesh — each chip holds 1/p of
+    # the window's feature/column panels and sweeps every row block over its
+    # column slice (parallel/colsharded) — the capacity layout for windows
+    # whose replicated panels would not fit one chip's HBM.  SWFDMC only;
+    # always uses the stride-binned fused selection.
     verbose: bool = False    # small-subset debug oracles (ref main.py:35-37,
                              # 51-53, 99-103: eyeball-verification prints)
 

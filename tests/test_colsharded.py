@@ -1,0 +1,193 @@
+"""Column-sharded huge-window sweep (parallel/colsharded): the capacity
+layout — feature tensors sharded over the mesh, per-chip binned candidates
+merged over ICI, column-sharded FD fold with psum'd contractions.
+
+Oracles: the single-chip binned path (ops/blocked_affinity.fused_rowblock
+select="binned") for adjacency bit-exactness, the single-chip blocked FD
+sketch for fold parity (same algorithm, psum summation order), and the FD
+error bound for honesty.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mused_tpu.ops import blocked_affinity as ba, fd
+from mused_tpu.parallel import colsharded as cs
+from mused_tpu.parallel.mesh import make_mesh
+
+
+@pytest.fixture
+def mesh4():
+    return make_mesh(n_data=4)
+
+
+def _standard_window(rng, n=512, h_tags=256, h_text=512):
+    from mused_tpu.data import features as feat
+    loc = rng.uniform(low=(-60.0, -170.0), high=(60.0, 170.0),
+                      size=(n, 2)).astype(np.float32)
+    loc[rng.random(n) < 0.1] = np.nan
+    tim = rng.uniform(1.0, 1e5, size=(n, 2)).astype(np.float32)
+    tim[rng.random(n) < 0.1] = 0.0
+    uid = rng.integers(0, 40, size=n).astype(np.int32)
+    uid[rng.random(n) < 0.1] = -1
+    tags = (rng.random((n, h_tags)) < 0.02).astype(np.uint8)
+    text = rng.poisson(0.05, size=(n, h_text)).astype(np.uint8)
+    tags_valid = rng.random(n) < 0.9
+    return feat.WindowFeatures(location=loc, times=tim, user_ids=uid,
+                               tags=tags, text=text, tags_valid=tags_valid)
+
+
+def test_default_nbins_colsharded():
+    # realistic engine geometry: n padded to block*p
+    nb = cs.default_nbins_colsharded(106496, 4, k_max=9)
+    assert nb and 106496 % nb == 0 and (106496 // 4) % nb == 0
+    assert nb % 128 == 0 and 106496 // nb <= 127
+    assert nb >= 8 * 9
+    # tiny windows floor at g = p (each local column its own bin = exact)
+    assert cs.default_nbins_colsharded(64, 4, k_max=9) == 16
+    # p must divide n; group budget is int8
+    assert cs.default_nbins_colsharded(100, 8) == 0
+    assert cs.default_nbins_colsharded(256, 256) == 0
+
+
+@pytest.mark.parametrize("start", [0, 192, 448])
+def test_colsharded_fused_rows_bitexact(rng, mesh4, start):
+    """The column-sharded fused adjacency rows equal the single-chip binned
+    path bit-for-bit: identical sims (contraction over the unsharded K),
+    identical candidate maxima (pmax of per-shard maxima), identical tie
+    winners (lowest global group via pmin of per-chip lowest achievers)."""
+    wf = _standard_window(rng, n=512)
+    cols = ba.standard_columns(wf)
+    nbins, block, kb = 128, 64, 3
+    ours = cs.colsharded_fused_rows(tuple(wf), ("standard",), start=start,
+                                    block=block, k_basis=kb, mesh=mesh4,
+                                    nbins=nbins)
+    ref = ba.fused_rowblock(cols, jnp.int32(start), block, kb,
+                            select="binned", nbins=nbins)
+    np.testing.assert_array_equal(np.asarray(ours),
+                                  np.asarray(ref) > 0)
+
+
+@pytest.mark.parametrize("mode", ["eigh", "subspace"])
+def test_colsharded_fd_matches_singlechip(rng, mesh4, mode):
+    """Column-sharded FD fold vs the single-chip blocked sketch on the SAME
+    (bit-identical) adjacency blocks: the Frobenius bookkeeping is exact
+    (integer sums), and the covariance B^T B agrees to rounding (the shrink
+    math is identical; only psum summation order differs).  The honest
+    error bound holds for the column-sharded sketch on its own."""
+    wf = _standard_window(rng, n=512)
+    cols = ba.standard_columns(wf)
+    nbins, block, ell, kb = 128, 64, 16, 3
+    sk, sq, loss = cs.colsharded_blocked_fd_sketch(
+        tuple(wf), ("standard",), ell=ell, block=block, k_basis=kb,
+        mesh=mesh4, mode=mode, nbins=nbins)
+    sk1, sq1, loss1 = ba.blocked_fd_sketch(
+        cols, ell=ell, block=block, k_basis=kb, mode=mode,
+        select="binned", nbins=nbins)
+    assert sk.shape == (ell, 512)
+    assert float(sq) == pytest.approx(float(sq1), rel=1e-6)
+
+    g = np.asarray(sk, np.float64).T @ np.asarray(sk, np.float64)
+    g1 = np.asarray(sk1, np.float64).T @ np.asarray(sk1, np.float64)
+    scale = max(np.abs(g1).max(), 1.0)
+    np.testing.assert_allclose(g, g1, atol=5e-2 * scale)
+
+    # honest bound: ||A^T A - B^T B||_2 <= min(sum deltas, ||A||_F^2/ell)
+    full = np.concatenate(
+        [np.asarray(ba.fused_rowblock(cols, jnp.int32(s), block, kb,
+                                      select="binned", nbins=nbins))
+         for s in range(0, 512, block)])
+    err = float(fd.covariance_error(jnp.asarray(full), sk))
+    bound = min(float(loss), float(sq) / ell)
+    assert err <= bound * 1.01 + 1e-3
+
+
+def test_colsharded_generic_modalities(rng, mesh4):
+    """Generic numeric streams (embedding + default euclidean) run on the
+    columns layout; edges recall the exact strip path's at the reduced bin
+    budget, and the FD bound holds."""
+    n, block, kb = 256, 64, 4
+    emb = rng.normal(size=(n, 32)).astype(np.float32)
+    x = rng.normal(size=(n, 8)).astype(np.float32)
+    feats = (emb, x)
+    types = ("embedding", "default")
+    nbins = cs.default_nbins_colsharded(n, 4, k_max=3 * kb)
+    assert nbins == 64          # g floored at p: exact per-chip selection
+
+    ours = np.asarray(cs.colsharded_fused_rows(
+        feats, types, start=64, block=block, k_basis=kb, mesh=mesh4,
+        nbins=nbins))
+    cols = ba.generic_columns(list(feats), types)
+    exact = np.asarray(ba.fused_rowblock(cols, jnp.int32(64), block, kb)) > 0
+    recall = (ours & exact).sum() / max(exact.sum(), 1)
+    assert recall >= 0.8
+
+    sk, sq, loss = cs.colsharded_blocked_fd_sketch(
+        feats, types, ell=16, block=block, k_basis=kb, mesh=mesh4,
+        nbins=nbins)
+    assert np.isfinite(float(loss)) and float(sq) > 0
+
+
+def test_colsharded_rejects_bad_geometry(rng, mesh4):
+    wf = _standard_window(rng, n=512)
+    with pytest.raises(ValueError, match="block"):
+        cs.colsharded_blocked_fd_sketch(tuple(wf), ("standard",), ell=8,
+                                        block=96, k_basis=3, mesh=mesh4)
+    with pytest.raises(ValueError, match="eigh"):
+        cs.colsharded_blocked_fd_sketch(tuple(wf), ("standard",), ell=8,
+                                        block=64, k_basis=3, mesh=mesh4,
+                                        mode="subspace_ns")
+
+
+# ---------------------------------------------------------------------------
+# engine integration: huge_window_layout="columns"
+# ---------------------------------------------------------------------------
+
+@pytest.fixture
+def engine_stream():
+    from mused_tpu import api
+    from mused_tpu.data.synthetic import synthetic_events_dataframe
+    df = synthetic_events_dataframe(n_rows=420, n_events=4, noise_rate=0.5,
+                                    seed=0)
+    return api.prepare_modalities(df, subset_size=256, sort_by_uploaded=True,
+                                  binary=True, noise_rate=0.5, seed=0)
+
+
+def _run_engine_blocked(engine_stream, shards, layout="rows"):
+    from mused_tpu import api
+    from mused_tpu.utils.config import PipelineConfig
+    mods, mtypes, labels = engine_stream
+    cfg = PipelineConfig(window_size=64, reduced_dim=8, k_basis=3,
+                         approach="SWFDMC", label_mode="binary",
+                         n_clusters_override=2, data_shards=shards,
+                         force_blocked_window=True,
+                         huge_window_layout=layout)
+    results, _ = api.get_initial_results()
+    return api.process_streaming_data(
+        results=results, data_modalities=mods, modality_types=mtypes,
+        window_size=64, reduced_dim=8, k_basis=3, n_clusters_total=2,
+        seed=0, approach="SWFDMC", complete_true_labels=labels,
+        step_window_ratio=1, noise_rate=0.5, label_mode="binary",
+        sorting=True, eps=1.5, min_samples=2, cfg=cfg)
+
+
+def test_engine_huge_window_columns_layout(engine_stream):
+    """SWFDMC on the forced-blocked path with the features column-sharded
+    over 4 chips: runs end-to-end and clusters comparably to the
+    single-chip blocked run (binned vs strip selection -> metric-level)."""
+    one = _run_engine_blocked(engine_stream, 1)
+    col = _run_engine_blocked(engine_stream, 4, layout="columns")
+    assert np.isfinite(col["nmi_score"][0])
+    assert col["f1_score"][0] >= one["f1_score"][0] - 0.15
+
+
+def test_engine_columns_layout_validation(engine_stream):
+    from mused_tpu.engine.streaming import StreamingEngine
+    from mused_tpu.utils.config import PipelineConfig
+    with pytest.raises(ValueError, match="huge_window_layout"):
+        StreamingEngine(PipelineConfig(window_size=64,
+                                       huge_window_layout="diagonal"))
+    with pytest.raises(ValueError, match="contradictory"):
+        StreamingEngine(PipelineConfig(window_size=64,
+                                       huge_window_layout="columns",
+                                       huge_window_fused_select=False))
