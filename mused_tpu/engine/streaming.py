@@ -265,6 +265,18 @@ _window_step = functools.partial(jax.jit, static_argnames=(
 LARGE_WINDOW_ROWS = 32_768   # beyond this, windows use rematerialized blocks
 LARGE_BLOCK = 2_048
 
+
+def _auto_col_shards(p: int) -> int:
+    """Balanced grid factor: the largest divisor of p <= sqrt(p) (memory
+    users who know their panel sizes set huge_window_col_shards directly)."""
+    best = 1
+    d = 1
+    while d * d <= p:
+        if p % d == 0:
+            best = d
+        d += 1
+    return best
+
 # approaches whose per-window host glue is only the label matching (no
 # per-window host clustering like the DBSCAN family) — eligible for scanned
 # multi-window dispatch; device state (SWFD ring, MiniBatch centroids)
@@ -450,19 +462,37 @@ class StreamingEngine:
                     "supported for SWFDMC (row-sharded blocked FD sweep + ICI "
                     "sketch merge); other approaches need window_size <= "
                     f"{LARGE_WINDOW_ROWS} or data_shards=1")
-            self.mesh = mesh_mod.make_mesh(n_data=cfg.data_shards)
-        if cfg.huge_window_layout not in ("rows", "columns"):
+            if cfg.huge_window_layout == "grid":
+                cs_ = cfg.huge_window_col_shards or _auto_col_shards(
+                    cfg.data_shards)
+                if cs_ < 2 or cfg.data_shards % cs_:
+                    raise ValueError(
+                        f"huge_window_col_shards={cs_} must be >= 2 and "
+                        f"divide data_shards={cfg.data_shards} (use "
+                        "layout='columns' for all-column sharding)")
+                if not (cfg.window_size > LARGE_WINDOW_ROWS
+                        or cfg.force_blocked_window):
+                    raise ValueError(
+                        "huge_window_layout='grid' reshapes the mesh for the "
+                        "rematerialized huge-window sweep; dense windows "
+                        "(<= 32k rows, no force_blocked_window) use 'rows'")
+                self.mesh = mesh_mod.make_mesh(
+                    n_data=cfg.data_shards // cs_, n_model=cs_)
+            else:
+                self.mesh = mesh_mod.make_mesh(n_data=cfg.data_shards)
+        if cfg.huge_window_layout not in ("rows", "columns", "grid"):
             raise ValueError(
                 f"huge_window_layout={cfg.huge_window_layout!r}: expected "
-                "'rows' (replicated features, row blocks sharded) or "
-                "'columns' (features column-sharded — the capacity layout)")
-        if (cfg.huge_window_layout == "columns"
+                "'rows' (replicated features, row blocks sharded), "
+                "'columns' (features column-sharded — the capacity layout) "
+                "or 'grid' (row groups x column shards)")
+        if (cfg.huge_window_layout in ("columns", "grid")
                 and cfg.huge_window_fused_select is False):
             raise ValueError(
-                "huge_window_layout='columns' IS the fused stride-binned "
-                "selection sharded over the mesh (a full sim strip cannot "
-                "exist on one chip there); huge_window_fused_select=False "
-                "is contradictory")
+                "huge_window_layout='columns'/'grid' IS the fused "
+                "stride-binned selection sharded over the mesh (a full sim "
+                "strip cannot exist on one chip there); "
+                "huge_window_fused_select=False is contradictory")
 
     # ------------------------------------------------------------------
     def host_snapshot(self) -> dict:
@@ -510,14 +540,19 @@ class StreamingEngine:
         n = cfg.window_size
         # sharded sweep: each of the p chips needs an equal share of row
         # blocks, so size blocks from the per-chip range and pad to block*p
-        p = self.mesh.shape["data"] if self.mesh is not None else 1
+        # (p = TOTAL mesh devices: padding to block*p satisfies every
+        # layout's divisibility — per-chip row ranges for "rows", column
+        # shards for "columns", and both factors of the "grid")
+        p = 1
+        if self.mesh is not None:
+            p = self.mesh.shape["data"] * self.mesh.shape.get("model", 1)
         block = min(LARGE_BLOCK, max(n // p, 1))
         pad = (-n) % (block * p)
         n_pad = n + pad
-        # "columns" layout: the features themselves shard over the mesh —
-        # never build the full-window column panels on any one device
+        # "columns"/"grid" layouts: the features themselves shard over the
+        # mesh — never build the full-window column panels on any one device
         col_layout = (self.mesh is not None
-                      and cfg.huge_window_layout == "columns")
+                      and cfg.huge_window_layout in ("columns", "grid"))
         feats_t = types_t = None
         if isinstance(features, (featmod.WindowFeatures,
                                  featmod.SparseWindowFeatures)):
@@ -923,7 +958,8 @@ def process_streaming_data(results, data_modalities, modality_types,
                            verbose: bool = False, matching: str = "auto",
                            windows_per_batch: int = 1,
                            k_estimate: str = "labels",
-                           huge_window_layout: str = "rows"):
+                           huge_window_layout: str = "rows",
+                           huge_window_col_shards: int = 0):
     """Drop-in equivalent of reference main.py:13-130.
 
     New over the reference: pass ``checkpoint_dir`` to checkpoint the full
@@ -948,7 +984,8 @@ def process_streaming_data(results, data_modalities, modality_types,
             data_shards=data_shards, merge_topology=merge_topology,
             verbose=verbose, matching=matching,
             windows_per_batch=windows_per_batch, k_estimate=k_estimate,
-            huge_window_layout=huge_window_layout)
+            huge_window_layout=huge_window_layout,
+            huge_window_col_shards=huge_window_col_shards)
 
     engine = StreamingEngine(cfg)
     all_clusters: list[np.ndarray] = []

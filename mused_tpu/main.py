@@ -178,13 +178,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--merge-topology", choices=["allgather", "ring"],
                    default="allgather",
                    help="multi-chip FD sketch merge collective")
-    p.add_argument("--huge-window-layout", choices=["rows", "columns"],
-                   default="rows",
+    p.add_argument("--huge-window-layout",
+                   choices=["rows", "columns", "grid"], default="rows",
                    help="multi-chip huge-window sweep layout: rows = "
                         "replicated features, row blocks sharded "
                         "(throughput); columns = features column-sharded "
                         "over the mesh (capacity — windows whose panels "
-                        "exceed one chip's HBM; SWFDMC only)")
+                        "exceed one chip's HBM); grid = col-shards x "
+                        "row-groups composition (SWFDMC only)")
+    p.add_argument("--huge-window-col-shards", type=int, default=0,
+                   help="grid layout: how many of data-shards shard the "
+                        "feature columns (must divide it; 0 = balanced "
+                        "auto factorization)")
     p.add_argument("--windows-per-batch", type=int, default=1,
                    help="dispatch this many tumbling windows per device call "
                         "(one lax.scan; numerically identical to per-window "
@@ -262,6 +267,8 @@ def cli(argv=None) -> int:
                                            "merge_topology": args.merge_topology,
                                            "huge_window_layout":
                                                args.huge_window_layout,
+                                           "huge_window_col_shards":
+                                               args.huge_window_col_shards,
                                            "verbose": args.verbose,
                                            "matching": args.matching,
                                            "windows_per_batch":

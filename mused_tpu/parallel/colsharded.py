@@ -40,6 +40,15 @@ the same total FLOPs, traded for p× less feature/panel HBM per chip.  Use
 "rows" for throughput when the features fit; "columns" when they do not
 (PipelineConfig.huge_window_layout).
 
+GRID composition (the DP×TP shape): on a (pd, pm) mesh with pm > 1, the
+feature columns shard pm ways over "model" (memory) AND the row blocks
+shard pd ways over "data" (throughput) — each of the pd row groups sweeps
+its own range of blocks over its pm column shards, then the pd per-group
+column-sharded sketches merge with ONE more psum'd-Gram shrink over the
+gathered (pd·ell, n/pm) stack (FD mergeability, SURVEY.md §2.8; the merge
+delta is added to the honest loss).  The mesh shape IS the layout: a
+(p, 1) mesh selects pure column sharding, (pd, pm>1) the grid.
+
 Reference behavior reproduced: the per-modality kNN adjacency conventions of
 /root/reference/matrix_operations.py:14-132 (per-modality k, validity,
 self-exclusion, OR fusion :134-141) and the whole-window sketch feed of
@@ -454,15 +463,27 @@ def _absorb_colsharded(state: fd.FDState, rows_l: jax.Array, mode: str,
 # entry points
 # ---------------------------------------------------------------------------
 
-def _place_row_sharded(feats: tuple, mesh) -> tuple:
-    """device_put each (n, ...) feature array row-sharded over the mesh —
-    the host array splits straight to per-chip shards; the full panel never
-    materializes on any single device (the whole point of this layout)."""
+def _place_row_sharded(feats: tuple, mesh, col_axis: str = _AXIS) -> tuple:
+    """device_put each (n, ...) feature array row-sharded over the mesh's
+    column axis — the host array splits straight to per-chip shards; the
+    full panel never materializes on any single device (the whole point of
+    this layout)."""
     out = []
     for x in feats:
-        spec = P(_AXIS, *([None] * (getattr(x, "ndim", 1) - 1)))
+        spec = P(col_axis, *([None] * (getattr(x, "ndim", 1) - 1)))
         out.append(jax.device_put(x, NamedSharding(mesh, spec)))
     return tuple(out)
+
+
+def _mesh_axes(mesh) -> tuple[str, str | None, int, int]:
+    """(col_axis, row_axis, pm, pd) from the mesh shape — the mesh IS the
+    layout: (p, 1) = pure column sharding over "data"; (pd, pm > 1) = the
+    grid (columns over "model", row-block groups over "data")."""
+    shape = dict(mesh.shape)
+    pm = shape.get("model", 1)
+    if pm > 1:
+        return "model", "data", pm, shape["data"]
+    return "data", None, shape["data"], 1
 
 
 def colsharded_blocked_fd_sketch(feats: tuple, types: tuple, *, ell: int,
@@ -471,40 +492,54 @@ def colsharded_blocked_fd_sketch(feats: tuple, types: tuple, *, ell: int,
                                  tags_dim: int = 2048, text_dim: int = 4096,
                                  nbins: int | None = None):
     """FD sketch (ell, n) of the implicit fused adjacency of a HUGE window,
-    with the window's FEATURES column-sharded over the mesh "data" axis.
+    with the window's FEATURES column-sharded over the mesh.
 
     ``feats``/``types`` follow the engine's feature-layout encoding
     (("standard_sparse",) | ("standard",) | generic modality types — see
     engine.streaming._fuse_dispatch); arrays are (n, ...) host or device and
-    are placed row-sharded here.  Returns (sketch (ell, n) column-sharded
+    are placed column-sharded here.  Returns (sketch (ell, n) column-sharded
     global array, sq_frobenius, shrink_loss) — the same contract as
     blocked_affinity.blocked_fd_sketch, against which this path is
     adjacency-bit-exact (the fold differs only in psum summation order).
 
-    Requirements: p | n, block | n/p, and a binnable structure
-    (default_nbins_colsharded) — this layout has no strip fallback since a
-    (block, n) strip is exactly what cannot exist on one chip.
+    Mesh shapes: (p, 1) shards columns p ways over "data"; (pd, pm > 1)
+    runs the GRID — columns pm ways over "model" (memory), row-block groups
+    pd ways over "data" (throughput), with one final merge shrink over the
+    gathered per-group sketches (its delta joins the honest loss).
+
+    Requirements: pm | n, block | n/pm, pd | (n/block), and a binnable
+    structure (default_nbins_colsharded) — this layout has no strip
+    fallback since a (block, n) strip is exactly what cannot exist on one
+    chip.
     """
     n = feats[0].shape[0]
-    p = mesh.shape[_AXIS]
-    if n % p:
-        raise ValueError(f"n={n} must split evenly over data_shards={p}")
-    n_local = n // p
+    col_axis, row_axis, pm, pd = _mesh_axes(mesh)
+    if n % pm:
+        raise ValueError(f"n={n} must split evenly over {pm} column shards")
+    n_local = n // pm
     if n_local % block:
         raise ValueError(
-            f"block={block} must divide the per-chip row range n/p="
+            f"block={block} must divide the per-chip column range n/pm="
             f"{n_local} (pad upstream, as the engine does)")
+    if (n // block) % pd:
+        raise ValueError(
+            f"row blocks ({n // block}, block={block}) must split evenly "
+            f"over the {pd} row groups")
     if nbins is None:
-        nbins = default_nbins_colsharded(n, p, k_max=3 * k_basis)
+        nbins = default_nbins_colsharded(n, pm, k_max=3 * k_basis)
     if not nbins or n_local % nbins:
         raise ValueError(
-            f"no column-sharded bin structure for n={n}, p={p} "
-            f"(need p | groups and tn | n/p; got nbins={nbins})")
+            f"no column-sharded bin structure for n={n}, pm={pm} "
+            f"(need pm | groups; got nbins={nbins})")
+    if n_local // nbins > 127:
+        raise ValueError(
+            f"nbins={nbins} gives {n_local // nbins} per-chip groups — past "
+            "the kernel's int8 group-id budget (127); use more bins")
     mode = fd.resolve_fold_mode(mode)
     if mode not in ("eigh", "rr"):
         raise ValueError(f"colsharded fold supports 'eigh'/'rr' (via "
                          f"'subspace'), got {mode!r}")
-    feats = _place_row_sharded(feats, mesh)
+    feats = _place_row_sharded(feats, mesh, col_axis)
     return _colsharded_fd_impl(feats, types=types, ell=ell, block=block,
                                k_basis=k_basis, mesh=mesh, mode=mode,
                                tags_dim=tags_dim, text_dim=text_dim,
@@ -519,32 +554,49 @@ def _colsharded_fd_impl(feats: tuple, *, types: tuple, ell: int, block: int,
                         k_basis: int, mesh, mode: str, tags_dim: int,
                         text_dim: int, nbins: int):
     n = feats[0].shape[0]
-    p = mesh.shape[_AXIS]
-    n_local = n // p
+    col_axis, row_axis, pm, pd = _mesh_axes(mesh)
+    n_local = n // pm
     use_kernel = jax.default_backend() == "tpu"
     tn = bs.pick_tn(n_local, nbins)
     starts = jnp.arange(n // block, dtype=jnp.int32) * block
 
-    def body(*feat_shards):
+    def body(starts_s, *feat_shards):
         mods = _prep_local_modalities(feat_shards, types, k_basis,
-                                      tags_dim, text_dim)
+                                      tags_dim, text_dim, col_axis)
         out_dt = jnp.bfloat16 if mode == "rr" else jnp.float32
 
         def step(state, start):
             fused = _fused_block_local(mods, start, block, n, nbins,
-                                       use_kernel, tn)
-            return _update_colsharded(state, fused.astype(out_dt), mode), None
+                                       use_kernel, tn, col_axis)
+            return _update_colsharded(state, fused.astype(out_dt), mode,
+                                      col_axis), None
 
-        st, _ = jax.lax.scan(step, fd.init(ell, n_local), starts)
-        return (st.sketch, st.sq_frobenius[None], st.shrink_loss[None])
+        st, _ = jax.lax.scan(step, fd.init(ell, n_local), starts_s)
+        sketch, sq, loss = st.sketch, st.sq_frobenius, st.shrink_loss
+        if row_axis is not None:
+            # merge the pd per-row-group column-sharded sketches: one more
+            # psum'd-Gram shrink of the gathered (pd*ell, n/pm) stack (FD
+            # mergeability) — identical on every chip, so the result is
+            # replicated over the row axis; its delta joins the loss
+            stack = jax.lax.all_gather(sketch, row_axis).reshape(-1, n_local)
+            if mode == "rr":
+                sketch, mdelta = _shrink_rr_pair_psum(
+                    stack[:ell], stack[ell:], ell, col_axis)
+            else:
+                sketch, mdelta = _shrink_eigh_psum(
+                    stack[:ell], stack[ell:], ell, col_axis)
+            sq = jax.lax.psum(sq, row_axis)
+            loss = jax.lax.psum(loss, row_axis) + mdelta
+        return (sketch, sq[None], loss[None])
 
-    in_specs = tuple(P(_AXIS, *([None] * (f.ndim - 1))) for f in feats)
+    feat_specs = tuple(P(col_axis, *([None] * (f.ndim - 1))) for f in feats)
+    starts_spec = P(row_axis) if row_axis is not None else P()
     sketch, sq, loss = shard_map(
         body, mesh=mesh,
-        in_specs=in_specs,
-        out_specs=(P(None, _AXIS), P(_AXIS), P(_AXIS)),
+        in_specs=(starts_spec,) + feat_specs,
+        out_specs=(P(None, col_axis), P(col_axis), P(col_axis)),
         check_vma=False,
-    )(*feats)
+    )(starts, *feats)
     return sketch, sq[0], loss[0]
 
 
@@ -556,22 +608,22 @@ def colsharded_fused_rows(feats: tuple, types: tuple, *, start: int,
     the column-sharded sweep — the parity/debug surface (tested bit-equal
     to blocked_affinity.fused_rowblock's binned path)."""
     n = feats[0].shape[0]
-    p = mesh.shape[_AXIS]
+    col_axis, _, pm, _ = _mesh_axes(mesh)
     if nbins is None:
-        nbins = default_nbins_colsharded(n, p, k_max=3 * k_basis)
+        nbins = default_nbins_colsharded(n, pm, k_max=3 * k_basis)
     if not nbins:
-        raise ValueError(f"no bin structure for n={n}, p={p}")
-    n_local = n // p
+        raise ValueError(f"no bin structure for n={n}, pm={pm}")
+    n_local = n // pm
     use_kernel = jax.default_backend() == "tpu"
     tn = bs.pick_tn(n_local, nbins)
-    feats = _place_row_sharded(feats, mesh)
+    feats = _place_row_sharded(feats, mesh, col_axis)
 
     def body(*feat_shards):
         mods = _prep_local_modalities(feat_shards, types, k_basis,
-                                      tags_dim, text_dim)
+                                      tags_dim, text_dim, col_axis)
         return _fused_block_local(mods, jnp.int32(start), block, n, nbins,
-                                  use_kernel, tn)
+                                  use_kernel, tn, col_axis)
 
-    in_specs = tuple(P(_AXIS, *([None] * (f.ndim - 1))) for f in feats)
+    in_specs = tuple(P(col_axis, *([None] * (f.ndim - 1))) for f in feats)
     return shard_map(body, mesh=mesh, in_specs=in_specs,
-                     out_specs=P(None, _AXIS), check_vma=False)(*feats)
+                     out_specs=P(None, col_axis), check_vma=False)(*feats)

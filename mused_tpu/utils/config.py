@@ -152,8 +152,15 @@ class PipelineConfig:
     # = the features themselves shard over the mesh — each chip holds 1/p of
     # the window's feature/column panels and sweeps every row block over its
     # column slice (parallel/colsharded) — the capacity layout for windows
-    # whose replicated panels would not fit one chip's HBM.  SWFDMC only;
-    # always uses the stride-binned fused selection.
+    # whose replicated panels would not fit one chip's HBM; "grid" = the
+    # DPxTP composition — huge_window_col_shards chips shard the columns
+    # (memory) and data_shards/col_shards row groups split the block sweep
+    # (throughput), per-group sketches merging with one more FD shrink.
+    # SWFDMC only; "columns"/"grid" always use stride-binned fused selection.
+    huge_window_col_shards: int = 0
+    # "grid" layout only: how many of data_shards shard the feature columns.
+    # Must divide data_shards and be >= 2.  0 = auto (largest divisor of
+    # data_shards <= sqrt(data_shards) — balanced grid).
     verbose: bool = False    # small-subset debug oracles (ref main.py:35-37,
                              # 51-53, 99-103: eyeball-verification prints)
 

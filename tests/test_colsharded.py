@@ -128,6 +128,39 @@ def test_colsharded_generic_modalities(rng, mesh4):
     assert np.isfinite(float(loss)) and float(sq) > 0
 
 
+@pytest.mark.parametrize("mode", ["eigh", "subspace"])
+def test_grid_fd_matches_singlechip(rng, mode):
+    """GRID layout (2 row groups x 4 column shards): per-group column-sharded
+    folds + one merge shrink.  The adjacency blocks are still bit-exact, so
+    B^T B matches the single-chip binned fold to rounding plus the (bounded,
+    accounted) merge delta; the honest bound holds with the merge delta in."""
+    from mused_tpu.parallel.mesh import make_mesh
+    mesh_grid = make_mesh(n_data=2, n_model=4)
+    wf = _standard_window(rng, n=512)
+    cols = ba.standard_columns(wf)
+    nbins, block, ell, kb = 128, 64, 16, 3
+    sk, sq, loss = cs.colsharded_blocked_fd_sketch(
+        tuple(wf), ("standard",), ell=ell, block=block, k_basis=kb,
+        mesh=mesh_grid, mode=mode, nbins=nbins)
+    sk1, sq1, _ = ba.blocked_fd_sketch(
+        cols, ell=ell, block=block, k_basis=kb, mode=mode,
+        select="binned", nbins=nbins)
+    assert sk.shape == (ell, 512)
+    assert float(sq) == pytest.approx(float(sq1), rel=1e-6)
+
+    full = np.concatenate(
+        [np.asarray(ba.fused_rowblock(cols, jnp.int32(s), block, kb,
+                                      select="binned", nbins=nbins))
+         for s in range(0, 512, block)])
+    err = float(fd.covariance_error(jnp.asarray(full), sk))
+    err1 = float(fd.covariance_error(jnp.asarray(full), sk1))
+    bound = min(float(loss), float(sq) / ell)
+    assert err <= bound * 1.01 + 1e-3
+    # comparable quality to the sequential single-chip fold (the merge adds
+    # one bounded shrink — same argument as the row-sharded ICI merge)
+    assert err <= 2.0 * max(err1, 1e-6) + 0.1 * float(sq) / ell
+
+
 def test_colsharded_rejects_bad_geometry(rng, mesh4):
     wf = _standard_window(rng, n=512)
     with pytest.raises(ValueError, match="block"):
@@ -153,7 +186,7 @@ def engine_stream():
                                   binary=True, noise_rate=0.5, seed=0)
 
 
-def _run_engine_blocked(engine_stream, shards, layout="rows"):
+def _run_engine_blocked(engine_stream, shards, layout="rows", col_shards=0):
     from mused_tpu import api
     from mused_tpu.utils.config import PipelineConfig
     mods, mtypes, labels = engine_stream
@@ -161,7 +194,8 @@ def _run_engine_blocked(engine_stream, shards, layout="rows"):
                          approach="SWFDMC", label_mode="binary",
                          n_clusters_override=2, data_shards=shards,
                          force_blocked_window=True,
-                         huge_window_layout=layout)
+                         huge_window_layout=layout,
+                         huge_window_col_shards=col_shards)
     results, _ = api.get_initial_results()
     return api.process_streaming_data(
         results=results, data_modalities=mods, modality_types=mtypes,
@@ -181,6 +215,14 @@ def test_engine_huge_window_columns_layout(engine_stream):
     assert col["f1_score"][0] >= one["f1_score"][0] - 0.15
 
 
+def test_engine_huge_window_grid_layout(engine_stream):
+    """The grid composition end-to-end: 2 row groups x 2 column shards."""
+    one = _run_engine_blocked(engine_stream, 1)
+    grid = _run_engine_blocked(engine_stream, 4, layout="grid", col_shards=2)
+    assert np.isfinite(grid["nmi_score"][0])
+    assert grid["f1_score"][0] >= one["f1_score"][0] - 0.15
+
+
 def test_engine_columns_layout_validation(engine_stream):
     from mused_tpu.engine.streaming import StreamingEngine
     from mused_tpu.utils.config import PipelineConfig
@@ -191,3 +233,13 @@ def test_engine_columns_layout_validation(engine_stream):
         StreamingEngine(PipelineConfig(window_size=64,
                                        huge_window_layout="columns",
                                        huge_window_fused_select=False))
+    with pytest.raises(ValueError, match="col_shards"):
+        StreamingEngine(PipelineConfig(window_size=64, data_shards=4,
+                                       force_blocked_window=True,
+                                       approach="SWFDMC",
+                                       huge_window_layout="grid",
+                                       huge_window_col_shards=3))
+    with pytest.raises(ValueError, match="dense windows"):
+        StreamingEngine(PipelineConfig(window_size=64, data_shards=4,
+                                       huge_window_layout="grid",
+                                       huge_window_col_shards=2))
