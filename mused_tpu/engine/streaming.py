@@ -444,6 +444,20 @@ class StreamingEngine:
         # multi-chip: every window step runs SPMD over this mesh's "data" axis
         # (parallel/sharded.sharded_engine_step); None = single-chip
         self.mesh = None
+        # static layout-config coherence first, resource checks after
+        if cfg.huge_window_layout not in ("rows", "columns", "grid"):
+            raise ValueError(
+                f"huge_window_layout={cfg.huge_window_layout!r}: expected "
+                "'rows' (replicated features, row blocks sharded), "
+                "'columns' (features column-sharded — the capacity layout) "
+                "or 'grid' (row groups x column shards)")
+        if (cfg.huge_window_layout in ("columns", "grid")
+                and cfg.huge_window_fused_select is False):
+            raise ValueError(
+                "huge_window_layout='columns'/'grid' IS the fused "
+                "stride-binned selection sharded over the mesh (a full sim "
+                "strip cannot exist on one chip there); "
+                "huge_window_fused_select=False is contradictory")
         if cfg.data_shards > 1:
             from mused_tpu.parallel import mesh as mesh_mod
             if cfg.window_size % cfg.data_shards:
@@ -462,37 +476,39 @@ class StreamingEngine:
                     "supported for SWFDMC (row-sharded blocked FD sweep + ICI "
                     "sketch merge); other approaches need window_size <= "
                     f"{LARGE_WINDOW_ROWS} or data_shards=1")
+            if (cfg.huge_window_layout in ("columns", "grid")
+                    and not (cfg.window_size > LARGE_WINDOW_ROWS
+                             or cfg.force_blocked_window)):
+                raise ValueError(
+                    f"huge_window_layout={cfg.huge_window_layout!r} shards "
+                    "the rematerialized huge-window sweep; dense windows "
+                    "(<= 32k rows, no force_blocked_window) replicate "
+                    "nothing worth sharding — use 'rows'")
             if cfg.huge_window_layout == "grid":
-                cs_ = cfg.huge_window_col_shards or _auto_col_shards(
-                    cfg.data_shards)
-                if cs_ < 2 or cfg.data_shards % cs_:
-                    raise ValueError(
-                        f"huge_window_col_shards={cs_} must be >= 2 and "
-                        f"divide data_shards={cfg.data_shards} (use "
-                        "layout='columns' for all-column sharding)")
-                if not (cfg.window_size > LARGE_WINDOW_ROWS
-                        or cfg.force_blocked_window):
-                    raise ValueError(
-                        "huge_window_layout='grid' reshapes the mesh for the "
-                        "rematerialized huge-window sweep; dense windows "
-                        "(<= 32k rows, no force_blocked_window) use 'rows'")
+                if cfg.huge_window_col_shards:
+                    cs_ = cfg.huge_window_col_shards
+                    if cs_ < 2 or cfg.data_shards % cs_:
+                        raise ValueError(
+                            f"huge_window_col_shards={cs_} must be >= 2 and "
+                            f"divide data_shards={cfg.data_shards} (use "
+                            "layout='columns' for all-column sharding)")
+                else:
+                    cs_ = _auto_col_shards(cfg.data_shards)
+                    if cs_ < 2:
+                        raise ValueError(
+                            f"data_shards={cfg.data_shards} has no balanced "
+                            "grid factorization (it is prime or 2); pass "
+                            "huge_window_col_shards explicitly or use "
+                            "layout='columns'")
                 self.mesh = mesh_mod.make_mesh(
                     n_data=cfg.data_shards // cs_, n_model=cs_)
             else:
                 self.mesh = mesh_mod.make_mesh(n_data=cfg.data_shards)
-        if cfg.huge_window_layout not in ("rows", "columns", "grid"):
+        elif cfg.huge_window_layout in ("columns", "grid"):
             raise ValueError(
-                f"huge_window_layout={cfg.huge_window_layout!r}: expected "
-                "'rows' (replicated features, row blocks sharded), "
-                "'columns' (features column-sharded — the capacity layout) "
-                "or 'grid' (row groups x column shards)")
-        if (cfg.huge_window_layout in ("columns", "grid")
-                and cfg.huge_window_fused_select is False):
-            raise ValueError(
-                "huge_window_layout='columns'/'grid' IS the fused "
-                "stride-binned selection sharded over the mesh (a full sim "
-                "strip cannot exist on one chip there); "
-                "huge_window_fused_select=False is contradictory")
+                f"huge_window_layout={cfg.huge_window_layout!r} needs "
+                "data_shards > 1 (there is nothing to shard the features "
+                "over on one chip)")
 
     # ------------------------------------------------------------------
     def host_snapshot(self) -> dict:
@@ -548,7 +564,6 @@ class StreamingEngine:
             p = self.mesh.shape["data"] * self.mesh.shape.get("model", 1)
         block = min(LARGE_BLOCK, max(n // p, 1))
         pad = (-n) % (block * p)
-        n_pad = n + pad
         # "columns"/"grid" layouts: the features themselves shard over the
         # mesh — never build the full-window column panels on any one device
         col_layout = (self.mesh is not None

@@ -93,9 +93,11 @@ def default_nbins_colsharded(n: int, p: int, target_reduction: int = 64,
     then the largest reduction.  Returns 0 when no structure exists
     (p ∤ n, or p > the int8 group budget).
     """
-    if p < 1 or n % p:
+    if p < 1 or p > 127 or n % p:
         return 0
-    cands = [g for g in range(p, min(target_reduction, 127) + 1)
+    # g = p is always admissible (each local column its own bin — exact
+    # per-chip selection), even past target_reduction on wide meshes
+    cands = [g for g in range(p, min(max(target_reduction, p), 127) + 1)
              if g % p == 0 and n % g == 0]
     if not cands:
         return 0
@@ -324,10 +326,13 @@ def _fused_block_local(mods: list, start, block: int, n: int, nbins: int,
         fused = _adjacency_local(keeps, gwins, groups_local, nbins, axis_name)
         for m in dense:
             fused = fused | m
-    else:
+    elif dense:
         fused = dense[0]
         for m in dense[1:]:
             fused = fused | m
+    else:   # every modality skipped (k_eff == 0 everywhere): zero edges,
+            # matching the single-chip path's knn_adjacency_block k=0 case
+        fused = jnp.zeros((block, n_local), jnp.bool_)
     return fused
 
 
@@ -344,6 +349,9 @@ def _shrink_eigh_psum(sketch_l: jax.Array, rows_l: jax.Array, ell: int,
     """
     hi = jax.lax.Precision.HIGHEST
     s = jnp.concatenate([sketch_l, rows_l.astype(jnp.float32)], axis=0)
+    if s.shape[0] <= ell:       # fd.shrink's m <= ell early-out: nothing to
+        return s, jnp.zeros((), jnp.float32)   # subtract (lam[ell] OOB-clamps
+                                               # under jit, NOT to 0)
     gram = jax.lax.psum(
         jnp.dot(s, s.T, preferred_element_type=jnp.float32, precision=hi),
         axis_name)
@@ -368,6 +376,10 @@ def _shrink_rr_pair_psum(sketch_l: jax.Array, rows_l: jax.Array, ell: int,
     hi = jax.lax.Precision.HIGHEST
     ellr = sketch_l.shape[0]
     m2 = ellr + rows_l.shape[0]
+    if m2 <= ell:               # fd.shrink_rr's m <= ell early-out
+        return (jnp.concatenate([sketch_l, rows_l.astype(sketch_l.dtype)],
+                                axis=0),
+                jnp.zeros((), jnp.float32))
     r = min(ell + oversample, m2)
     rows_f = rows_l.astype(jnp.float32)       # fuses into the dots' loads
 
@@ -482,7 +494,11 @@ def _mesh_axes(mesh) -> tuple[str, str | None, int, int]:
     shape = dict(mesh.shape)
     pm = shape.get("model", 1)
     if pm > 1:
-        return "model", "data", pm, shape["data"]
+        pd = shape["data"]
+        # pd == 1 is pure column sharding over "model": there is nothing to
+        # merge, and a degenerate single-group "merge" would spuriously
+        # shrink by the smallest retained eigenvalue
+        return "model", ("data" if pd > 1 else None), pm, pd
     return "data", None, shape["data"], 1
 
 

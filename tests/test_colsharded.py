@@ -48,6 +48,8 @@ def test_default_nbins_colsharded():
     # p must divide n; group budget is int8
     assert cs.default_nbins_colsharded(100, 8) == 0
     assert cs.default_nbins_colsharded(256, 256) == 0
+    # wide meshes past target_reduction still admit g = p (int8-safe)
+    assert cs.default_nbins_colsharded(12800, 100) == 128
 
 
 @pytest.mark.parametrize("start", [0, 192, 448])
@@ -161,6 +163,34 @@ def test_grid_fd_matches_singlechip(rng, mode):
     assert err <= 2.0 * max(err1, 1e-6) + 0.1 * float(sq) / ell
 
 
+def test_grid_pd1_equals_pure_columns(rng):
+    """A (1, pm) grid mesh IS pure column sharding: no row groups, so no
+    merge shrink may run (a degenerate single-group 'merge' would
+    spuriously subtract the smallest retained eigenvalue)."""
+    from mused_tpu.parallel.mesh import make_mesh
+    wf = _standard_window(rng, n=512)
+    kw = dict(ell=16, block=64, k_basis=3, mode="eigh", nbins=128)
+    sk_g, sq_g, loss_g = cs.colsharded_blocked_fd_sketch(
+        tuple(wf), ("standard",), mesh=make_mesh(n_data=1, n_model=4), **kw)
+    sk_c, sq_c, loss_c = cs.colsharded_blocked_fd_sketch(
+        tuple(wf), ("standard",), mesh=make_mesh(n_data=4, n_model=1), **kw)
+    assert float(sq_g) == float(sq_c)
+    assert float(loss_g) == pytest.approx(float(loss_c), rel=1e-6)
+    g = np.asarray(sk_g, np.float64).T @ np.asarray(sk_g, np.float64)
+    c = np.asarray(sk_c, np.float64).T @ np.asarray(sk_c, np.float64)
+    np.testing.assert_allclose(g, c, atol=1e-4 * max(np.abs(c).max(), 1.0))
+
+
+def test_colsharded_all_modalities_skipped(rng, mesh4):
+    """k_eff == 0 for every modality (default kind, k_basis=1): zero-edge
+    adjacency, matching the single-chip knn_adjacency_block k=0 case."""
+    x = rng.normal(size=(256, 8)).astype(np.float32)
+    out = np.asarray(cs.colsharded_fused_rows(
+        (x,), ("default",), start=0, block=64, k_basis=1, mesh=mesh4,
+        nbins=64))
+    assert out.shape == (64, 256) and not out.any()
+
+
 def test_colsharded_rejects_bad_geometry(rng, mesh4):
     wf = _standard_window(rng, n=512)
     with pytest.raises(ValueError, match="block"):
@@ -243,3 +273,18 @@ def test_engine_columns_layout_validation(engine_stream):
         StreamingEngine(PipelineConfig(window_size=64, data_shards=4,
                                        huge_window_layout="grid",
                                        huge_window_col_shards=2))
+    # columns on dense windows / one chip must be loud, not silently 'rows'
+    with pytest.raises(ValueError, match="dense windows"):
+        StreamingEngine(PipelineConfig(window_size=64, data_shards=4,
+                                       huge_window_layout="columns"))
+    with pytest.raises(ValueError, match="data_shards > 1"):
+        StreamingEngine(PipelineConfig(window_size=64,
+                                       force_blocked_window=True,
+                                       approach="SWFDMC",
+                                       huge_window_layout="columns"))
+    # prime data_shards has no balanced auto grid factorization
+    with pytest.raises(ValueError, match="factorization"):
+        StreamingEngine(PipelineConfig(window_size=70, data_shards=7,
+                                       force_blocked_window=True,
+                                       approach="SWFDMC",
+                                       huge_window_layout="grid"))
