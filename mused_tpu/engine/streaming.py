@@ -470,11 +470,13 @@ class StreamingEngine:
                     f"{len(jax.devices())} devices visible")
             if ((cfg.window_size > LARGE_WINDOW_ROWS
                  or cfg.force_blocked_window)
-                    and cfg.approach != "SWFDMC"):
+                    and cfg.approach in ("sSpectral", "DBSCAN_incr")):
                 raise ValueError(
-                    "data_shards>1 on the rematerialized huge-window path is "
-                    "supported for SWFDMC (row-sharded blocked FD sweep + ICI "
-                    "sketch merge); other approaches need window_size <= "
+                    "data_shards>1 on the rematerialized huge-window path "
+                    "covers the sketch/SVD reductions (SWFDMC via the "
+                    "sharded blocked FD sweep; sSVDMC*/DBSCAN_centr via the "
+                    "sharded blocked randomized SVD); sSpectral's blocked "
+                    "power iteration and DBSCAN_incr need window_size <= "
                     f"{LARGE_WINDOW_ROWS} or data_shards=1")
             if (cfg.huge_window_layout in ("columns", "grid")
                     and not (cfg.window_size > LARGE_WINDOW_ROWS
@@ -640,6 +642,23 @@ class StreamingEngine:
                 # the padded columns are invalid -> their adjacency columns
                 # are zero; slice the sketch back to d=n
                 reduced = sk.T[:n]
+            elif cfg.approach == "sSpectral":
+                reduced = None   # blocked spectral consumes cols directly —
+                                 # don't pay (2+2*n_iter) SVD sweeps it ignores
+            elif col_layout:
+                from mused_tpu.parallel import colsharded as cs
+                reduced = cs.colsharded_blocked_svd_reduce(
+                    feats_t, types_t, key, rank=cfg.reduced_dim,
+                    block=block, k_basis=cfg.k_basis, mesh=self.mesh,
+                    tags_dim=cfg.features.tags_hash_dim,
+                    text_dim=cfg.features.text_hash_dim)[:n]
+            elif self.mesh is not None:
+                from mused_tpu.parallel import sharded as shard_mod
+                reduced = shard_mod.sharded_blocked_svd_reduce(
+                    cols, key, rank=cfg.reduced_dim, block=block,
+                    k_basis=cfg.k_basis, mesh=self.mesh,
+                    approx_knn=cfg.huge_window_approx_knn,
+                    select=select, nbins=nbins)[:n]
             else:
                 reduced = ba.blocked_svd_reduce(
                     cols, key, rank=cfg.reduced_dim, block=block,

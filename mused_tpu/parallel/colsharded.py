@@ -616,6 +616,136 @@ def _colsharded_fd_impl(feats: tuple, *, types: tuple, ell: int, block: int,
     return sketch, sq[0], loss[0]
 
 
+def colsharded_blocked_svd_reduce(feats: tuple, types: tuple,
+                                  key: jax.Array, *, rank: int, block: int,
+                                  k_basis: int, mesh, n_iter: int = 2,
+                                  oversample: int = 8,
+                                  tags_dim: int = 2048,
+                                  text_dim: int = 4096,
+                                  nbins: int | None = None):
+    """Blocked randomized SVD of the implicit fused adjacency with the
+    window's FEATURES column-sharded over the mesh — the capacity-layout
+    counterpart of parallel.sharded.sharded_blocked_svd_reduce (reference
+    TruncatedSVD, matrix_operations.py:143-147).
+
+    Same geometry and fused blocks as colsharded_blocked_fd_sketch (pure
+    columns on a (p, 1) mesh, the grid on (pd, pm > 1)).  A·V products
+    contract this chip's column slice against its slice of the replicated
+    (n, r) panel and psum; Aᵀ·Q partials live column-sharded and gather
+    once per sweep for the replicated tall-skinny QR.  Returns (n, rank) =
+    U·S replicated (a global array).
+    """
+    n = feats[0].shape[0]
+    col_axis, row_axis, pm, pd = _mesh_axes(mesh)
+    if n % pm:
+        raise ValueError(f"n={n} must split evenly over {pm} column shards")
+    n_local = n // pm
+    if n_local % block:
+        raise ValueError(
+            f"block={block} must divide the per-chip column range n/pm="
+            f"{n_local} (pad upstream, as the engine does)")
+    if (n // block) % pd:
+        raise ValueError(
+            f"row blocks ({n // block}, block={block}) must split evenly "
+            f"over the {pd} row groups")
+    if nbins is None:
+        nbins = default_nbins_colsharded(n, pm, k_max=3 * k_basis)
+    if not nbins or n_local % nbins:
+        raise ValueError(
+            f"no column-sharded bin structure for n={n}, pm={pm} "
+            f"(need pm | groups; got nbins={nbins})")
+    if n_local // nbins > 127:
+        raise ValueError(
+            f"nbins={nbins} gives {n_local // nbins} per-chip groups — past "
+            "the kernel's int8 group-id budget (127); use more bins")
+    feats = _place_row_sharded(feats, mesh, col_axis)
+    return _colsharded_svd_impl(feats, key, types=types, rank=rank,
+                                block=block, k_basis=k_basis, mesh=mesh,
+                                n_iter=n_iter, oversample=oversample,
+                                tags_dim=tags_dim, text_dim=text_dim,
+                                nbins=nbins)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("types", "rank", "block", "k_basis",
+                                    "mesh", "n_iter", "oversample",
+                                    "tags_dim", "text_dim", "nbins"))
+def _colsharded_svd_impl(feats: tuple, key, *, types: tuple, rank: int,
+                         block: int, k_basis: int, mesh, n_iter: int,
+                         oversample: int, tags_dim: int, text_dim: int,
+                         nbins: int):
+    n = feats[0].shape[0]
+    col_axis, row_axis, pm, pd = _mesh_axes(mesh)
+    n_local = n // pm
+    use_kernel = jax.default_backend() == "tpu"
+    tn = bs.pick_tn(n_local, nbins)
+    r = min(rank + oversample, n)
+    starts = jnp.arange(n // block, dtype=jnp.int32) * block
+
+    def body(starts_s, *feat_shards):
+        mods = _prep_local_modalities(feat_shards, types, k_basis,
+                                      tags_dim, text_dim, col_axis)
+        me = jax.lax.axis_index(col_axis)
+
+        def psum_all(x):
+            x = jax.lax.psum(x, col_axis)
+            return jax.lax.psum(x, row_axis) if row_axis is not None else x
+
+        def sweep(f, init):
+            def step(acc, start):
+                fused = _fused_block_local(
+                    mods, start, block, n, nbins, use_kernel, tn,
+                    col_axis).astype(jnp.bfloat16)
+                return f(acc, fused, start), None
+            acc, _ = jax.lax.scan(step, init, starts_s)
+            return acc
+
+        def mul_a(v):          # A @ v: column-slice contractions, psum'd
+            v_loc = jax.lax.dynamic_slice_in_dim(v, me * n_local, n_local,
+                                                 axis=0)
+            def f(acc, fused, start):
+                return jax.lax.dynamic_update_slice_in_dim(
+                    acc, jnp.dot(fused.astype(jnp.float32), v_loc,
+                                 preferred_element_type=jnp.float32),
+                    start, axis=0)
+            return psum_all(sweep(f, jnp.zeros((n, r))))
+
+        def mul_at(q):         # A^T @ q: naturally column-sharded partials
+            def f(acc, fused, start):
+                qb = jax.lax.dynamic_slice_in_dim(q, start, block, axis=0)
+                return acc + jnp.dot(fused.astype(jnp.float32).T, qb,
+                                     preferred_element_type=jnp.float32)
+            part = sweep(f, jnp.zeros((n_local, r)))
+            if row_axis is not None:      # sum the row groups' block ranges
+                part = jax.lax.psum(part, row_axis)
+            g = jax.lax.all_gather(part, col_axis)        # (pm, n/pm, r)
+            return g.reshape(n, r)
+
+        omega = jax.random.normal(key, (n, r), jnp.float32)   # replicated
+        q, _ = jnp.linalg.qr(mul_a(omega))
+        for _ in range(n_iter):
+            z, _ = jnp.linalg.qr(mul_at(q))
+            q, _ = jnp.linalg.qr(mul_a(z))
+        bt = mul_at(q)
+        ub, s, _ = jnp.linalg.svd(bt.T, full_matrices=False)
+        out = (q @ ub)[:, :rank] * s[None, :rank]
+        if rank > out.shape[1]:
+            out = jnp.concatenate(
+                [out, jnp.zeros((n, rank - out.shape[1]), out.dtype)],
+                axis=1)
+        return out[None]
+
+    feat_specs = tuple(P(col_axis, *([None] * (f.ndim - 1))) for f in feats)
+    starts_spec = P(row_axis) if row_axis is not None else P()
+    out = shard_map(
+        body, mesh=mesh,
+        in_specs=(starts_spec,) + feat_specs,
+        out_specs=P(col_axis, None, None),
+        check_vma=False,
+    )(starts, *feats)
+    return out[0]
+
+
 def colsharded_fused_rows(feats: tuple, types: tuple, *, start: int,
                           block: int, k_basis: int, mesh,
                           tags_dim: int = 2048, text_dim: int = 4096,

@@ -508,3 +508,101 @@ def _sharded_blocked_fd_impl(tensors, valids, idf, *, kinds, ell: int,
         check_vma=False,
     )(tensors, valids, idf, starts)
     return merged[0], sq[0], loss[0]
+
+
+def sharded_blocked_svd_reduce(cols, key: jax.Array, *, rank: int,
+                               block: int, k_basis: int, mesh,
+                               n_iter: int = 2, oversample: int = 8,
+                               approx_knn: bool = False,
+                               select: str = "strip", nbins: int = 0):
+    """Distributed blocked randomized SVD of the implicit fused adjacency
+    of a HUGE window — the multi-chip mirror of
+    blocked_affinity.blocked_svd_reduce (reference TruncatedSVD,
+    matrix_operations.py:143-147, at window sizes it cannot materialize).
+
+    Row-sharded like sharded_blocked_fd_sketch: column features replicated,
+    each chip rematerializes its contiguous range of (block, n) fused
+    adjacency row blocks per sweep.  A·V products assemble row results with
+    one psum of the (n, r) panel; Aᵀ·Q products psum per-chip partials; the
+    tall-skinny QRs run replicated (O(n r²), negligible next to the
+    sweeps).  Same randomized-SVD recipe and omega stream as the
+    single-chip path — parity to rounding.  Returns (n, rank) = U·S
+    replicated.  Requires block | n and p | (n // block).
+    """
+    n = cols.n
+    p = mesh.shape["data"]
+    if n % block:
+        raise ValueError(f"block={block} must divide n={n} (pad upstream)")
+    if (n // block) % p:
+        raise ValueError(
+            f"row blocks ({n // block}) must split evenly over "
+            f"data_shards={p}")
+    return _sharded_blocked_svd_impl(
+        cols.tensors, cols.valids, cols.idf, key, kinds=cols.kinds,
+        rank=rank, block=block, k_basis=k_basis, mesh=mesh, n_iter=n_iter,
+        oversample=oversample, approx_knn=approx_knn, select=select,
+        nbins=nbins)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("kinds", "rank", "block", "k_basis",
+                                    "mesh", "n_iter", "oversample",
+                                    "approx_knn", "select", "nbins"))
+def _sharded_blocked_svd_impl(tensors, valids, idf, key, *, kinds,
+                              rank: int, block: int, k_basis: int, mesh,
+                              n_iter: int, oversample: int,
+                              approx_knn: bool, select: str, nbins: int):
+    from mused_tpu.ops import blocked_affinity as ba
+    n = tensors[0].shape[0]
+    r = min(rank + oversample, n)
+    starts = jnp.arange(n // block, dtype=jnp.int32) * block
+
+    def body(tensors, valids, idf, starts_s):
+        cols = ba.Columns(kinds=kinds, tensors=tensors, valids=valids,
+                          idf=idf)
+        omega = jax.random.normal(key, (n, r), jnp.float32)  # replicated
+
+        def sweep(f):
+            def step(acc, start):
+                fused = ba.fused_rowblock(cols, start, block, k_basis,
+                                          approx_knn, select, nbins,
+                                          jnp.bfloat16)
+                return f(acc, fused, start), None
+            acc, _ = jax.lax.scan(step, jnp.zeros((n, r)), starts_s)
+            return acc
+
+        def mul_a(v):          # A @ v: rows assemble over the data axis
+            def f(acc, fused, start):
+                return jax.lax.dynamic_update_slice_in_dim(
+                    acc, jnp.dot(fused.astype(jnp.float32), v,
+                                 preferred_element_type=jnp.float32),
+                    start, axis=0)
+            return jax.lax.psum(sweep(f), "data")
+
+        def mul_at(q):         # A^T @ q: per-chip partials psum
+            def f(acc, fused, start):
+                qb = jax.lax.dynamic_slice_in_dim(q, start, block, axis=0)
+                return acc + jnp.dot(fused.astype(jnp.float32).T, qb,
+                                     preferred_element_type=jnp.float32)
+            return jax.lax.psum(sweep(f), "data")
+
+        q, _ = jnp.linalg.qr(mul_a(omega))
+        for _ in range(n_iter):
+            z, _ = jnp.linalg.qr(mul_at(q))
+            q, _ = jnp.linalg.qr(mul_a(z))
+        bt = mul_at(q)
+        ub, s, _ = jnp.linalg.svd(bt.T, full_matrices=False)
+        out = (q @ ub)[:, :rank] * s[None, :rank]
+        if rank > out.shape[1]:
+            out = jnp.concatenate(
+                [out, jnp.zeros((n, rank - out.shape[1]), out.dtype)],
+                axis=1)
+        return out[None]
+
+    out = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P(), P("data")),
+        out_specs=P("data", None, None),
+        check_vma=False,
+    )(tensors, valids, idf, starts)
+    return out[0]

@@ -191,6 +191,52 @@ def test_colsharded_all_modalities_skipped(rng, mesh4):
     assert out.shape == (64, 256) and not out.any()
 
 
+def test_sharded_blocked_svd_matches_singlechip(rng, mesh4):
+    """Row-sharded blocked randomized SVD (parallel/sharded): same omega
+    stream and sweep recipe as the single-chip path — the reduced Gram
+    agrees to rounding (summation order differs by the psums)."""
+    from mused_tpu.parallel import sharded
+    wf = _standard_window(rng, n=512)
+    cols = ba.standard_columns(wf)
+    key = __import__("jax").random.key(3)
+    ours = np.asarray(sharded.sharded_blocked_svd_reduce(
+        cols, key, rank=16, block=64, k_basis=3, mesh=mesh4), np.float64)
+    ref = np.asarray(ba.blocked_svd_reduce(
+        cols, key, rank=16, block=64, k_basis=3), np.float64)
+    scale = max(np.abs(ref @ ref.T).max(), 1.0)
+    np.testing.assert_allclose(ours @ ours.T, ref @ ref.T,
+                               atol=1e-3 * scale)
+
+
+def test_colsharded_blocked_svd_matches_singlechip(rng, mesh4):
+    """Column-sharded blocked randomized SVD: bit-identical fused blocks
+    (binned select), so the reduced Gram matches the single-chip binned
+    SVD to rounding."""
+    wf = _standard_window(rng, n=512)
+    cols = ba.standard_columns(wf)
+    key = __import__("jax").random.key(3)
+    nbins = 128
+    ours = np.asarray(cs.colsharded_blocked_svd_reduce(
+        tuple(wf), ("standard",), key, rank=16, block=64, k_basis=3,
+        mesh=mesh4, nbins=nbins), np.float64)
+    ref = np.asarray(ba.blocked_svd_reduce(
+        cols, key, rank=16, block=64, k_basis=3, select="binned",
+        nbins=nbins), np.float64)
+    scale = max(np.abs(ref @ ref.T).max(), 1.0)
+    np.testing.assert_allclose(ours @ ours.T, ref @ ref.T,
+                               atol=1e-3 * scale)
+
+
+def test_colsharded_grid_svd_runs(rng):
+    from mused_tpu.parallel.mesh import make_mesh
+    wf = _standard_window(rng, n=512)
+    key = __import__("jax").random.key(3)
+    out = cs.colsharded_blocked_svd_reduce(
+        tuple(wf), ("standard",), key, rank=16, block=64, k_basis=3,
+        mesh=make_mesh(n_data=2, n_model=4), nbins=128)
+    assert out.shape == (512, 16) and np.isfinite(np.asarray(out)).all()
+
+
 def test_colsharded_rejects_bad_geometry(rng, mesh4):
     wf = _standard_window(rng, n=512)
     with pytest.raises(ValueError, match="block"):
@@ -216,12 +262,13 @@ def engine_stream():
                                   binary=True, noise_rate=0.5, seed=0)
 
 
-def _run_engine_blocked(engine_stream, shards, layout="rows", col_shards=0):
+def _run_engine_blocked(engine_stream, shards, layout="rows", col_shards=0,
+                        approach="SWFDMC"):
     from mused_tpu import api
     from mused_tpu.utils.config import PipelineConfig
     mods, mtypes, labels = engine_stream
     cfg = PipelineConfig(window_size=64, reduced_dim=8, k_basis=3,
-                         approach="SWFDMC", label_mode="binary",
+                         approach=approach, label_mode="binary",
                          n_clusters_override=2, data_shards=shards,
                          force_blocked_window=True,
                          huge_window_layout=layout,
@@ -230,7 +277,7 @@ def _run_engine_blocked(engine_stream, shards, layout="rows", col_shards=0):
     return api.process_streaming_data(
         results=results, data_modalities=mods, modality_types=mtypes,
         window_size=64, reduced_dim=8, k_basis=3, n_clusters_total=2,
-        seed=0, approach="SWFDMC", complete_true_labels=labels,
+        seed=0, approach=approach, complete_true_labels=labels,
         step_window_ratio=1, noise_rate=0.5, label_mode="binary",
         sorting=True, eps=1.5, min_samples=2, cfg=cfg)
 
@@ -243,6 +290,26 @@ def test_engine_huge_window_columns_layout(engine_stream):
     col = _run_engine_blocked(engine_stream, 4, layout="columns")
     assert np.isfinite(col["nmi_score"][0])
     assert col["f1_score"][0] >= one["f1_score"][0] - 0.15
+
+
+@pytest.mark.parametrize("layout,shards,col_shards",
+                         [("rows", 4, 0), ("columns", 4, 0),
+                          ("grid", 4, 2)])
+def test_engine_huge_window_sharded_svd(engine_stream, layout, shards,
+                                        col_shards):
+    """sSVDMC (randomized-SVD reduction) on the forced-blocked path across
+    all three sharded layouts — previously rejected outright for non-SWFDMC
+    approaches."""
+    one = _run_engine_blocked(engine_stream, 1, approach="sSVDMC")
+    sh = _run_engine_blocked(engine_stream, shards, layout=layout,
+                             col_shards=col_shards, approach="sSVDMC")
+    assert np.isfinite(sh["nmi_score"][0])
+    assert sh["f1_score"][0] >= one["f1_score"][0] - 0.15
+
+
+def test_engine_huge_window_sharded_still_rejects_spectral(engine_stream):
+    with pytest.raises(ValueError, match="sSpectral"):
+        _run_engine_blocked(engine_stream, 4, approach="sSpectral")
 
 
 def test_engine_huge_window_grid_layout(engine_stream):

@@ -352,9 +352,11 @@ def test_engine_huge_window_sharded(engine_stream):
     assert four["f1_score"][0] >= one["f1_score"][0] - 0.15
 
 
-def test_engine_huge_window_sharded_rejects_non_swfdmc(engine_stream):
+def test_engine_huge_window_sharded_rejects_spectral(engine_stream):
+    # sketch/SVD reductions now shard (SWFDMC + the sSVDMC family,
+    # test_colsharded.py); blocked spectral/incremental DBSCAN still don't
     with pytest.raises(ValueError):
-        _run_engine_blocked(engine_stream, "sSVDMC", 4)
+        _run_engine_blocked(engine_stream, "sSpectral", 4)
 
 
 def test_elastic_resume_across_mesh_sizes(tmp_path, engine_stream):
