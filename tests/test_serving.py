@@ -134,3 +134,47 @@ def test_rejects_label_leak_and_bad_shapes(stream):
         det.push([mods[0][:4]])
     with pytest.raises(ValueError, match="record count"):
         det.push([m[:3] for m in mods[:-1]] + [mods[-1][:2]])
+
+
+def test_serving_composes_with_data_shards(stream):
+    """Production serving on a mesh: a detector configured with
+    data_shards=4 runs every window step SPMD and — for a deterministic-
+    reduction approach — reproduces the single-chip detector's outputs
+    exactly (the engine's sharded step is bit-equal for sSVDMC)."""
+    mods, mtypes, _ = stream
+
+    def run(shards):
+        cfg = PipelineConfig(window_size=128, reduced_dim=16, k_basis=4,
+                             approach="sSVDMC", label_mode="all",
+                             n_clusters_override=8, k_estimate="eigengap",
+                             data_shards=shards)
+        det = StreamDetector(mtypes, 128, cfg=cfg)
+        out = []
+        for lo in range(0, len(mods[0]), 64):
+            out.extend(det.push([m[lo:lo + 64] for m in mods]))
+        out.extend(det.flush())
+        return out
+
+    one, four = run(1), run(4)
+    assert len(one) == len(four) == 4
+    for x, y in zip(one, four):
+        assert np.array_equal(x.clusters, y.clusters)
+        assert np.array_equal(x.new_events, y.new_events)
+
+
+def test_serving_huge_window_columns_layout(stream):
+    """Serving on the rematerialized huge-window path with the features
+    column-sharded (the capacity layout) — runs end-to-end and detects."""
+    mods, mtypes, _ = stream
+    cfg = PipelineConfig(window_size=128, reduced_dim=16, k_basis=4,
+                         approach="SWFDMC", label_mode="all",
+                         n_clusters_override=8, k_estimate="eigengap",
+                         data_shards=4, force_blocked_window=True,
+                         huge_window_layout="columns")
+    det = StreamDetector(mtypes, 128, cfg=cfg)
+    out = []
+    for lo in range(0, len(mods[0]), 128):
+        out.extend(det.push([m[lo:lo + 128] for m in mods]))
+    out.extend(det.flush())
+    assert len(out) == 4
+    assert all(len(r.event_ids) >= 1 for r in out)
