@@ -470,14 +470,12 @@ class StreamingEngine:
                     f"{len(jax.devices())} devices visible")
             if ((cfg.window_size > LARGE_WINDOW_ROWS
                  or cfg.force_blocked_window)
-                    and cfg.approach in ("sSpectral", "DBSCAN_incr")):
+                    and cfg.approach == "DBSCAN_incr"):
                 raise ValueError(
-                    "data_shards>1 on the rematerialized huge-window path "
-                    "covers the sketch/SVD reductions (SWFDMC via the "
-                    "sharded blocked FD sweep; sSVDMC*/DBSCAN_centr via the "
-                    "sharded blocked randomized SVD); sSpectral's blocked "
-                    "power iteration and DBSCAN_incr need window_size <= "
-                    f"{LARGE_WINDOW_ROWS} or data_shards=1")
+                    "DBSCAN_incr accumulates every inserted point (exact "
+                    "incremental semantics) and does not shard; huge "
+                    f"windows need window_size <= {LARGE_WINDOW_ROWS} or "
+                    "DBSCAN_centr")
             if (cfg.huge_window_layout in ("columns", "grid")
                     and not (cfg.window_size > LARGE_WINDOW_ROWS
                              or cfg.force_blocked_window)):
@@ -671,16 +669,34 @@ class StreamingEngine:
                 self.state = self.state._replace(minibatch=new_mbk)
                 clusters = np.asarray(labels)
             elif cfg.approach == "sSpectral":
-                from mused_tpu.ops.blocked_spectral import \
-                    spectral_clustering_blocked
+                from mused_tpu.ops import blocked_spectral as bspec
                 # blocked spectral takes a host cluster count: under
                 # "eigengap" the _k_plan cap (k_max) stands in — the blocked
                 # path has no cheap device spectrum to estimate from
                 k_host, _ = self._k_plan(window_true_labels)
-                labels = spectral_clustering_blocked(
-                    cols, k_host, key,
-                    k_max=self.k_max, block=block, k_basis=cfg.k_basis,
-                    n_real=n, approx_knn=cfg.huge_window_approx_knn)
+                if col_layout:
+                    from mused_tpu.parallel import colsharded as cs
+                    ritz = cs.colsharded_spectral_embedding(
+                        feats_t, types_t, key, k_max=self.k_max,
+                        block=block, k_basis=cfg.k_basis, mesh=self.mesh,
+                        tags_dim=cfg.features.tags_hash_dim,
+                        text_dim=cfg.features.text_hash_dim)
+                    labels = bspec.labels_from_ritz(
+                        ritz, k_host, key, k_max=self.k_max, n_real=n)
+                elif self.mesh is not None:
+                    from mused_tpu.parallel import sharded as shard_mod
+                    ritz = shard_mod.sharded_spectral_embedding(
+                        cols, key, k_max=self.k_max, block=block,
+                        k_basis=cfg.k_basis, mesh=self.mesh,
+                        approx_knn=cfg.huge_window_approx_knn,
+                        select=select, nbins=nbins)
+                    labels = bspec.labels_from_ritz(
+                        ritz, k_host, key, k_max=self.k_max, n_real=n)
+                else:
+                    labels = bspec.spectral_clustering_blocked(
+                        cols, k_host, key,
+                        k_max=self.k_max, block=block, k_basis=cfg.k_basis,
+                        n_real=n, approx_knn=cfg.huge_window_approx_knn)
                 clusters = np.asarray(labels)
             elif cfg.approach == "DBSCAN_centr":
                 from mused_tpu.ops.blocked_dbscan import dbscan_blocked

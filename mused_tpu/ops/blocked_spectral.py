@@ -105,6 +105,15 @@ def spectral_clustering_blocked(cols: ba.Columns, n_clusters: int,
     lam, w = jnp.linalg.eigh(0.5 * (t + t.T))
     ritz = jnp.dot(v, w[:, ::-1], precision=HIGH)    # descending eigenvalue order
 
+    return labels_from_ritz(ritz, n_clusters, key, k_max=k_max,
+                            n_real=n_real)
+
+
+def labels_from_ritz(ritz: jax.Array, n_clusters, key: jax.Array, *,
+                     k_max: int, n_real: int):
+    """NJW tail shared with the sharded spectral paths (parallel/sharded,
+    parallel/colsharded): slice the live eigenvectors, row-normalize, KMeans
+    — identical to the dense path's final step."""
     emb = ritz[:n_real, :k_max]
     alive = jnp.arange(emb.shape[1])[None, :] < n_clusters
     emb = jnp.where(alive, emb, 0.0)

@@ -746,6 +746,124 @@ def _colsharded_svd_impl(feats: tuple, key, *, types: tuple, rank: int,
     return out[0]
 
 
+def colsharded_spectral_embedding(feats: tuple, types: tuple,
+                                  key: jax.Array, *, k_max: int, block: int,
+                                  k_basis: int, mesh, n_iter: int = 6,
+                                  oversample: int = 8,
+                                  tags_dim: int = 2048,
+                                  text_dim: int = 4096,
+                                  nbins: int | None = None):
+    """Normalized-cuts spectral embedding with the window's FEATURES
+    column-sharded over the mesh — the capacity-layout counterpart of
+    parallel.sharded.sharded_spectral_embedding (same degrees /
+    symmetrized M·V sweeps as ops/blocked_spectral, over column slices).
+    Returns the (n, k_max+oversample) Ritz basis, descending eigenvalue
+    order, replicated; feed ops.blocked_spectral.labels_from_ritz.
+    """
+    n = feats[0].shape[0]
+    col_axis, row_axis, pm, pd = _mesh_axes(mesh)
+    if n % pm or (n // pm) % block or (n // block) % pd:
+        raise ValueError(
+            f"bad colsharded geometry: n={n}, pm={pm}, pd={pd}, "
+            f"block={block} (pad upstream, as the engine does)")
+    if nbins is None:
+        nbins = default_nbins_colsharded(n, pm, k_max=3 * k_basis)
+    if not nbins or (n // pm) % nbins:
+        raise ValueError(
+            f"no column-sharded bin structure for n={n}, pm={pm}")
+    feats = _place_row_sharded(feats, mesh, col_axis)
+    return _colsharded_spectral_impl(feats, key, types=types, k_max=k_max,
+                                     block=block, k_basis=k_basis,
+                                     mesh=mesh, n_iter=n_iter,
+                                     oversample=oversample,
+                                     tags_dim=tags_dim, text_dim=text_dim,
+                                     nbins=nbins)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("types", "k_max", "block", "k_basis",
+                                    "mesh", "n_iter", "oversample",
+                                    "tags_dim", "text_dim", "nbins"))
+def _colsharded_spectral_impl(feats: tuple, key, *, types: tuple,
+                              k_max: int, block: int, k_basis: int, mesh,
+                              n_iter: int, oversample: int, tags_dim: int,
+                              text_dim: int, nbins: int):
+    hi = jax.lax.Precision.HIGHEST
+    n = feats[0].shape[0]
+    col_axis, row_axis, pm, pd = _mesh_axes(mesh)
+    n_local = n // pm
+    use_kernel = jax.default_backend() == "tpu"
+    tn = bs.pick_tn(n_local, nbins)
+    m = min(k_max + oversample, n)
+    starts = jnp.arange(n // block, dtype=jnp.int32) * block
+
+    def body(starts_s, *feat_shards):
+        mods = _prep_local_modalities(feat_shards, types, k_basis,
+                                      tags_dim, text_dim, col_axis)
+        me = jax.lax.axis_index(col_axis)
+
+        def psum_rows(x):      # complete a (n, ...) row-assembled partial
+            x = jax.lax.psum(x, col_axis)
+            return jax.lax.psum(x, row_axis) if row_axis is not None else x
+
+        def gather_cols(x):    # complete a column-sharded (n/pm, ...) part
+            if row_axis is not None:
+                x = jax.lax.psum(x, row_axis)
+            g = jax.lax.all_gather(x, col_axis)
+            return g.reshape((n,) + x.shape[1:])
+
+        def sweep(f, init):
+            def step(acc, start):
+                fused = _fused_block_local(mods, start, block, n, nbins,
+                                           use_kernel, tn,
+                                           col_axis).astype(jnp.float32)
+                return f(acc, fused, start), None
+            acc, _ = jax.lax.scan(step, init, starts_s)
+            return acc
+
+        def f_deg(carry, fused, start):
+            rp, cp = carry
+            rp = jax.lax.dynamic_update_slice_in_dim(
+                rp, jnp.sum(fused, axis=1), start, axis=0)
+            return rp, cp + jnp.sum(fused, axis=0)
+
+        rp, cp = sweep(f_deg, (jnp.zeros(n), jnp.zeros(n_local)))
+        deg = 0.5 * (psum_rows(rp) + gather_cols(cp))
+        inv_sqrt = jnp.where(deg > 0,
+                             jax.lax.rsqrt(jnp.maximum(deg, 1e-12)), 0.0)
+
+        def sym_matmul(v):     # v (n, m) replicated
+            v_loc = jax.lax.dynamic_slice_in_dim(v, me * n_local, n_local,
+                                                 axis=0)
+            def f(carry, fused, start):
+                av, atv = carry
+                vb = jax.lax.dynamic_slice_in_dim(v, start, block, axis=0)
+                av = jax.lax.dynamic_update_slice_in_dim(
+                    av, jnp.dot(fused, v_loc, precision=hi), start, axis=0)
+                return av, atv + jnp.dot(fused.T, vb, precision=hi)
+            av, atv = sweep(f, (jnp.zeros((n, m)), jnp.zeros((n_local, m))))
+            return 0.5 * (psum_rows(av) + gather_cols(atv))
+
+        v = jax.random.normal(key, (n, m), jnp.float32)   # replicated
+        for _ in range(n_iter):
+            mv = sym_matmul(v * inv_sqrt[:, None]) * inv_sqrt[:, None]
+            v, _ = jnp.linalg.qr(mv)
+        mv = sym_matmul(v * inv_sqrt[:, None]) * inv_sqrt[:, None]
+        t = jnp.dot(v.T, mv, precision=hi)
+        _, w = jnp.linalg.eigh(0.5 * (t + t.T))
+        return jnp.dot(v, w[:, ::-1], precision=hi)[None]
+
+    feat_specs = tuple(P(col_axis, *([None] * (f.ndim - 1))) for f in feats)
+    starts_spec = P(row_axis) if row_axis is not None else P()
+    out = shard_map(
+        body, mesh=mesh,
+        in_specs=(starts_spec,) + feat_specs,
+        out_specs=P(col_axis, None, None),
+        check_vma=False,
+    )(starts, *feats)
+    return out[0]
+
+
 def colsharded_fused_rows(feats: tuple, types: tuple, *, start: int,
                           block: int, k_basis: int, mesh,
                           tags_dim: int = 2048, text_dim: int = 4096,

@@ -544,6 +544,98 @@ def sharded_blocked_svd_reduce(cols, key: jax.Array, *, rank: int,
         nbins=nbins)
 
 
+def sharded_spectral_embedding(cols, key: jax.Array, *, k_max: int,
+                               block: int, k_basis: int, mesh,
+                               n_iter: int = 6, oversample: int = 8,
+                               approx_knn: bool = False,
+                               select: str = "strip", nbins: int = 0):
+    """Row-sharded normalized-cuts spectral embedding of the implicit fused
+    adjacency — the multi-chip mirror of ops/blocked_spectral's sweeps
+    (degrees, symmetrized M·V products) with the same subspace-iteration
+    recipe.  Returns the (n, k_max+oversample) Ritz basis in descending
+    eigenvalue order, replicated; the caller applies the NJW normalization
+    + KMeans exactly like the single-chip path.
+    """
+    n = cols.n
+    p = mesh.shape["data"]
+    if n % block:
+        raise ValueError(f"block={block} must divide n={n} (pad upstream)")
+    if (n // block) % p:
+        raise ValueError(
+            f"row blocks ({n // block}) must split evenly over "
+            f"data_shards={p}")
+    return _sharded_spectral_impl(
+        cols.tensors, cols.valids, cols.idf, key, kinds=cols.kinds,
+        k_max=k_max, block=block, k_basis=k_basis, mesh=mesh,
+        n_iter=n_iter, oversample=oversample, approx_knn=approx_knn,
+        select=select, nbins=nbins)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("kinds", "k_max", "block", "k_basis",
+                                    "mesh", "n_iter", "oversample",
+                                    "approx_knn", "select", "nbins"))
+def _sharded_spectral_impl(tensors, valids, idf, key, *, kinds, k_max: int,
+                           block: int, k_basis: int, mesh, n_iter: int,
+                           oversample: int, approx_knn: bool, select: str,
+                           nbins: int):
+    from mused_tpu.ops import blocked_affinity as ba
+    hi = jax.lax.Precision.HIGHEST
+    n = tensors[0].shape[0]
+    m = min(k_max + oversample, n)
+    starts = jnp.arange(n // block, dtype=jnp.int32) * block
+
+    def body(tensors, valids, idf, starts_s):
+        cols = ba.Columns(kinds=kinds, tensors=tensors, valids=valids,
+                          idf=idf)
+
+        def sweep(f, init):
+            def step(acc, start):
+                fused = ba.fused_rowblock(cols, start, block, k_basis,
+                                          approx_knn, select, nbins)
+                return f(acc, fused, start), None
+            acc, _ = jax.lax.scan(step, init, starts_s)
+            return acc
+
+        def f_deg(carry, fused, start):
+            row_sums, col_sums = carry
+            row_sums = jax.lax.dynamic_update_slice_in_dim(
+                row_sums, jnp.sum(fused, axis=1), start, axis=0)
+            return row_sums, col_sums + jnp.sum(fused, axis=0)
+
+        rs, cs_ = sweep(f_deg, (jnp.zeros(n), jnp.zeros(n)))
+        deg = 0.5 * jax.lax.psum(rs + cs_, "data")
+        inv_sqrt = jnp.where(deg > 0,
+                             jax.lax.rsqrt(jnp.maximum(deg, 1e-12)), 0.0)
+
+        def sym_matmul(v):     # ((A + A^T)/2) @ v, psum'd like the sweeps
+            def f(carry, fused, start):
+                av, atv = carry
+                vb = jax.lax.dynamic_slice_in_dim(v, start, block, axis=0)
+                av = jax.lax.dynamic_update_slice_in_dim(
+                    av, jnp.dot(fused, v, precision=hi), start, axis=0)
+                return av, atv + jnp.dot(fused.T, vb, precision=hi)
+            av, atv = sweep(f, (jnp.zeros_like(v), jnp.zeros_like(v)))
+            return 0.5 * jax.lax.psum(av + atv, "data")
+
+        v = jax.random.normal(key, (n, m), jnp.float32)   # replicated
+        for _ in range(n_iter):
+            mv = sym_matmul(v * inv_sqrt[:, None]) * inv_sqrt[:, None]
+            v, _ = jnp.linalg.qr(mv)
+        mv = sym_matmul(v * inv_sqrt[:, None]) * inv_sqrt[:, None]
+        t = jnp.dot(v.T, mv, precision=hi)
+        _, w = jnp.linalg.eigh(0.5 * (t + t.T))
+        return jnp.dot(v, w[:, ::-1], precision=hi)[None]
+
+    out = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P(), P("data")),
+        out_specs=P("data", None, None),
+        check_vma=False,
+    )(tensors, valids, idf, starts)
+    return out[0]
+
+
 @functools.partial(jax.jit,
                    static_argnames=("kinds", "rank", "block", "k_basis",
                                     "mesh", "n_iter", "oversample",

@@ -227,6 +227,38 @@ def test_colsharded_blocked_svd_matches_singlechip(rng, mesh4):
                                atol=1e-3 * scale)
 
 
+def test_sharded_spectral_matches_singlechip(rng, mesh4):
+    """Row-sharded spectral embedding + the shared NJW tail clusters like
+    the single-chip blocked spectral (same sweeps, psum rounding)."""
+    import jax
+    from mused_tpu.parallel import sharded
+    from mused_tpu.ops import blocked_spectral as bspec
+    from mused_tpu.utils.metrics import nmi
+    wf = _standard_window(rng, n=512)
+    cols = ba.standard_columns(wf)
+    key = jax.random.key(5)
+    ritz = sharded.sharded_spectral_embedding(
+        cols, key, k_max=4, block=64, k_basis=3, mesh=mesh4)
+    ours = np.asarray(bspec.labels_from_ritz(ritz, 3, key, k_max=4,
+                                             n_real=512))
+    ref = np.asarray(bspec.spectral_clustering_blocked(
+        cols, 3, key, k_max=4, block=64, k_basis=3, n_real=512))
+    assert nmi(ref, ours) >= 0.9
+
+
+def test_colsharded_spectral_runs(rng, mesh4):
+    import jax
+    from mused_tpu.ops import blocked_spectral as bspec
+    wf = _standard_window(rng, n=512)
+    key = jax.random.key(5)
+    ritz = cs.colsharded_spectral_embedding(
+        tuple(wf), ("standard",), key, k_max=4, block=64, k_basis=3,
+        mesh=mesh4, nbins=128)
+    labels = np.asarray(bspec.labels_from_ritz(ritz, 3, key, k_max=4,
+                                               n_real=512))
+    assert labels.shape == (512,) and len(np.unique(labels)) <= 4
+
+
 def test_colsharded_grid_svd_runs(rng):
     from mused_tpu.parallel.mesh import make_mesh
     wf = _standard_window(rng, n=512)
@@ -307,9 +339,17 @@ def test_engine_huge_window_sharded_svd(engine_stream, layout, shards,
     assert sh["f1_score"][0] >= one["f1_score"][0] - 0.15
 
 
-def test_engine_huge_window_sharded_still_rejects_spectral(engine_stream):
-    with pytest.raises(ValueError, match="sSpectral"):
-        _run_engine_blocked(engine_stream, 4, approach="sSpectral")
+@pytest.mark.parametrize("layout,col_shards", [("rows", 0), ("columns", 0),
+                                               ("grid", 2)])
+def test_engine_huge_window_sharded_spectral(engine_stream, layout,
+                                             col_shards):
+    """sSpectral (blocked normalized cuts) on the forced-blocked path
+    across all three sharded layouts."""
+    one = _run_engine_blocked(engine_stream, 1, approach="sSpectral")
+    sh = _run_engine_blocked(engine_stream, 4, layout=layout,
+                             col_shards=col_shards, approach="sSpectral")
+    assert np.isfinite(sh["nmi_score"][0])
+    assert sh["f1_score"][0] >= one["f1_score"][0] - 0.15
 
 
 def test_engine_huge_window_grid_layout(engine_stream):

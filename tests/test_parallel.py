@@ -352,11 +352,12 @@ def test_engine_huge_window_sharded(engine_stream):
     assert four["f1_score"][0] >= one["f1_score"][0] - 0.15
 
 
-def test_engine_huge_window_sharded_rejects_spectral(engine_stream):
-    # sketch/SVD reductions now shard (SWFDMC + the sSVDMC family,
-    # test_colsharded.py); blocked spectral/incremental DBSCAN still don't
+def test_engine_huge_window_sharded_rejects_incr_dbscan(engine_stream):
+    # every reduction now shards (SWFDMC sketch, sSVDMC-family SVD,
+    # sSpectral embedding — test_colsharded.py); exact incremental DBSCAN
+    # accumulates every point and stays dense-window-only
     with pytest.raises(ValueError):
-        _run_engine_blocked(engine_stream, "sSpectral", 4)
+        _run_engine_blocked(engine_stream, "DBSCAN_incr", 4)
 
 
 def test_elastic_resume_across_mesh_sizes(tmp_path, engine_stream):
