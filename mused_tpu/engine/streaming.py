@@ -674,6 +674,7 @@ class StreamingEngine:
                 # "eigengap" the _k_plan cap (k_max) stands in — the blocked
                 # path has no cheap device spectrum to estimate from
                 k_host, _ = self._k_plan(window_true_labels)
+                ritz = None
                 if col_layout:
                     from mused_tpu.parallel import colsharded as cs
                     ritz = cs.colsharded_spectral_embedding(
@@ -681,8 +682,6 @@ class StreamingEngine:
                         block=block, k_basis=cfg.k_basis, mesh=self.mesh,
                         tags_dim=cfg.features.tags_hash_dim,
                         text_dim=cfg.features.text_hash_dim)
-                    labels = bspec.labels_from_ritz(
-                        ritz, k_host, key, k_max=self.k_max, n_real=n)
                 elif self.mesh is not None:
                     from mused_tpu.parallel import sharded as shard_mod
                     ritz = shard_mod.sharded_spectral_embedding(
@@ -690,6 +689,7 @@ class StreamingEngine:
                         k_basis=cfg.k_basis, mesh=self.mesh,
                         approx_knn=cfg.huge_window_approx_knn,
                         select=select, nbins=nbins)
+                if ritz is not None:
                     labels = bspec.labels_from_ritz(
                         ritz, k_host, key, k_max=self.k_max, n_real=n)
                 else:

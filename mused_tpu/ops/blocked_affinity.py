@@ -379,6 +379,33 @@ def fused_rowblock(cols: Columns, start, block: int,
 # blocked randomized SVD of the implicit fused adjacency
 # ---------------------------------------------------------------------------
 
+
+def randomized_svd_from_products(mul_a, mul_at, key: jax.Array, *, n: int,
+                                 rank: int, oversample: int = 8,
+                                 n_iter: int = 2) -> jax.Array:
+    """Randomized truncated SVD U·S of an implicit (n, n) matrix given only
+    its products: ``mul_a(v) = A @ v`` and ``mul_at(v) = A^T @ v`` for
+    (n, r) panels (reference TruncatedSVD, matrix_operations.py:143-147).
+
+    The ONE copy of the recipe (omega stream, QR power iteration, small SVD,
+    rank zero-pad) shared by the single-chip blocked sweep and the
+    row-/column-sharded layouts (parallel/sharded, parallel/colsharded) —
+    their "same recipe, parity to rounding" guarantee holds because only
+    the product closures differ."""
+    r = min(rank + oversample, n)
+    omega = jax.random.normal(key, (n, r), jnp.float32)
+    q, _ = jnp.linalg.qr(mul_a(omega))
+    for _ in range(n_iter):
+        z, _ = jnp.linalg.qr(mul_at(q))
+        q, _ = jnp.linalg.qr(mul_a(z))
+    bt = mul_at(q)                           # (n, r) = A^T Q
+    ub, s, _ = jnp.linalg.svd(bt.T, full_matrices=False)
+    out = (q @ ub)[:, :rank] * s[None, :rank]
+    if rank > out.shape[1]:
+        out = jnp.concatenate(
+            [out, jnp.zeros((n, rank - out.shape[1]), out.dtype)], axis=1)
+    return out
+
 def _scan_blocks(cols: Columns, block: int, k_basis: int, f, init,
                  approx: bool = False, select: str = "strip",
                  nbins: int = 0, out_dtype=jnp.float32):
@@ -485,7 +512,6 @@ def _blocked_svd_impl(tensors, valids, idf, key, *, kinds, rank: int,
     n = cols.n
     assert n % block == 0, "choose block dividing n (pad rows upstream)"
     r = min(rank + oversample, n)
-    omega = jax.random.normal(key, (n, r), jnp.float32)
 
     # the 0/1 fused blocks are bf16-exact, and every sweep product reads
     # the freshly built block once: bf16 halves that traffic.  The matvec
@@ -509,15 +535,5 @@ def _blocked_svd_impl(tensors, valids, idf, key, *, kinds, rank: int,
                             approx=approx_knn, select=select, nbins=nbins,
                             out_dtype=jnp.bfloat16)
 
-    q, _ = jnp.linalg.qr(mul_A(omega))
-    for _ in range(n_iter):
-        z, _ = jnp.linalg.qr(mul_AT(q))
-        q, _ = jnp.linalg.qr(mul_A(z))
-    bt = mul_AT(q)                          # (n, r) = A^T Q
-    ub, s, vt = jnp.linalg.svd(bt.T, full_matrices=False)   # (r, n) small svd
-    u = q @ ub
-    out = u[:, :rank] * s[None, :rank]
-    if rank > out.shape[1]:
-        out = jnp.concatenate(
-            [out, jnp.zeros((n, rank - out.shape[1]), out.dtype)], axis=1)
-    return out
+    return randomized_svd_from_products(mul_A, mul_AT, key, n=n, rank=rank,
+                                        oversample=oversample, n_iter=n_iter)

@@ -66,6 +66,23 @@ def _sym_matmul(tensors, valids, idf, v, *, kinds, block: int, k_basis: int,
     return 0.5 * (av + atv)
 
 
+def ritz_from_products(sym_matmul, inv_sqrt: jax.Array, key: jax.Array, *,
+                       n: int, m: int, n_iter: int = 6) -> jax.Array:
+    """Subspace iteration + Rayleigh-Ritz for M = D^{-1/2} Â D^{-1/2} given
+    only ``sym_matmul(v) = Â @ v`` and the degree scaling — the ONE copy of
+    the spectral-embedding recipe shared by the single-chip blocked path
+    and the sharded layouts (parallel/sharded, parallel/colsharded).
+    Returns the (n, m) Ritz basis in descending eigenvalue order."""
+    v = jax.random.normal(key, (n, m), jnp.float32)
+    for _ in range(n_iter):
+        mv = sym_matmul(v * inv_sqrt[:, None]) * inv_sqrt[:, None]
+        v, _ = jnp.linalg.qr(mv)
+    mv = sym_matmul(v * inv_sqrt[:, None]) * inv_sqrt[:, None]
+    t = jnp.dot(v.T, mv, precision=HIGH)
+    _, w = jnp.linalg.eigh(0.5 * (t + t.T))
+    return jnp.dot(v, w[:, ::-1], precision=HIGH)
+
+
 def spectral_clustering_blocked(cols: ba.Columns, n_clusters: int,
                                 key: jax.Array, *, k_max: int, block: int,
                                 k_basis: int, n_real: int | None = None,
@@ -89,22 +106,13 @@ def spectral_clustering_blocked(cols: ba.Columns, n_clusters: int,
     inv_sqrt = jnp.where(deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1e-12)), 0.0)
 
     m = min(k_max + oversample, n)
-    v = jax.random.normal(key, (n, m), jnp.float32)
-    for _ in range(n_iter):
-        u = v * inv_sqrt[:, None]
-        av = _sym_matmul(cols.tensors, cols.valids, cols.idf, u, kinds=kinds,
-                         block=block, k_basis=k_basis,
-                         approx_knn=approx_knn)
-        v, _ = jnp.linalg.qr(av * inv_sqrt[:, None])
-    # Rayleigh-Ritz on the projected matrix
-    u = v * inv_sqrt[:, None]
-    mv = _sym_matmul(cols.tensors, cols.valids, cols.idf, u, kinds=kinds,
-                     block=block, k_basis=k_basis,
-                     approx_knn=approx_knn) * inv_sqrt[:, None]
-    t = jnp.dot(v.T, mv, precision=HIGH)
-    lam, w = jnp.linalg.eigh(0.5 * (t + t.T))
-    ritz = jnp.dot(v, w[:, ::-1], precision=HIGH)    # descending eigenvalue order
 
+    def sym(v):
+        return _sym_matmul(cols.tensors, cols.valids, cols.idf, v,
+                           kinds=kinds, block=block, k_basis=k_basis,
+                           approx_knn=approx_knn)
+
+    ritz = ritz_from_products(sym, inv_sqrt, key, n=n, m=m, n_iter=n_iter)
     return labels_from_ritz(ritz, n_clusters, key, k_max=k_max,
                             n_real=n_real)
 

@@ -502,6 +502,37 @@ def _mesh_axes(mesh) -> tuple[str, str | None, int, int]:
     return "data", None, shape["data"], 1
 
 
+def _resolve_geometry(n: int, mesh, block: int, k_basis: int,
+                      nbins: int | None, check_row_groups: bool = True):
+    """Validate the column-sharded sweep geometry and resolve nbins — ONE
+    copy shared by every entry point (FD / SVD / spectral / fused-rows) so
+    no check can drift between them.  Returns the resolved nbins."""
+    col_axis, row_axis, pm, pd = _mesh_axes(mesh)
+    del col_axis, row_axis
+    if n % pm:
+        raise ValueError(f"n={n} must split evenly over {pm} column shards")
+    n_local = n // pm
+    if n_local % block:
+        raise ValueError(
+            f"block={block} must divide the per-chip column range n/pm="
+            f"{n_local} (pad upstream, as the engine does)")
+    if check_row_groups and (n // block) % pd:
+        raise ValueError(
+            f"row blocks ({n // block}, block={block}) must split evenly "
+            f"over the {pd} row groups")
+    if nbins is None:
+        nbins = default_nbins_colsharded(n, pm, k_max=3 * k_basis)
+    if not nbins or n_local % nbins:
+        raise ValueError(
+            f"no column-sharded bin structure for n={n}, pm={pm} "
+            f"(need pm | groups; got nbins={nbins})")
+    if n_local // nbins > 127:
+        raise ValueError(
+            f"nbins={nbins} gives {n_local // nbins} per-chip groups — past "
+            "the kernel's int8 group-id budget (127); use more bins")
+    return nbins
+
+
 def colsharded_blocked_fd_sketch(feats: tuple, types: tuple, *, ell: int,
                                  block: int, k_basis: int, mesh,
                                  mode: str = "subspace",
@@ -529,28 +560,8 @@ def colsharded_blocked_fd_sketch(feats: tuple, types: tuple, *, ell: int,
     chip.
     """
     n = feats[0].shape[0]
-    col_axis, row_axis, pm, pd = _mesh_axes(mesh)
-    if n % pm:
-        raise ValueError(f"n={n} must split evenly over {pm} column shards")
-    n_local = n // pm
-    if n_local % block:
-        raise ValueError(
-            f"block={block} must divide the per-chip column range n/pm="
-            f"{n_local} (pad upstream, as the engine does)")
-    if (n // block) % pd:
-        raise ValueError(
-            f"row blocks ({n // block}, block={block}) must split evenly "
-            f"over the {pd} row groups")
-    if nbins is None:
-        nbins = default_nbins_colsharded(n, pm, k_max=3 * k_basis)
-    if not nbins or n_local % nbins:
-        raise ValueError(
-            f"no column-sharded bin structure for n={n}, pm={pm} "
-            f"(need pm | groups; got nbins={nbins})")
-    if n_local // nbins > 127:
-        raise ValueError(
-            f"nbins={nbins} gives {n_local // nbins} per-chip groups — past "
-            "the kernel's int8 group-id budget (127); use more bins")
+    col_axis, _, _, _ = _mesh_axes(mesh)
+    nbins = _resolve_geometry(n, mesh, block, k_basis, nbins)
     mode = fd.resolve_fold_mode(mode)
     if mode not in ("eigh", "rr"):
         raise ValueError(f"colsharded fold supports 'eigh'/'rr' (via "
@@ -636,28 +647,8 @@ def colsharded_blocked_svd_reduce(feats: tuple, types: tuple,
     U·S replicated (a global array).
     """
     n = feats[0].shape[0]
-    col_axis, row_axis, pm, pd = _mesh_axes(mesh)
-    if n % pm:
-        raise ValueError(f"n={n} must split evenly over {pm} column shards")
-    n_local = n // pm
-    if n_local % block:
-        raise ValueError(
-            f"block={block} must divide the per-chip column range n/pm="
-            f"{n_local} (pad upstream, as the engine does)")
-    if (n // block) % pd:
-        raise ValueError(
-            f"row blocks ({n // block}, block={block}) must split evenly "
-            f"over the {pd} row groups")
-    if nbins is None:
-        nbins = default_nbins_colsharded(n, pm, k_max=3 * k_basis)
-    if not nbins or n_local % nbins:
-        raise ValueError(
-            f"no column-sharded bin structure for n={n}, pm={pm} "
-            f"(need pm | groups; got nbins={nbins})")
-    if n_local // nbins > 127:
-        raise ValueError(
-            f"nbins={nbins} gives {n_local // nbins} per-chip groups — past "
-            "the kernel's int8 group-id budget (127); use more bins")
+    col_axis, _, _, _ = _mesh_axes(mesh)
+    nbins = _resolve_geometry(n, mesh, block, k_basis, nbins)
     feats = _place_row_sharded(feats, mesh, col_axis)
     return _colsharded_svd_impl(feats, key, types=types, rank=rank,
                                 block=block, k_basis=k_basis, mesh=mesh,
@@ -721,19 +712,10 @@ def _colsharded_svd_impl(feats: tuple, key, *, types: tuple, rank: int,
             g = jax.lax.all_gather(part, col_axis)        # (pm, n/pm, r)
             return g.reshape(n, r)
 
-        omega = jax.random.normal(key, (n, r), jnp.float32)   # replicated
-        q, _ = jnp.linalg.qr(mul_a(omega))
-        for _ in range(n_iter):
-            z, _ = jnp.linalg.qr(mul_at(q))
-            q, _ = jnp.linalg.qr(mul_a(z))
-        bt = mul_at(q)
-        ub, s, _ = jnp.linalg.svd(bt.T, full_matrices=False)
-        out = (q @ ub)[:, :rank] * s[None, :rank]
-        if rank > out.shape[1]:
-            out = jnp.concatenate(
-                [out, jnp.zeros((n, rank - out.shape[1]), out.dtype)],
-                axis=1)
-        return out[None]
+        from mused_tpu.ops import blocked_affinity as ba
+        return ba.randomized_svd_from_products(
+            mul_a, mul_at, key, n=n, rank=rank, oversample=oversample,
+            n_iter=n_iter)[None]
 
     feat_specs = tuple(P(col_axis, *([None] * (f.ndim - 1))) for f in feats)
     starts_spec = P(row_axis) if row_axis is not None else P()
@@ -761,16 +743,8 @@ def colsharded_spectral_embedding(feats: tuple, types: tuple,
     order, replicated; feed ops.blocked_spectral.labels_from_ritz.
     """
     n = feats[0].shape[0]
-    col_axis, row_axis, pm, pd = _mesh_axes(mesh)
-    if n % pm or (n // pm) % block or (n // block) % pd:
-        raise ValueError(
-            f"bad colsharded geometry: n={n}, pm={pm}, pd={pd}, "
-            f"block={block} (pad upstream, as the engine does)")
-    if nbins is None:
-        nbins = default_nbins_colsharded(n, pm, k_max=3 * k_basis)
-    if not nbins or (n // pm) % nbins:
-        raise ValueError(
-            f"no column-sharded bin structure for n={n}, pm={pm}")
+    col_axis, _, _, _ = _mesh_axes(mesh)
+    nbins = _resolve_geometry(n, mesh, block, k_basis, nbins)
     feats = _place_row_sharded(feats, mesh, col_axis)
     return _colsharded_spectral_impl(feats, key, types=types, k_max=k_max,
                                      block=block, k_basis=k_basis,
@@ -844,14 +818,9 @@ def _colsharded_spectral_impl(feats: tuple, key, *, types: tuple,
             av, atv = sweep(f, (jnp.zeros((n, m)), jnp.zeros((n_local, m))))
             return 0.5 * (psum_rows(av) + gather_cols(atv))
 
-        v = jax.random.normal(key, (n, m), jnp.float32)   # replicated
-        for _ in range(n_iter):
-            mv = sym_matmul(v * inv_sqrt[:, None]) * inv_sqrt[:, None]
-            v, _ = jnp.linalg.qr(mv)
-        mv = sym_matmul(v * inv_sqrt[:, None]) * inv_sqrt[:, None]
-        t = jnp.dot(v.T, mv, precision=hi)
-        _, w = jnp.linalg.eigh(0.5 * (t + t.T))
-        return jnp.dot(v, w[:, ::-1], precision=hi)[None]
+        from mused_tpu.ops.blocked_spectral import ritz_from_products
+        return ritz_from_products(sym_matmul, inv_sqrt, key, n=n, m=m,
+                                  n_iter=n_iter)[None]
 
     feat_specs = tuple(P(col_axis, *([None] * (f.ndim - 1))) for f in feats)
     starts_spec = P(row_axis) if row_axis is not None else P()
@@ -873,10 +842,8 @@ def colsharded_fused_rows(feats: tuple, types: tuple, *, start: int,
     to blocked_affinity.fused_rowblock's binned path)."""
     n = feats[0].shape[0]
     col_axis, _, pm, _ = _mesh_axes(mesh)
-    if nbins is None:
-        nbins = default_nbins_colsharded(n, pm, k_max=3 * k_basis)
-    if not nbins:
-        raise ValueError(f"no bin structure for n={n}, pm={pm}")
+    nbins = _resolve_geometry(n, mesh, block, k_basis, nbins,
+                              check_row_groups=False)
     n_local = n // pm
     use_kernel = jax.default_backend() == "tpu"
     tn = bs.pick_tn(n_local, nbins)

@@ -431,6 +431,18 @@ def sharded_window_step(location, times, user_ids, tags, text, n_clusters,
 # sharded huge-window path: rematerialized row blocks, one chip per row range
 # ---------------------------------------------------------------------------
 
+
+def _check_row_blocks(n: int, block: int, p: int) -> None:
+    """Row-sharded sweep geometry — ONE copy shared by the FD / SVD /
+    spectral wrappers (each chip folds a contiguous range of row blocks)."""
+    if n % block:
+        raise ValueError(f"block={block} must divide n={n} (pad upstream)")
+    if (n // block) % p:
+        raise ValueError(
+            f"row blocks ({n // block}) must split evenly over "
+            f"data_shards={p}")
+
+
 def sharded_blocked_fd_sketch(cols, *, ell: int, block: int, k_basis: int,
                               mesh, topology: str = "allgather",
                               mode: str = "subspace",
@@ -529,14 +541,7 @@ def sharded_blocked_svd_reduce(cols, key: jax.Array, *, rank: int,
     single-chip path — parity to rounding.  Returns (n, rank) = U·S
     replicated.  Requires block | n and p | (n // block).
     """
-    n = cols.n
-    p = mesh.shape["data"]
-    if n % block:
-        raise ValueError(f"block={block} must divide n={n} (pad upstream)")
-    if (n // block) % p:
-        raise ValueError(
-            f"row blocks ({n // block}) must split evenly over "
-            f"data_shards={p}")
+    _check_row_blocks(cols.n, block, mesh.shape["data"])
     return _sharded_blocked_svd_impl(
         cols.tensors, cols.valids, cols.idf, key, kinds=cols.kinds,
         rank=rank, block=block, k_basis=k_basis, mesh=mesh, n_iter=n_iter,
@@ -556,14 +561,7 @@ def sharded_spectral_embedding(cols, key: jax.Array, *, k_max: int,
     eigenvalue order, replicated; the caller applies the NJW normalization
     + KMeans exactly like the single-chip path.
     """
-    n = cols.n
-    p = mesh.shape["data"]
-    if n % block:
-        raise ValueError(f"block={block} must divide n={n} (pad upstream)")
-    if (n // block) % p:
-        raise ValueError(
-            f"row blocks ({n // block}) must split evenly over "
-            f"data_shards={p}")
+    _check_row_blocks(cols.n, block, mesh.shape["data"])
     return _sharded_spectral_impl(
         cols.tensors, cols.valids, cols.idf, key, kinds=cols.kinds,
         k_max=k_max, block=block, k_basis=k_basis, mesh=mesh,
@@ -618,14 +616,9 @@ def _sharded_spectral_impl(tensors, valids, idf, key, *, kinds, k_max: int,
             av, atv = sweep(f, (jnp.zeros_like(v), jnp.zeros_like(v)))
             return 0.5 * jax.lax.psum(av + atv, "data")
 
-        v = jax.random.normal(key, (n, m), jnp.float32)   # replicated
-        for _ in range(n_iter):
-            mv = sym_matmul(v * inv_sqrt[:, None]) * inv_sqrt[:, None]
-            v, _ = jnp.linalg.qr(mv)
-        mv = sym_matmul(v * inv_sqrt[:, None]) * inv_sqrt[:, None]
-        t = jnp.dot(v.T, mv, precision=hi)
-        _, w = jnp.linalg.eigh(0.5 * (t + t.T))
-        return jnp.dot(v, w[:, ::-1], precision=hi)[None]
+        from mused_tpu.ops.blocked_spectral import ritz_from_products
+        return ritz_from_products(sym_matmul, inv_sqrt, key, n=n, m=m,
+                                  n_iter=n_iter)[None]
 
     out = shard_map(
         body, mesh=mesh,
@@ -652,7 +645,6 @@ def _sharded_blocked_svd_impl(tensors, valids, idf, key, *, kinds,
     def body(tensors, valids, idf, starts_s):
         cols = ba.Columns(kinds=kinds, tensors=tensors, valids=valids,
                           idf=idf)
-        omega = jax.random.normal(key, (n, r), jnp.float32)  # replicated
 
         def sweep(f):
             def step(acc, start):
@@ -678,18 +670,9 @@ def _sharded_blocked_svd_impl(tensors, valids, idf, key, *, kinds,
                                      preferred_element_type=jnp.float32)
             return jax.lax.psum(sweep(f), "data")
 
-        q, _ = jnp.linalg.qr(mul_a(omega))
-        for _ in range(n_iter):
-            z, _ = jnp.linalg.qr(mul_at(q))
-            q, _ = jnp.linalg.qr(mul_a(z))
-        bt = mul_at(q)
-        ub, s, _ = jnp.linalg.svd(bt.T, full_matrices=False)
-        out = (q @ ub)[:, :rank] * s[None, :rank]
-        if rank > out.shape[1]:
-            out = jnp.concatenate(
-                [out, jnp.zeros((n, rank - out.shape[1]), out.dtype)],
-                axis=1)
-        return out[None]
+        return ba.randomized_svd_from_products(
+            mul_a, mul_at, key, n=n, rank=rank, oversample=oversample,
+            n_iter=n_iter)[None]
 
     out = shard_map(
         body, mesh=mesh,

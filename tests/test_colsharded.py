@@ -270,6 +270,7 @@ def test_colsharded_grid_svd_runs(rng):
 
 
 def test_colsharded_rejects_bad_geometry(rng, mesh4):
+    import jax
     wf = _standard_window(rng, n=512)
     with pytest.raises(ValueError, match="block"):
         cs.colsharded_blocked_fd_sketch(tuple(wf), ("standard",), ell=8,
@@ -278,6 +279,12 @@ def test_colsharded_rejects_bad_geometry(rng, mesh4):
         cs.colsharded_blocked_fd_sketch(tuple(wf), ("standard",), ell=8,
                                         block=64, k_basis=3, mesh=mesh4,
                                         mode="subspace_ns")
+    # the int8 group budget guards EVERY entry point (shared geometry
+    # validation — the spectral path once lacked it): 128/1 = 128 > 127
+    with pytest.raises(ValueError, match="int8"):
+        cs.colsharded_spectral_embedding(
+            tuple(wf), ("standard",), jax.random.key(0), k_max=4,
+            block=128, k_basis=3, mesh=mesh4, nbins=1)
 
 
 # ---------------------------------------------------------------------------
