@@ -242,6 +242,22 @@ for shards in (1, 8):
         complete_true_labels=labels, step_window_ratio=1, noise_rate=0.5,
         label_mode="binary", sorting=True, eps=1.5, min_samples=2, cfg=cfg)
     out[str(shards)] = {"f1": r["f1_score"][0], "nmi": r["nmi_score"][0]}
+# columns-layout huge-window sweep (features column-sharded over the mesh,
+# parallel/colsharded) vs the single-chip blocked sketch
+for tag, shards, layout in (("blk1", 1, "rows"), ("cols8", 8, "columns")):
+    cfg = PipelineConfig(window_size=128, reduced_dim=16, k_basis=4,
+                         approach="SWFDMC", label_mode="binary",
+                         n_clusters_override=2, data_shards=shards,
+                         force_blocked_window=True,
+                         huge_window_layout=layout if shards > 1 else "rows",
+                         eps=1.5, min_samples=2)
+    r, _ = api.get_initial_results()
+    r = api.process_streaming_data(results=r, data_modalities=mods,
+        modality_types=mtypes, window_size=128, reduced_dim=16, k_basis=4,
+        n_clusters_total=2, seed=0, approach="SWFDMC",
+        complete_true_labels=labels, step_window_ratio=1, noise_rate=0.5,
+        label_mode="binary", sorting=True, eps=1.5, min_samples=2, cfg=cfg)
+    out[tag] = {"f1": r["f1_score"][0], "nmi": r["nmi_score"][0]}
 print("RESULT " + json.dumps(out))
 """
 
@@ -258,6 +274,11 @@ def config5_merged_sketch_delta():
                 out["8"]["f1"] - out["1"]["f1"], 4)
             RESULTS["5_merged_sketch_nmi_delta"] = round(
                 out["8"]["nmi"] - out["1"]["nmi"], 4)
+            if "cols8" in out:
+                RESULTS["5b_colsharded_f1_delta"] = round(
+                    out["cols8"]["f1"] - out["blk1"]["f1"], 4)
+                RESULTS["5b_colsharded_nmi_delta"] = round(
+                    out["cols8"]["nmi"] - out["blk1"]["nmi"], 4)
             return
     RESULTS["5_error"] = (proc.stderr or proc.stdout)[-400:]
 
