@@ -37,7 +37,9 @@ class Columns(NamedTuple):
 
     @property
     def n(self) -> int:
-        return self.tensors[0].shape[0]
+        t = self.tensors[0]
+        # hoisted-stats kinds (tags, default_safe) store (tensor, row_stats)
+        return (t[0] if isinstance(t, tuple) else t).shape[0]
 
 
 def standard_columns(wf, features_cfg=None) -> Columns:
@@ -132,7 +134,14 @@ def _unit_xyz(latlon, valid):
 
 
 def generic_columns(mats, types) -> Columns:
-    """Columns for numeric modalities (default/embedding/location/time)."""
+    """Columns for numeric modalities (default/embedding/location/time).
+
+    Embedding rows normalize and default rows mask/hoist their squared
+    norms HERE, once per window — inside the block sweep these were an
+    extra full-panel elementwise pass per block, and the sweep is
+    HBM-bandwidth-bound (same rationale as the hoisted text idf/normalize
+    and tags row sums: the O(n·d) pass is FLOP-trivial but its read+write
+    traffic rivals the column-panel read the MXU actually needs)."""
     tensors, valids, kinds = [], [], []
     for m, t in zip(mats, types):
         m = jnp.asarray(np.asarray(m, np.float32))
@@ -142,16 +151,28 @@ def generic_columns(mats, types) -> Columns:
             valids.append(valid)
             kinds.append("location_xyz")
             continue
-        kinds.append(t)
         if t == "time":
+            kinds.append(t)
             valids.append(jnp.all(jnp.isfinite(m), axis=1)
                           & (m[:, 0] != 0.0) & (m[:, 1] != 0.0))
+            tensors.append(m)
         elif t == "embedding":
-            norm = jnp.linalg.norm(m, axis=1)
-            valids.append(jnp.all(jnp.isfinite(m), axis=1) & (norm > 0))
+            fin = jnp.all(jnp.isfinite(m), axis=1)
+            safe = jnp.where(fin[:, None], m, 0.0)
+            norm = jnp.linalg.norm(safe, axis=1, keepdims=True)
+            kinds.append("embedding_unit")
+            valids.append(fin & (norm[:, 0] > 0))
+            tensors.append(safe / jnp.maximum(norm, 1e-12))
+        elif t == "default":
+            valid = jnp.all(jnp.isfinite(m), axis=1)
+            safe = jnp.where(valid[:, None], m, 0.0)
+            kinds.append("default_safe")
+            valids.append(valid)
+            tensors.append((safe, jnp.sum(safe * safe, axis=1)))
         else:
+            kinds.append(t)
             valids.append(jnp.all(jnp.isfinite(m), axis=1))
-        tensors.append(m)
+            tensors.append(m)
     return Columns(kinds=tuple(kinds), tensors=tuple(tensors),
                    valids=tuple(valids), idf=None)
 
@@ -223,9 +244,11 @@ def fused_rowblock(cols: Columns, start, block: int,
     cand_cols = []
     mats = []
     for kind, t, valid in zip(cols.kinds, cols.tensors, cols.valids):
-        tags_sum = None
+        tags_sum = def_sq = None
         if kind == "tags" and isinstance(t, tuple):
             t, tags_sum = t       # (multi_hot, hoisted row sums)
+        if kind == "default_safe":
+            t, def_sq = t         # (masked rows, hoisted squared norms)
         tr = _rows(t, start, block)
         vr = _rows(valid, start, block)
         if kind in ("location", "location_xyz"):
@@ -339,6 +362,16 @@ def fused_rowblock(cols: Columns, start, block: int,
             sim = jnp.dot(x_r, x_c.T, preferred_element_type=jnp.float32,
                           precision=jax.lax.Precision.HIGH)
             mats.append(knn_b(sim, vr, valid, k_basis, start, approx))
+        elif kind == "embedding_unit":
+            # rows pre-normalized in generic_columns (hoisted: the per-block
+            # renormalization was an extra full-panel HBM round trip)
+            if binned and t.shape[1] % 128 == 0:
+                cand_cols.append(_binned_cands(t, tr, valid, vr, k_basis,
+                                               "dot"))
+                continue
+            sim = jnp.dot(tr, t.T, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+            mats.append(knn_b(sim, vr, valid, k_basis, start, approx))
         elif kind == "embedding":
             x_c = t / jnp.maximum(jnp.linalg.norm(t, axis=1, keepdims=True),
                                   1e-12)
@@ -346,6 +379,27 @@ def fused_rowblock(cols: Columns, start, block: int,
             sim = jnp.dot(x_r, x_c.T, preferred_element_type=jnp.float32,
                           precision=jax.lax.Precision.HIGHEST)
             mats.append(knn_b(sim, vr, valid, k_basis, start, approx))
+        elif kind == "default_safe":
+            # masked rows + hoisted squared norms; negative squared
+            # euclidean == the kernel's "chord" metric, self included in k
+            # (ref :112-119)
+            kk = max(1, k_basis) - 1
+            if binned and t.shape[1] % 128 == 0:
+                sq_r = _rows(def_sq, start, block)
+                cand_cols.append(_binned_cands(
+                    t, tr, valid, vr, kk, "chord", row_sums=def_sq,
+                    sim_fn=lambda: -jnp.maximum(
+                        sq_r[:, None] + def_sq[None, :]
+                        - 2.0 * jnp.dot(tr, t.T,
+                                        preferred_element_type=jnp.float32),
+                        0.0)))
+                continue
+            d2 = (_rows(def_sq, start, block)[:, None] + def_sq[None, :]
+                  - 2.0 * jnp.dot(tr, t.T,
+                                  preferred_element_type=jnp.float32,
+                                  precision=jax.lax.Precision.HIGHEST))
+            mats.append(knn_b(-jnp.maximum(d2, 0.0), vr, valid, kk,
+                              start, approx))
         else:   # default: euclidean, self included in k (ref :112-119)
             safe_c = jnp.where(valid[:, None], t, 0.0)
             safe_r = jnp.where(vr[:, None], tr, 0.0)

@@ -489,7 +489,8 @@ def _sharded_blocked_fd_impl(tensors, valids, idf, *, kinds, ell: int,
                              approx_knn: bool = False,
                              select: str = "strip", nbins: int = 0):
     from mused_tpu.ops import blocked_affinity as ba
-    n = tensors[0].shape[0]
+    t0 = tensors[0]
+    n = (t0[0] if isinstance(t0, tuple) else t0).shape[0]
     starts = jnp.arange(n // block, dtype=jnp.int32) * block
 
     def body(tensors, valids, idf, starts_s):
@@ -579,7 +580,8 @@ def _sharded_spectral_impl(tensors, valids, idf, key, *, kinds, k_max: int,
                            nbins: int):
     from mused_tpu.ops import blocked_affinity as ba
     hi = jax.lax.Precision.HIGHEST
-    n = tensors[0].shape[0]
+    t0 = tensors[0]
+    n = (t0[0] if isinstance(t0, tuple) else t0).shape[0]
     m = min(k_max + oversample, n)
     starts = jnp.arange(n // block, dtype=jnp.int32) * block
 
@@ -638,7 +640,8 @@ def _sharded_blocked_svd_impl(tensors, valids, idf, key, *, kinds,
                               n_iter: int, oversample: int,
                               approx_knn: bool, select: str, nbins: int):
     from mused_tpu.ops import blocked_affinity as ba
-    n = tensors[0].shape[0]
+    t0 = tensors[0]
+    n = (t0[0] if isinstance(t0, tuple) else t0).shape[0]
     r = min(rank + oversample, n)
     starts = jnp.arange(n // block, dtype=jnp.int32) * block
 
