@@ -670,33 +670,32 @@ class StreamingEngine:
                 clusters = np.asarray(labels)
             elif cfg.approach == "sSpectral":
                 from mused_tpu.ops import blocked_spectral as bspec
-                # blocked spectral takes a host cluster count: under
-                # "eigengap" the _k_plan cap (k_max) stands in — the blocked
-                # path has no cheap device spectrum to estimate from
-                k_host, _ = self._k_plan(window_true_labels)
-                ritz = None
                 if col_layout:
                     from mused_tpu.parallel import colsharded as cs
-                    ritz = cs.colsharded_spectral_embedding(
+                    ritz, lam = cs.colsharded_spectral_embedding(
                         feats_t, types_t, key, k_max=self.k_max,
                         block=block, k_basis=cfg.k_basis, mesh=self.mesh,
                         tags_dim=cfg.features.tags_hash_dim,
                         text_dim=cfg.features.text_hash_dim)
                 elif self.mesh is not None:
                     from mused_tpu.parallel import sharded as shard_mod
-                    ritz = shard_mod.sharded_spectral_embedding(
+                    ritz, lam = shard_mod.sharded_spectral_embedding(
                         cols, key, k_max=self.k_max, block=block,
                         k_basis=cfg.k_basis, mesh=self.mesh,
                         approx_knn=cfg.huge_window_approx_knn,
                         select=select, nbins=nbins)
-                if ritz is not None:
-                    labels = bspec.labels_from_ritz(
-                        ritz, k_host, key, k_max=self.k_max, n_real=n)
                 else:
-                    labels = bspec.spectral_clustering_blocked(
-                        cols, k_host, key,
-                        k_max=self.k_max, block=block, k_basis=cfg.k_basis,
-                        n_real=n, approx_knn=cfg.huge_window_approx_knn)
+                    ritz, lam = bspec.spectral_embedding_blocked(
+                        cols, key, k_max=self.k_max, block=block,
+                        k_basis=cfg.k_basis,
+                        approx_knn=cfg.huge_window_approx_knn)
+                # label-free cluster count straight from the normalized-
+                # affinity spectrum the Ritz step already computed
+                k_host, k_src = self._k_plan(window_true_labels)
+                nk = (bspec.eigengap_k_from_spectrum(lam, k_max=self.k_max)
+                      if k_src == "eigengap" else jnp.int32(k_host))
+                labels = bspec.labels_from_ritz(
+                    ritz, nk, key, k_max=self.k_max, n_real=n)
                 clusters = np.asarray(labels)
             elif cfg.approach == "DBSCAN_centr":
                 from mused_tpu.ops.blocked_dbscan import dbscan_blocked

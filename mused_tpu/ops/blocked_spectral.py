@@ -67,20 +67,70 @@ def _sym_matmul(tensors, valids, idf, v, *, kinds, block: int, k_basis: int,
 
 
 def ritz_from_products(sym_matmul, inv_sqrt: jax.Array, key: jax.Array, *,
-                       n: int, m: int, n_iter: int = 6) -> jax.Array:
+                       n: int, m: int, n_iter: int = 6):
     """Subspace iteration + Rayleigh-Ritz for M = D^{-1/2} Â D^{-1/2} given
     only ``sym_matmul(v) = Â @ v`` and the degree scaling — the ONE copy of
     the spectral-embedding recipe shared by the single-chip blocked path
     and the sharded layouts (parallel/sharded, parallel/colsharded).
-    Returns the (n, m) Ritz basis in descending eigenvalue order."""
+    Returns (ritz (n, m) basis, eigenvalue estimates (m,)), both in
+    descending eigenvalue order — the eigenvalues feed the label-free
+    cluster-count estimate (eigengap_k_from_spectrum)."""
     v = jax.random.normal(key, (n, m), jnp.float32)
     for _ in range(n_iter):
         mv = sym_matmul(v * inv_sqrt[:, None]) * inv_sqrt[:, None]
         v, _ = jnp.linalg.qr(mv)
     mv = sym_matmul(v * inv_sqrt[:, None]) * inv_sqrt[:, None]
     t = jnp.dot(v.T, mv, precision=HIGH)
-    _, w = jnp.linalg.eigh(0.5 * (t + t.T))
-    return jnp.dot(v, w[:, ::-1], precision=HIGH)
+    lam, w = jnp.linalg.eigh(0.5 * (t + t.T))
+    return jnp.dot(v, w[:, ::-1], precision=HIGH), lam[::-1]
+
+
+def eigengap_k_from_spectrum(lam_desc: jax.Array, *, k_max: int,
+                             k_min: int = 1,
+                             floor: float = 1e-3) -> jax.Array:
+    """Label-free cluster count from the normalized-affinity spectrum
+    (the spectral counterpart of ops/reduction.eigengap_k; ``lam_desc``:
+    descending Ritz values, free from ritz_from_products).
+
+    For c well-separated clusters M = D^{-1/2} Â D^{-1/2} has c
+    eigenvalues near 1; in Laplacian terms the first c values of
+    μ = 1 − λ are near 0 and μ_{c+1} jumps.  The count is the largest
+    RELATIVE jump μ_{i+1}/μ_i within the leading ``k_max`` — an absolute
+    gap misfires here because a kNN graph's spectrum keeps decaying
+    smoothly past the cluster block and the biggest absolute drop often
+    sits deep in that tail (measured: a planted-2-cluster window put
+    λ₇−λ₈ = 0.38 against the true cluster gap λ₂−λ₃ = 0.18).  ``floor``
+    clamps μ so ratios between the near-zero within-cluster values (pure
+    noise) cannot compete with the cluster jump."""
+    m = min(k_max + 1, lam_desc.shape[0])
+    mu = jnp.maximum(1.0 - lam_desc[:m], floor)
+    ratios = mu[1:] / mu[:-1]
+    k = jnp.argmax(ratios) + 1
+    return jnp.clip(k, k_min, k_max).astype(jnp.int32)
+
+
+def spectral_embedding_blocked(cols: ba.Columns, key: jax.Array, *,
+                               k_max: int, block: int, k_basis: int,
+                               n_iter: int = 6, oversample: int = 8,
+                               approx_knn: bool = False):
+    """(ritz, eigenvalues) of the implicit fused adjacency's normalized-cuts
+    operator — the embedding half of spectral_clustering_blocked, exposed
+    so the engine can estimate the cluster count from the spectrum before
+    committing to labels (k_estimate="eigengap")."""
+    n = cols.n
+    assert n % block == 0, "pad rows to a block multiple upstream"
+    kinds = cols.kinds
+    deg = _degrees(cols.tensors, cols.valids, cols.idf, kinds=kinds,
+                   block=block, k_basis=k_basis, approx_knn=approx_knn)
+    inv_sqrt = jnp.where(deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1e-12)), 0.0)
+    m = min(k_max + oversample, n)
+
+    def sym(v):
+        return _sym_matmul(cols.tensors, cols.valids, cols.idf, v,
+                           kinds=kinds, block=block, k_basis=k_basis,
+                           approx_knn=approx_knn)
+
+    return ritz_from_products(sym, inv_sqrt, key, n=n, m=m, n_iter=n_iter)
 
 
 def spectral_clustering_blocked(cols: ba.Columns, n_clusters: int,
@@ -95,24 +145,12 @@ def spectral_clustering_blocked(cols: ba.Columns, n_clusters: int,
     and zero embedding); ``n_real`` slices them off before KMeans so the
     origin-blob of padding rows cannot steal a centroid.
     """
-    n = cols.n
-    n_real = n if n_real is None else n_real
+    n_real = cols.n if n_real is None else n_real
     # the accumulating sweeps (degrees, A^T v) would double-count the rows of
-    # a clamped final block — require exact tiling like _blocked_svd_impl
-    assert n % block == 0, "pad rows to a block multiple upstream"
-    kinds = cols.kinds
-    deg = _degrees(cols.tensors, cols.valids, cols.idf, kinds=kinds,
-                   block=block, k_basis=k_basis, approx_knn=approx_knn)
-    inv_sqrt = jnp.where(deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1e-12)), 0.0)
-
-    m = min(k_max + oversample, n)
-
-    def sym(v):
-        return _sym_matmul(cols.tensors, cols.valids, cols.idf, v,
-                           kinds=kinds, block=block, k_basis=k_basis,
-                           approx_knn=approx_knn)
-
-    ritz = ritz_from_products(sym, inv_sqrt, key, n=n, m=m, n_iter=n_iter)
+    # a clamped final block — spectral_embedding_blocked asserts exact tiling
+    ritz, _ = spectral_embedding_blocked(
+        cols, key, k_max=k_max, block=block, k_basis=k_basis, n_iter=n_iter,
+        oversample=oversample, approx_knn=approx_knn)
     return labels_from_ritz(ritz, n_clusters, key, k_max=k_max,
                             n_real=n_real)
 

@@ -739,8 +739,9 @@ def colsharded_spectral_embedding(feats: tuple, types: tuple,
     column-sharded over the mesh — the capacity-layout counterpart of
     parallel.sharded.sharded_spectral_embedding (same degrees /
     symmetrized M·V sweeps as ops/blocked_spectral, over column slices).
-    Returns the (n, k_max+oversample) Ritz basis, descending eigenvalue
-    order, replicated; feed ops.blocked_spectral.labels_from_ritz.
+    Returns (ritz (n, k_max+oversample) basis, eigenvalues), descending
+    eigenvalue order, replicated; feed
+    ops.blocked_spectral.labels_from_ritz / eigengap_k_from_spectrum.
     """
     n = feats[0].shape[0]
     col_axis, _, _, _ = _mesh_axes(mesh)
@@ -819,18 +820,19 @@ def _colsharded_spectral_impl(feats: tuple, key, *, types: tuple,
             return 0.5 * (psum_rows(av) + gather_cols(atv))
 
         from mused_tpu.ops.blocked_spectral import ritz_from_products
-        return ritz_from_products(sym_matmul, inv_sqrt, key, n=n, m=m,
-                                  n_iter=n_iter)[None]
+        ritz, lam = ritz_from_products(sym_matmul, inv_sqrt, key, n=n, m=m,
+                                       n_iter=n_iter)
+        return ritz[None], lam[None]
 
     feat_specs = tuple(P(col_axis, *([None] * (f.ndim - 1))) for f in feats)
     starts_spec = P(row_axis) if row_axis is not None else P()
-    out = shard_map(
+    ritz, lam = shard_map(
         body, mesh=mesh,
         in_specs=(starts_spec,) + feat_specs,
-        out_specs=P(col_axis, None, None),
+        out_specs=(P(col_axis, None, None), P(col_axis, None)),
         check_vma=False,
     )(starts, *feats)
-    return out[0]
+    return ritz[0], lam[0]
 
 
 def colsharded_fused_rows(feats: tuple, types: tuple, *, start: int,

@@ -558,9 +558,11 @@ def sharded_spectral_embedding(cols, key: jax.Array, *, k_max: int,
     """Row-sharded normalized-cuts spectral embedding of the implicit fused
     adjacency — the multi-chip mirror of ops/blocked_spectral's sweeps
     (degrees, symmetrized M·V products) with the same subspace-iteration
-    recipe.  Returns the (n, k_max+oversample) Ritz basis in descending
-    eigenvalue order, replicated; the caller applies the NJW normalization
-    + KMeans exactly like the single-chip path.
+    recipe.  Returns (ritz (n, k_max+oversample) basis, eigenvalues), both
+    in descending eigenvalue order and replicated; the caller applies the
+    NJW normalization + KMeans (blocked_spectral.labels_from_ritz) and may
+    estimate the cluster count from the spectrum
+    (blocked_spectral.eigengap_k_from_spectrum).
     """
     _check_row_blocks(cols.n, block, mesh.shape["data"])
     return _sharded_spectral_impl(
@@ -619,16 +621,17 @@ def _sharded_spectral_impl(tensors, valids, idf, key, *, kinds, k_max: int,
             return 0.5 * jax.lax.psum(av + atv, "data")
 
         from mused_tpu.ops.blocked_spectral import ritz_from_products
-        return ritz_from_products(sym_matmul, inv_sqrt, key, n=n, m=m,
-                                  n_iter=n_iter)[None]
+        ritz, lam = ritz_from_products(sym_matmul, inv_sqrt, key, n=n, m=m,
+                                       n_iter=n_iter)
+        return ritz[None], lam[None]
 
-    out = shard_map(
+    ritz, lam = shard_map(
         body, mesh=mesh,
         in_specs=(P(), P(), P(), P("data")),
-        out_specs=P("data", None, None),
+        out_specs=(P("data", None, None), P("data", None)),
         check_vma=False,
     )(tensors, valids, idf, starts)
-    return out[0]
+    return ritz[0], lam[0]
 
 
 @functools.partial(jax.jit,

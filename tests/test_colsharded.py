@@ -237,7 +237,7 @@ def test_sharded_spectral_matches_singlechip(rng, mesh4):
     wf = _standard_window(rng, n=512)
     cols = ba.standard_columns(wf)
     key = jax.random.key(5)
-    ritz = sharded.sharded_spectral_embedding(
+    ritz, _ = sharded.sharded_spectral_embedding(
         cols, key, k_max=4, block=64, k_basis=3, mesh=mesh4)
     ours = np.asarray(bspec.labels_from_ritz(ritz, 3, key, k_max=4,
                                              n_real=512))
@@ -251,12 +251,33 @@ def test_colsharded_spectral_runs(rng, mesh4):
     from mused_tpu.ops import blocked_spectral as bspec
     wf = _standard_window(rng, n=512)
     key = jax.random.key(5)
-    ritz = cs.colsharded_spectral_embedding(
+    ritz, lam = cs.colsharded_spectral_embedding(
         tuple(wf), ("standard",), key, k_max=4, block=64, k_basis=3,
         mesh=mesh4, nbins=128)
     labels = np.asarray(bspec.labels_from_ritz(ritz, 3, key, k_max=4,
                                                n_real=512))
     assert labels.shape == (512,) and len(np.unique(labels)) <= 4
+    assert np.all(np.diff(np.asarray(lam)) <= 1e-5)   # descending spectrum
+
+
+def test_spectral_eigengap_recovers_planted_count(rng):
+    """Label-free cluster counts at huge windows: the Ritz spectrum the
+    blocked sweep already computes recovers a planted cluster count via
+    the normalized-cuts eigengap (closes the former k_max-cap fallback)."""
+    import jax
+    from mused_tpu.ops import blocked_spectral as bspec
+    # k_basis >= 6: a 3-NN graph (k_basis=4) fragments inside clusters and
+    # the cluster eigenvalues drift off 1 — the measured ratio at the true
+    # boundary is 9-350x at k_basis 6-8 vs ~2x spurious elsewhere
+    for c in (2, 3, 4, 5):
+        centers = rng.normal(size=(c, 16)).astype(np.float32) * 8.0
+        x = np.concatenate([centers[i] + rng.normal(
+            size=(64, 16)).astype(np.float32) * 0.3 for i in range(c)])
+        cols = ba.generic_columns([x], ("default",))
+        _, lam = bspec.spectral_embedding_blocked(
+            cols, jax.random.key(1), k_max=8, block=64, k_basis=6)
+        k = int(bspec.eigengap_k_from_spectrum(lam, k_max=8))
+        assert k == c, (c, k, np.asarray(lam)[:8])
 
 
 def test_colsharded_grid_svd_runs(rng):
