@@ -240,13 +240,16 @@ def _window_step_impl(state: StreamState, fused: jax.Array,
     else:
         reduced = reduction.svd_reduce(fused, reduced_dim, key)
 
-    if k_source == "eigengap":
+    if k_source == "eigengap" and approach != "sSpectral":
         n_clusters = reduction.eigengap_k(reduced, k_max=k_max)
 
     if approach == "sSpectral":
-        # spectral clustering works on the affinity graph itself
+        # spectral clustering works on the affinity graph itself; under
+        # "eigengap" its count comes from the normalized-affinity spectrum
+        # the embedding eigh already computes (not the reduced energies of
+        # the raw adjacency — a different operator)
         labels = spectral.spectral_clustering(fused, n_clusters, key,
-                                              k_max=k_max)
+                                              k_max=k_max, k_source=k_source)
     elif approach == "sSVDMC_mini":
         new_mbk, labels = kmeans.minibatch_step(state.minibatch, reduced, key)
         state = state._replace(minibatch=new_mbk)

@@ -22,6 +22,9 @@ import jax.numpy as jnp
 
 from mused_tpu.ops import blocked_affinity as ba
 from mused_tpu.ops import kmeans as kmeans_mod
+# canonical def lives with the dense spectral ops; re-exported here because
+# the blocked/sharded paths feed it Ritz values
+from mused_tpu.ops.spectral import eigengap_k_from_spectrum  # noqa: F401
 
 HIGH = jax.lax.Precision.HIGHEST
 
@@ -83,30 +86,6 @@ def ritz_from_products(sym_matmul, inv_sqrt: jax.Array, key: jax.Array, *,
     t = jnp.dot(v.T, mv, precision=HIGH)
     lam, w = jnp.linalg.eigh(0.5 * (t + t.T))
     return jnp.dot(v, w[:, ::-1], precision=HIGH), lam[::-1]
-
-
-def eigengap_k_from_spectrum(lam_desc: jax.Array, *, k_max: int,
-                             k_min: int = 1,
-                             floor: float = 1e-3) -> jax.Array:
-    """Label-free cluster count from the normalized-affinity spectrum
-    (the spectral counterpart of ops/reduction.eigengap_k; ``lam_desc``:
-    descending Ritz values, free from ritz_from_products).
-
-    For c well-separated clusters M = D^{-1/2} Â D^{-1/2} has c
-    eigenvalues near 1; in Laplacian terms the first c values of
-    μ = 1 − λ are near 0 and μ_{c+1} jumps.  The count is the largest
-    RELATIVE jump μ_{i+1}/μ_i within the leading ``k_max`` — an absolute
-    gap misfires here because a kNN graph's spectrum keeps decaying
-    smoothly past the cluster block and the biggest absolute drop often
-    sits deep in that tail (measured: a planted-2-cluster window put
-    λ₇−λ₈ = 0.38 against the true cluster gap λ₂−λ₃ = 0.18).  ``floor``
-    clamps μ so ratios between the near-zero within-cluster values (pure
-    noise) cannot compete with the cluster jump."""
-    m = min(k_max + 1, lam_desc.shape[0])
-    mu = jnp.maximum(1.0 - lam_desc[:m], floor)
-    ratios = mu[1:] / mu[:-1]
-    k = jnp.argmax(ratios) + 1
-    return jnp.clip(k, k_min, k_max).astype(jnp.int32)
 
 
 def spectral_embedding_blocked(cols: ba.Columns, key: jax.Array, *,

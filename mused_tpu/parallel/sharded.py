@@ -303,7 +303,7 @@ def _engine_step_core(swfd_state, minibatch_state, feats: tuple,
     else:
         reduced = out[0]
 
-    if k_source == "eigengap":
+    if k_source == "eigengap" and approach != "sSpectral":
         from mused_tpu.ops import reduction
         # `reduced` is replicated after the merge/distributed SVD, so the
         # estimate is identical on every chip — no collective needed
@@ -312,8 +312,11 @@ def _engine_step_core(swfd_state, minibatch_state, feats: tuple,
     new_mb = minibatch_state
     if approach == "sSpectral":
         from mused_tpu.ops import spectral
+        # under "eigengap" the count comes from the normalized-affinity
+        # spectrum inside spectral_clustering (same rule as the blocked/
+        # sharded huge-window paths), not the reduced energies
         labels = spectral.spectral_clustering(fused, n_clusters, key,
-                                              k_max=k_max)
+                                              k_max=k_max, k_source=k_source)
     elif approach == "sSVDMC_mini":
         new_mb, labels = kmeans.minibatch_step(minibatch_state, reduced, key)
     elif approach in ("DBSCAN_incr", "DBSCAN_centr"):

@@ -74,3 +74,20 @@ def test_crisis_stream_spectral_batch():
         noise_rate=0.2, label_mode="all", sorting=False, eps=1.5,
         min_samples=2, min_cluster_size=3, window_size=64)
     assert results["nmi_score"][0] > 0.5
+
+
+def test_dense_spectral_eigengap_recovers_planted_count(rng):
+    """k_source="eigengap" estimates the count from the normalized-affinity
+    spectrum inside the same eigh the embedding needs — consistent with the
+    blocked/sharded huge-window paths' rule."""
+    import jax
+    from mused_tpu.ops import affinity, spectral
+    for c in (2, 3, 4):
+        centers = rng.normal(size=(c, 16)).astype(np.float32) * 8.0
+        x = np.concatenate([centers[i] + rng.normal(
+            size=(48, 16)).astype(np.float32) * 0.3 for i in range(c)])
+        fused = affinity.embedding_adjacency(jnp.asarray(x), 6)
+        labels = spectral.spectral_clustering(
+            fused, jnp.int32(1), jax.random.key(2), k_max=8,
+            k_source="eigengap")   # the given count (1) must be ignored
+        assert len(np.unique(np.asarray(labels))) == c
