@@ -112,11 +112,14 @@ def process_batch_data(results, data_modalities, modality_types, reduced_dim,
         # n^2 float64 (180GB at its own 150k default, SURVEY.md §3.3).
         if approach == "Spectral_batch":
             from mused_tpu.ops.blocked_spectral import spectral_clustering_blocked
+            from mused_tpu.ops.pallas import blocked_select as bsel
             cols, block = _blocked_columns(data_modalities, modality_types, cfg)
+            select, nbins = bsel.resolve_select(cfg, cols.n)
             labels = spectral_clustering_blocked(
                 cols, int(n_clusters), key, k_max=max(int(n_clusters), 2),
                 block=block, k_basis=k_basis, n_real=subset_size,
-                approx_knn=cfg.huge_window_approx_knn)
+                approx_knn=cfg.huge_window_approx_knn,
+                select=select, nbins=nbins)
             total_end = metrics_mod.now_ns()
             return metrics_mod.compute_all_metrics(
                 results, subset_size, noise_rate, label_mode, sorting,

@@ -195,7 +195,7 @@ def _window_step_impl(state: StreamState, fused: jax.Array,
                       n_clusters: jax.Array, key: jax.Array, *, approach: str,
                       k_basis: int, reduced_dim: int, k_max: int, window: int,
                       block_rows: int, fd_shrink: str = "subspace",
-                      k_source: str = "given"):
+                      k_source: str = "given", need_reduced: bool = True):
     """Device portion of one window given the fused adjacency matrix.
 
     Returns (new_state, reduced (n, reduced_dim or sketch row space), labels
@@ -237,6 +237,13 @@ def _window_step_impl(state: StreamState, fused: jax.Array,
         # (the reference's transpose workaround, main.py:73-76)
         reduced = sketch.T
         state = state._replace(swfd=new_swfd)
+    elif approach == "sSpectral" and not need_reduced:
+        # sSpectral's labels come entirely from spectral_clustering(fused)
+        # below; its SVD reduction is consumed only by the verbose debug
+        # oracle (the engine sets need_reduced=True then).  As a jit OUTPUT
+        # the reduction can't be DCE'd, so skip the (2+2*n_iter) randomized-
+        # SVD sweeps it would cost every window.
+        reduced = jnp.zeros((n, 0), jnp.float32)
     else:
         reduced = reduction.svd_reduce(fused, reduced_dim, key)
 
@@ -262,7 +269,8 @@ def _window_step_impl(state: StreamState, fused: jax.Array,
 
 _window_step = functools.partial(jax.jit, static_argnames=(
     "approach", "k_basis", "reduced_dim", "k_max", "window", "block_rows",
-    "fd_shrink", "k_source"), donate_argnames=("state",))(_window_step_impl)
+    "fd_shrink", "k_source", "need_reduced"),
+    donate_argnames=("state",))(_window_step_impl)
 
 
 LARGE_WINDOW_ROWS = 32_768   # beyond this, windows use rematerialized blocks
@@ -375,7 +383,7 @@ def _fuse_dispatch(feats: tuple, *, types: tuple, use_pallas: bool,
     jax.jit,
     static_argnames=("approach", "k_basis", "reduced_dim", "k_max", "window",
                      "block_rows", "fd_shrink", "types", "use_pallas",
-                     "tags_dim", "text_dim", "k_source"),
+                     "tags_dim", "text_dim", "k_source", "need_reduced"),
     donate_argnames=("state",))
 def _combined_window_step(state: StreamState, feats: tuple,
                           n_clusters: jax.Array, key: jax.Array, *,
@@ -383,7 +391,8 @@ def _combined_window_step(state: StreamState, feats: tuple,
                           k_max: int, window: int, block_rows: int,
                           fd_shrink: str, types: tuple, use_pallas: bool,
                           tags_dim: int, text_dim: int,
-                          k_source: str = "given"):
+                          k_source: str = "given",
+                          need_reduced: bool = True):
     """Fusion + window step in ONE dispatch (the per-window default path):
     on remote TPU links each jitted call carries fixed serialization/round-
     trip cost, so folding the adjacency build into the window step halves
@@ -396,7 +405,8 @@ def _combined_window_step(state: StreamState, feats: tuple,
     state, reduced, labels = _window_step_impl(
         state, fused, n_clusters, key, approach=approach, k_basis=k_basis,
         reduced_dim=reduced_dim, k_max=k_max, window=window,
-        block_rows=block_rows, fd_shrink=fd_shrink, k_source=k_source)
+        block_rows=block_rows, fd_shrink=fd_shrink, k_source=k_source,
+        need_reduced=need_reduced)
     return state, reduced, labels, r_norm
 
 
@@ -691,7 +701,8 @@ class StreamingEngine:
                     ritz, lam = bspec.spectral_embedding_blocked(
                         cols, key, k_max=self.k_max, block=block,
                         k_basis=cfg.k_basis,
-                        approx_knn=cfg.huge_window_approx_knn)
+                        approx_knn=cfg.huge_window_approx_knn,
+                        select=select, nbins=nbins)
                 # label-free cluster count straight from the normalized-
                 # affinity spectrum the Ritz step already computed
                 k_host, k_src = self._k_plan(window_true_labels)
@@ -874,7 +885,8 @@ class StreamingEngine:
                         fd_shrink=cfg.fd_shrink, types=types,
                         tags_dim=cfg.features.tags_hash_dim,
                         text_dim=cfg.features.text_hash_dim, mesh=self.mesh,
-                        topology=cfg.merge_topology, k_source=k_source)
+                        topology=cfg.merge_topology, k_source=k_source,
+                        need_reduced=cfg.approach != "sSpectral" or verbose)
                 self.state = StreamState(swfd=new_swfd, minibatch=new_mb)
             return _PendingWindow(window_index=window_index, reduced=reduced,
                                   labels=labels, r_norm=r_norm,
@@ -914,7 +926,8 @@ class StreamingEngine:
                 block_rows=self.block_rows, fd_shrink=cfg.fd_shrink,
                 types=types, use_pallas=self.use_pallas,
                 tags_dim=cfg.features.tags_hash_dim,
-                text_dim=cfg.features.text_hash_dim, k_source=k_source)
+                text_dim=cfg.features.text_hash_dim, k_source=k_source,
+                need_reduced=cfg.approach != "sSpectral")
         return _PendingWindow(window_index=window_index, reduced=reduced,
                               labels=labels, r_norm=r_norm,
                               stable_feats=stable_feats, verbose=verbose,

@@ -133,6 +133,31 @@ def _unit_xyz(latlon, valid):
                       jnp.sin(r[:, 0])], axis=1)
 
 
+def split_bf16(x: jax.Array) -> jax.Array:
+    """bf16 [hi | lo] split packing of f32 rows (lo = x − hi), feature width
+    padded to a 128 multiple.  One DEFAULT-precision dot of two packed
+    tensors is the exact 4-term product hi@hi + hi@lo + lo@hi + lo@lo (the
+    MXU multiplies bf16 operands exactly, accumulating f32) == the f32 dot
+    of inputs rounded to ~16 mantissa bits (~1.5e-5 relative) — the same
+    trick as the "text_split" kind, with the split hoisted out of the block
+    sweep.  Crucially the value is BACKEND-INDEPENDENT: XLA:CPU upcasts the
+    same bf16 halves to f32 and sums the same four products, so the strip
+    path, the stride-binned kernel, and its CPU emulation all rank by the
+    same sims — no TPU-only precision cliff between select modes (the
+    single-pass bf16 DEFAULT dot on raw f32 operands was measured flipping
+    ~24% of kNN edges; see the text_bf16 notes above)."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    from mused_tpu.ops.pallas import blocked_select as bs
+    return bs.pad_features_128(jnp.concatenate([hi, lo], axis=1))
+
+
+def _split_value(packed: jax.Array, d: int):
+    """f32 rows represented by a split_bf16 packing (hi + lo)."""
+    return (packed[:, :d].astype(jnp.float32)
+            + packed[:, d:2 * d].astype(jnp.float32))
+
+
 def generic_columns(mats, types) -> Columns:
     """Columns for numeric modalities (default/embedding/location/time).
 
@@ -141,7 +166,10 @@ def generic_columns(mats, types) -> Columns:
     extra full-panel elementwise pass per block, and the sweep is
     HBM-bandwidth-bound (same rationale as the hoisted text idf/normalize
     and tags row sums: the O(n·d) pass is FLOP-trivial but its read+write
-    traffic rivals the column-panel read the MXU actually needs)."""
+    traffic rivals the column-panel read the MXU actually needs).  Both
+    kinds store split-packed bf16 rows (see ``split_bf16``): identical
+    kNN ranking across the strip path, the stride-binned kernel, and the
+    CPU emulation, at half the strip path's former HIGHEST-dot cost."""
     tensors, valids, kinds = [], [], []
     for m, t in zip(mats, types):
         m = jnp.asarray(np.asarray(m, np.float32))
@@ -160,15 +188,20 @@ def generic_columns(mats, types) -> Columns:
             fin = jnp.all(jnp.isfinite(m), axis=1)
             safe = jnp.where(fin[:, None], m, 0.0)
             norm = jnp.linalg.norm(safe, axis=1, keepdims=True)
-            kinds.append("embedding_unit")
+            kinds.append("embedding_split")
             valids.append(fin & (norm[:, 0] > 0))
-            tensors.append(safe / jnp.maximum(norm, 1e-12))
+            tensors.append(split_bf16(safe / jnp.maximum(norm, 1e-12)))
         elif t == "default":
             valid = jnp.all(jnp.isfinite(m), axis=1)
             safe = jnp.where(valid[:, None], m, 0.0)
+            packed = split_bf16(safe)
+            # squared norms of the REPRESENTED (split-rounded) values, so
+            # the chord cancellation |a|^2 + |b|^2 - 2ab is consistent:
+            # self-distance stays ~0 and d2 >= 0 up to f32 rounding
+            v = _split_value(packed, m.shape[1])
             kinds.append("default_safe")
             valids.append(valid)
-            tensors.append((safe, jnp.sum(safe * safe, axis=1)))
+            tensors.append((packed, jnp.sum(v * v, axis=1)))
         else:
             kinds.append(t)
             valids.append(jnp.all(jnp.isfinite(m), axis=1))
@@ -362,13 +395,19 @@ def fused_rowblock(cols: Columns, start, block: int,
             sim = jnp.dot(x_r, x_c.T, preferred_element_type=jnp.float32,
                           precision=jax.lax.Precision.HIGH)
             mats.append(knn_b(sim, vr, valid, k_basis, start, approx))
-        elif kind == "embedding_unit":
-            # rows pre-normalized in generic_columns (hoisted: the per-block
-            # renormalization was an extra full-panel HBM round trip)
+        elif kind == "embedding_split":
+            # rows pre-normalized AND split-packed in generic_columns (see
+            # split_bf16: the 4-term bf16 product == f32 dot of ~16-bit-
+            # rounded inputs, identical ranking on strip/kernel/emulation)
             if binned and t.shape[1] % 128 == 0:
                 cand_cols.append(_binned_cands(t, tr, valid, vr, k_basis,
                                                "dot"))
                 continue
+            sim = jnp.dot(tr, t.T, preferred_element_type=jnp.float32)
+            mats.append(knn_b(sim, vr, valid, k_basis, start, approx))
+        elif kind == "embedding_unit":
+            # legacy layout: pre-normalized f32 rows (callers assembling
+            # Columns by hand); exact f32 dot, strip-only
             sim = jnp.dot(tr, t.T, preferred_element_type=jnp.float32,
                           precision=jax.lax.Precision.HIGHEST)
             mats.append(knn_b(sim, vr, valid, k_basis, start, approx))
@@ -380,9 +419,13 @@ def fused_rowblock(cols: Columns, start, block: int,
                           precision=jax.lax.Precision.HIGHEST)
             mats.append(knn_b(sim, vr, valid, k_basis, start, approx))
         elif kind == "default_safe":
-            # masked rows + hoisted squared norms; negative squared
-            # euclidean == the kernel's "chord" metric, self included in k
-            # (ref :112-119)
+            # masked split-packed rows + hoisted squared norms (see
+            # generic_columns); negative squared euclidean == the kernel's
+            # "chord" metric, self included in k (ref :112-119).  The split
+            # dot keeps d2 consistent across strip/kernel/emulation — and
+            # its error GROWS with distance (2|a-b|·1.5e-5|x|) where the
+            # old f32 norms-minus-dot cancellation error was a constant
+            # ~1e-7|x|^2 floor, so nearby-neighbor ranking is no worse
             kk = max(1, k_basis) - 1
             if binned and t.shape[1] % 128 == 0:
                 sq_r = _rows(def_sq, start, block)
@@ -396,8 +439,7 @@ def fused_rowblock(cols: Columns, start, block: int,
                 continue
             d2 = (_rows(def_sq, start, block)[:, None] + def_sq[None, :]
                   - 2.0 * jnp.dot(tr, t.T,
-                                  preferred_element_type=jnp.float32,
-                                  precision=jax.lax.Precision.HIGHEST))
+                                  preferred_element_type=jnp.float32))
             mats.append(knn_b(-jnp.maximum(d2, 0.0), vr, valid, kk,
                               start, approx))
         else:   # default: euclidean, self included in k (ref :112-119)

@@ -30,9 +30,11 @@ HIGH = jax.lax.Precision.HIGHEST
 
 
 @functools.partial(jax.jit, static_argnames=("kinds", "block", "k_basis",
-                                              "approx_knn"))
+                                              "approx_knn", "select",
+                                              "nbins"))
 def _degrees(tensors, valids, idf, *, kinds, block: int, k_basis: int,
-             approx_knn: bool = False):
+             approx_knn: bool = False, select: str = "strip",
+             nbins: int = 0):
     cols = ba.Columns(kinds=kinds, tensors=tensors, valids=valids, idf=idf)
     n = cols.n
 
@@ -44,14 +46,16 @@ def _degrees(tensors, valids, idf, *, kinds, block: int, k_basis: int,
 
     row_sums, col_sums = ba._scan_blocks(
         cols, block, k_basis, f, (jnp.zeros(n), jnp.zeros(n)),
-        approx=approx_knn)
+        approx=approx_knn, select=select, nbins=nbins)
     return 0.5 * (row_sums + col_sums)
 
 
 @functools.partial(jax.jit, static_argnames=("kinds", "block", "k_basis",
-                                              "approx_knn"))
+                                              "approx_knn", "select",
+                                              "nbins"))
 def _sym_matmul(tensors, valids, idf, v, *, kinds, block: int, k_basis: int,
-                approx_knn: bool = False):
+                approx_knn: bool = False, select: str = "strip",
+                nbins: int = 0):
     """((A + A^T)/2) @ v via two accumulating block sweeps; v is (n, m)."""
     cols = ba.Columns(kinds=kinds, tensors=tensors, valids=valids, idf=idf)
     n = cols.n
@@ -65,7 +69,7 @@ def _sym_matmul(tensors, valids, idf, v, *, kinds, block: int, k_basis: int,
 
     av, atv = ba._scan_blocks(cols, block, k_basis, f,
                               (jnp.zeros_like(v), jnp.zeros_like(v)),
-                              approx=approx_knn)
+                              approx=approx_knn, select=select, nbins=nbins)
     return 0.5 * (av + atv)
 
 
@@ -91,23 +95,31 @@ def ritz_from_products(sym_matmul, inv_sqrt: jax.Array, key: jax.Array, *,
 def spectral_embedding_blocked(cols: ba.Columns, key: jax.Array, *,
                                k_max: int, block: int, k_basis: int,
                                n_iter: int = 6, oversample: int = 8,
-                               approx_knn: bool = False):
+                               approx_knn: bool = False,
+                               select: str = "strip", nbins: int = 0):
     """(ritz, eigenvalues) of the implicit fused adjacency's normalized-cuts
     operator — the embedding half of spectral_clustering_blocked, exposed
     so the engine can estimate the cluster count from the spectrum before
-    committing to labels (k_estimate="eigengap")."""
+    committing to labels (k_estimate="eigengap").
+
+    ``select``/``nbins`` route the sweeps' kNN through the fused
+    stride-binned candidate kernel exactly as blocked_fd_sketch /
+    blocked_svd_reduce do — the engine resolves them once per window, so a
+    1-chip sSpectral run builds the SAME adjacency as the sharded layouts
+    (and skips the (block, n) HBM sim strip on TPU)."""
     n = cols.n
     assert n % block == 0, "pad rows to a block multiple upstream"
     kinds = cols.kinds
     deg = _degrees(cols.tensors, cols.valids, cols.idf, kinds=kinds,
-                   block=block, k_basis=k_basis, approx_knn=approx_knn)
+                   block=block, k_basis=k_basis, approx_knn=approx_knn,
+                   select=select, nbins=nbins)
     inv_sqrt = jnp.where(deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1e-12)), 0.0)
     m = min(k_max + oversample, n)
 
     def sym(v):
         return _sym_matmul(cols.tensors, cols.valids, cols.idf, v,
                            kinds=kinds, block=block, k_basis=k_basis,
-                           approx_knn=approx_knn)
+                           approx_knn=approx_knn, select=select, nbins=nbins)
 
     return ritz_from_products(sym, inv_sqrt, key, n=n, m=m, n_iter=n_iter)
 
@@ -116,7 +128,8 @@ def spectral_clustering_blocked(cols: ba.Columns, n_clusters: int,
                                 key: jax.Array, *, k_max: int, block: int,
                                 k_basis: int, n_real: int | None = None,
                                 n_iter: int = 6, oversample: int = 8,
-                                approx_knn: bool = False):
+                                approx_knn: bool = False,
+                                select: str = "strip", nbins: int = 0):
     """Labels (n_real,) — blocked normalized-cuts spectral clustering.
 
     ``cols`` from blocked_affinity.standard_columns / generic_columns with
@@ -129,7 +142,8 @@ def spectral_clustering_blocked(cols: ba.Columns, n_clusters: int,
     # a clamped final block — spectral_embedding_blocked asserts exact tiling
     ritz, _ = spectral_embedding_blocked(
         cols, key, k_max=k_max, block=block, k_basis=k_basis, n_iter=n_iter,
-        oversample=oversample, approx_knn=approx_knn)
+        oversample=oversample, approx_knn=approx_knn, select=select,
+        nbins=nbins)
     return labels_from_ritz(ritz, n_clusters, key, k_max=k_max,
                             n_real=n_real)
 

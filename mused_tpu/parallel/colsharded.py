@@ -64,6 +64,7 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from mused_tpu.ops import affinity, fd
+from mused_tpu.ops import blocked_affinity as ba
 from mused_tpu.ops.pallas import blocked_select as bs
 
 shard_map = jax.shard_map
@@ -240,17 +241,22 @@ def _prep_generic(feat_shards: tuple, types: tuple, k_basis: int) -> list:
             mods.append(("l1", jnp.where(valid[:, None], x, 0.0), valid,
                          None, 3 * k_basis))
         elif t == "embedding":
+            # split-packed like blocked_affinity.generic_columns — the
+            # per-shard packing is elementwise per row, so shard tensors
+            # equal the single-chip packing's rows exactly (the colsharded
+            # fused blocks stay bit-equal to the single-chip binned path)
             fin = jnp.all(jnp.isfinite(x), axis=1)
             safe = jnp.where(fin[:, None], x, 0.0)
             norm = jnp.linalg.norm(safe, axis=1, keepdims=True)
             unit = safe / jnp.maximum(norm, 1e-12)
-            mods.append(("dot", bs.pad_features_128(unit),
+            mods.append(("dot", ba.split_bf16(unit),
                          fin & (norm[:, 0] > 0), None, k_basis))
         else:   # default euclidean: k includes self (ref :112-119)
             valid = jnp.all(jnp.isfinite(x), axis=1)
             safe = jnp.where(valid[:, None], x, 0.0)
-            mods.append(("chord", bs.pad_features_128(safe), valid,
-                         jnp.sum(safe * safe, axis=1),
+            packed = ba.split_bf16(safe)
+            v = ba._split_value(packed, x.shape[1])
+            mods.append(("chord", packed, valid, jnp.sum(v * v, axis=1),
                          max(1, k_basis) - 1))
     return mods
 

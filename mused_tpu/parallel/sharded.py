@@ -249,7 +249,7 @@ def _engine_step_core(swfd_state, minibatch_state, feats: tuple,
                       reduced_dim: int, k_max: int, window: int,
                       fd_shrink: str, types: tuple, tags_dim: int,
                       text_dim: int, mesh, topology: str = "allgather",
-                      k_source: str = "given"):
+                      k_source: str = "given", need_reduced: bool = True):
     """Traceable body shared by ``sharded_engine_step`` (one jitted window)
     and ``sharded_scanned_steps`` (a ``lax.scan`` of W windows).
 
@@ -279,7 +279,13 @@ def _engine_step_core(swfd_state, minibatch_state, feats: tuple,
             aux2 = jax.lax.psum(jnp.stack([sq_fro, loss]), "data")
             return (merged[None], aux2[None],
                     jnp.reshape(r_norm, (1,)), fused_s)
-        reduced = _dist_svd_reduce(fused_s, key, reduced_dim)
+        if approach == "sSpectral" and not need_reduced:
+            # labels come from spectral_clustering(fused) below; the SVD
+            # reduction feeds only the verbose oracle (engine passes
+            # need_reduced=True then) and can't be DCE'd as a jit output
+            reduced = jnp.zeros((fused_s.shape[1], 0), jnp.float32)
+        else:
+            reduced = _dist_svd_reduce(fused_s, key, reduced_dim)
         return (reduced[None], jnp.zeros((1, 2), jnp.float32),
                 jnp.reshape(r_norm, (1,)), fused_s)
 
@@ -330,7 +336,7 @@ def _engine_step_core(swfd_state, minibatch_state, feats: tuple,
 
 _STEP_STATICS = ("approach", "k_basis", "reduced_dim", "k_max", "window",
                  "fd_shrink", "types", "tags_dim", "text_dim", "mesh",
-                 "topology", "k_source")
+                 "topology", "k_source", "need_reduced")
 
 
 @functools.partial(jax.jit, static_argnames=_STEP_STATICS,
@@ -340,7 +346,7 @@ def sharded_engine_step(swfd_state, minibatch_state, feats: tuple,
                         reduced_dim: int, k_max: int, window: int,
                         fd_shrink: str, types: tuple, tags_dim: int,
                         text_dim: int, mesh, topology: str = "allgather",
-                        k_source: str = "given"):
+                        k_source: str = "given", need_reduced: bool = True):
     """Multi-chip mirror of engine.streaming._window_step — the full
     per-window device step with every collective riding the mesh "data" axis.
 
@@ -361,7 +367,7 @@ def sharded_engine_step(swfd_state, minibatch_state, feats: tuple,
         approach=approach, k_basis=k_basis, reduced_dim=reduced_dim,
         k_max=k_max, window=window, fd_shrink=fd_shrink, types=types,
         tags_dim=tags_dim, text_dim=text_dim, mesh=mesh, topology=topology,
-        k_source=k_source)
+        k_source=k_source, need_reduced=need_reduced)
 
 
 @functools.partial(jax.jit, static_argnames=_STEP_STATICS,
@@ -371,7 +377,8 @@ def sharded_scanned_steps(swfd_state, minibatch_state, feats_batch: tuple,
                           reduced_dim: int, k_max: int, window: int,
                           fd_shrink: str, types: tuple, tags_dim: int,
                           text_dim: int, mesh, topology: str = "allgather",
-                          k_source: str = "given"):
+                          k_source: str = "given",
+                          need_reduced: bool = False):
     """W tumbling windows in ONE SPMD dispatch: ``lax.scan`` threads the
     SWFD ring + MiniBatch state through the per-window sharded step — the
     multi-chip mirror of engine._scanned_window_steps, composing
@@ -389,7 +396,7 @@ def sharded_scanned_steps(swfd_state, minibatch_state, feats_batch: tuple,
             reduced_dim=reduced_dim, k_max=k_max, window=window,
             fd_shrink=fd_shrink, types=types, tags_dim=tags_dim,
             text_dim=text_dim, mesh=mesh, topology=topology,
-            k_source=k_source)
+            k_source=k_source, need_reduced=need_reduced)
         return (sw, mb), (labels, r_norm)
 
     (sw, mb), (labels, r_norms) = jax.lax.scan(

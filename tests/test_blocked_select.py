@@ -147,6 +147,81 @@ def test_blocked_fd_sketch_binned_quality():
     assert num / max(np.linalg.norm(gs), 1e-9) < 0.35
 
 
+def test_fused_rowblock_generic_kinds_binned_exact():
+    """embedding/default kinds: select="binned" at nbins == n must bit-equal
+    the strip path — both rank by the SAME split-packed bf16 sims, so there
+    is no select-mode precision cliff (the binned route previously dropped
+    the strip path's f32 dot; round-2 review finding)."""
+    from mused_tpu.ops import blocked_affinity as ba
+    rng = np.random.default_rng(3)
+    n = 256
+    emb = rng.standard_normal((n, 96)).astype(np.float32)
+    emb[rng.random(n) < 0.05] = np.nan
+    dflt = (rng.standard_normal((n, 24)) * 3).astype(np.float32)
+    dflt[rng.random(n) < 0.05] = np.nan
+    cols = ba.generic_columns([emb, dflt], ("embedding", "default"))
+    assert cols.kinds == ("embedding_split", "default_safe")
+    assert cols.tensors[0].dtype == jnp.bfloat16
+    assert cols.tensors[1][0].dtype == jnp.bfloat16
+    for start in (0, 128):
+        strip = ba.fused_rowblock(cols, jnp.int32(start), 64, 5)
+        binned = ba.fused_rowblock(cols, jnp.int32(start), 64, 5,
+                                   select="binned", nbins=n)
+        np.testing.assert_array_equal(np.asarray(strip), np.asarray(binned))
+
+
+def test_split_packing_matches_exact_f32_ranking():
+    """The split-packed bf16 representation rounds inputs to ~16 mantissa
+    bits (~1.5e-5 relative) — kNN edges vs the exact-f32 legacy layout must
+    agree almost everywhere on unit embeddings, and the represented values
+    must be within the split's rounding of the originals."""
+    from mused_tpu.ops import blocked_affinity as ba
+    rng = np.random.default_rng(4)
+    n, d, k = 512, 128, 5
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    unit = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+
+    packed = np.asarray(ba.split_bf16(jnp.asarray(unit)))
+    recon = packed[:, :d].astype(np.float32) + packed[:, d:].astype(np.float32)
+    np.testing.assert_allclose(recon, unit, atol=4e-5)
+
+    cols_split = ba.generic_columns([emb], ("embedding",))
+    valid = jnp.ones(n, bool)
+    cols_f32 = ba.Columns(kinds=("embedding_unit",),
+                          tensors=(jnp.asarray(unit),),
+                          valids=(valid,), idf=None)
+    a_split = np.concatenate([np.asarray(ba.fused_rowblock(
+        cols_split, jnp.int32(s), 128, k)) for s in range(0, n, 128)])
+    a_f32 = np.concatenate([np.asarray(ba.fused_rowblock(
+        cols_f32, jnp.int32(s), 128, k)) for s in range(0, n, 128)])
+    agree = (a_split > 0) & (a_f32 > 0)
+    union = (a_split > 0) | (a_f32 > 0)
+    assert agree.sum() / union.sum() >= 0.99, (agree.sum(), union.sum())
+
+
+def test_spectral_blocked_select_consistency():
+    """spectral_embedding_blocked now honors select/nbins: at nbins == n the
+    binned sweeps are exact, so labels must equal the strip path's exactly —
+    and a 1-chip sSpectral run builds the same adjacency as the sharded
+    layouts (round-2 review finding: the plumbing was missing)."""
+    import jax as _jax
+    from mused_tpu.ops import blocked_affinity as ba
+    from mused_tpu.ops.blocked_spectral import spectral_clustering_blocked
+    rng = np.random.default_rng(5)
+    n, c = 256, 3
+    centers = rng.normal(size=(c, 16)).astype(np.float32) * 8
+    x = np.concatenate([centers[i] + rng.normal(
+        size=(n // c + 1, 16)).astype(np.float32) * 0.2
+        for i in range(c)])[:n]
+    cols = ba.generic_columns([x], ("default",))
+    strip = np.asarray(spectral_clustering_blocked(
+        cols, c, _jax.random.key(2), k_max=c, block=64, k_basis=6))
+    binned = np.asarray(spectral_clustering_blocked(
+        cols, c, _jax.random.key(2), k_max=c, block=64, k_basis=6,
+        select="binned", nbins=n))
+    np.testing.assert_array_equal(strip, binned)
+
+
 def test_default_nbins():
     assert bs.default_nbins(98304) == 1536
     assert bs.default_nbins(98304, k_max=150) == 1536

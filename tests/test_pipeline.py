@@ -145,6 +145,36 @@ def test_reference_opslevel_api(modalities):
     assert set(np.unique(clusters)) <= {0, 1}
 
 
+def test_sspectral_skips_unused_reduction():
+    """Dense sSpectral's labels come from spectral_clustering(fused); with
+    need_reduced=False (the engine default when not verbose) the per-window
+    randomized SVD is skipped entirely — the returned reduced matrix has 0
+    columns — without changing the labels."""
+    import jax
+    import jax.numpy as jnp
+    from mused_tpu.engine.streaming import _window_step, StreamingEngine
+    from mused_tpu.utils.config import PipelineConfig
+
+    def run(need_reduced):
+        eng = StreamingEngine(PipelineConfig(window_size=64, reduced_dim=8,
+                                             approach="sSpectral",
+                                             n_clusters_override=3))
+        rng = np.random.default_rng(0)
+        fused = jnp.asarray((rng.random((64, 64)) < 0.08).astype(np.float32))
+        _, reduced, labels = _window_step(
+            eng.state, fused, jnp.int32(3), jax.random.key(1),
+            approach="sSpectral", k_basis=3, reduced_dim=8, k_max=4,
+            window=64, block_rows=eng.block_rows, fd_shrink="subspace",
+            need_reduced=need_reduced)
+        return np.asarray(reduced), np.asarray(labels)
+
+    red_skip, lab_skip = run(False)
+    red_full, lab_full = run(True)
+    assert red_skip.shape == (64, 0)
+    assert red_full.shape == (64, 8)
+    np.testing.assert_array_equal(lab_skip, lab_full)
+
+
 @pytest.mark.parametrize("approach",
                          ["SWFDMC", "sSVDMC", "sSVDMC_mini", "sSpectral"])
 def test_batched_windows_match_sequential(modalities, approach):
