@@ -51,74 +51,120 @@ DEFAULT_PARAMS = {
 }
 
 
+def _eval_sweep_point(df, experiment_type, params, approach, results,
+                      engine_opts: dict | None):
+    """One (approach, variable value) sweep point: prepare modalities, run
+    the matching engine, append one row to ``results``.  Returns the
+    MEASURED noise rate so the sequential driver can apply the reference's
+    params-mutation quirk (main.py:196)."""
+    modalities, modality_types, truth_labels = sed2012.prepare_modalities(
+        df=df,
+        subset_size=params["subset_size"],
+        binary=(params["label_mode"] == "binary"),
+        event_types=(params["label_mode"] != "all"),
+        sort_by_uploaded=params["sorting"],
+        noise_rate=params["noise_rate"],
+        seed=params["seed"],
+    )
+    measured_noise = float(np.sum(truth_labels == 0) / len(truth_labels))
+
+    n_clusters = (2 if params["label_mode"] == "binary"
+                  else 4 if params["label_mode"] == "types" else 150)
+    eps, min_samples, min_cluster_size = 1.5, 2, 3   # main.py:200
+
+    if approach.endswith("_batch"):
+        process_batch_data(
+            results=results, data_modalities=modalities,
+            modality_types=modality_types,
+            reduced_dim=params["reduced_dim"],
+            k_basis=params["k_basis"], n_clusters=n_clusters,
+            seed=params["seed"], approach=approach,
+            complete_true_labels=truth_labels,
+            noise_rate=measured_noise,
+            label_mode=params["label_mode"], sorting=params["sorting"],
+            eps=eps, min_samples=min_samples,
+            min_cluster_size=min_cluster_size,
+            window_size=params["window_size"])
+    else:
+        process_streaming_data(
+            results=results, data_modalities=modalities,
+            modality_types=modality_types,
+            window_size=params["window_size"],
+            reduced_dim=params["reduced_dim"],
+            k_basis=params["k_basis"], n_clusters_total=n_clusters,
+            seed=params["seed"], approach=approach,
+            complete_true_labels=truth_labels,
+            step_window_ratio=params["step_window_ratio"],
+            noise_rate=measured_noise,
+            label_mode=params["label_mode"], sorting=params["sorting"],
+            eps=eps, min_samples=min_samples, **(engine_opts or {}))
+    return measured_noise
+
+
 def run_experiment(df, experiment_type, variable_values, approaches,
                    fixed_params, count, log_dir="logs/", plot_dir="plots/",
-                   engine_opts: dict | None = None):
-    """One sweep: variable x approaches (reference main.py:169-256)."""
+                   engine_opts: dict | None = None, parallel: bool = False):
+    """One sweep: variable x approaches (reference main.py:169-256).
+
+    ``parallel=True`` evaluates the (approach, value) grid concurrently, one
+    point per jax device (parallel/sweep.parallel_sweep — SURVEY.md §5.8's
+    DCN/sweep-level scale-out axis).  Points are independent runs, so the
+    merged results equal the sequential driver's EXCEPT for the reference's
+    order-dependent quirk: sequentially, each point's measured noise rate
+    overwrites the params for the NEXT point (main.py:196); parallel points
+    each use the requested rate.  The sequential driver stays the default
+    for quirk-exact sweeps."""
     print(f"Running {experiment_type} experiment.")
     print(f"Fixed params: {fixed_params}")
     start_ns = time.time_ns()
     params = fixed_params.copy()
     metrics: dict = {}
 
-    for approach in approaches:
-        results, independent_variables = metrics_mod.get_initial_results()
-        approach_start = time.time_ns()
+    if parallel:
+        from mused_tpu.parallel.sweep import parallel_sweep
+        points = [(a, v) for a in approaches for v in variable_values]
 
-        for var_value in variable_values:
-            params[experiment_type] = var_value
-            print(f"Running experiment with {experiment_type} = {var_value} "
-                  f"for {approach} approach")
-            print(f"Params: {params}")
+        def eval_point(point):
+            approach, var_value = point
+            p = fixed_params.copy()
+            p[experiment_type] = var_value
+            results_p, _ = metrics_mod.get_initial_results()
+            noise = _eval_sweep_point(df, experiment_type, p, approach,
+                                      results_p, engine_opts)
+            return results_p, noise
 
-            modalities, modality_types, truth_labels = sed2012.prepare_modalities(
-                df=df,
-                subset_size=params["subset_size"],
-                binary=(params["label_mode"] == "binary"),
-                event_types=(params["label_mode"] != "all"),
-                sort_by_uploaded=params["sorting"],
-                noise_rate=params["noise_rate"],
-                seed=params["seed"],
-            )
+        outs = parallel_sweep(eval_point, points)
+        independent_variables = metrics_mod.get_initial_results()[1]
+        for ai, approach in enumerate(approaches):
+            merged, _ = metrics_mod.get_initial_results()
+            for vi in range(len(variable_values)):
+                part, _ = outs[ai * len(variable_values) + vi]
+                for key, vals in part.items():
+                    merged[key].extend(vals)
+            metrics[approach] = merged
+        # the detail string below reports the LAST point's measured rate,
+        # matching what the sequential quirk leaves in params
+        params["noise_rate"] = outs[-1][1]
+    else:
+        for approach in approaches:
+            results, independent_variables = metrics_mod.get_initial_results()
+            approach_start = time.time_ns()
 
-            # quirk preserved: measured noise rate overwrites the request and
-            # persists across sweep values (reference main.py:196)
-            params["noise_rate"] = float(np.sum(truth_labels == 0) / len(truth_labels))
+            for var_value in variable_values:
+                params[experiment_type] = var_value
+                print(f"Running experiment with {experiment_type} = {var_value} "
+                      f"for {approach} approach")
+                print(f"Params: {params}")
 
-            n_clusters = (2 if params["label_mode"] == "binary"
-                          else 4 if params["label_mode"] == "types" else 150)
-            eps, min_samples, min_cluster_size = 1.5, 2, 3   # main.py:200
+                # quirk preserved: measured noise rate overwrites the request
+                # and persists across sweep values (reference main.py:196)
+                params["noise_rate"] = _eval_sweep_point(
+                    df, experiment_type, params, approach, results,
+                    engine_opts)
 
-            if approach.endswith("_batch"):
-                results = process_batch_data(
-                    results=results, data_modalities=modalities,
-                    modality_types=modality_types,
-                    reduced_dim=params["reduced_dim"],
-                    k_basis=params["k_basis"], n_clusters=n_clusters,
-                    seed=params["seed"], approach=approach,
-                    complete_true_labels=truth_labels,
-                    noise_rate=params["noise_rate"],
-                    label_mode=params["label_mode"], sorting=params["sorting"],
-                    eps=eps, min_samples=min_samples,
-                    min_cluster_size=min_cluster_size,
-                    window_size=params["window_size"])
-            else:
-                results = process_streaming_data(
-                    results=results, data_modalities=modalities,
-                    modality_types=modality_types,
-                    window_size=params["window_size"],
-                    reduced_dim=params["reduced_dim"],
-                    k_basis=params["k_basis"], n_clusters_total=n_clusters,
-                    seed=params["seed"], approach=approach,
-                    complete_true_labels=truth_labels,
-                    step_window_ratio=params["step_window_ratio"],
-                    noise_rate=params["noise_rate"],
-                    label_mode=params["label_mode"], sorting=params["sorting"],
-                    eps=eps, min_samples=min_samples, **(engine_opts or {}))
-
-        approach_sec = (time.time_ns() - approach_start) / 1e9
-        print(f"Processed with {approach} approach for {approach_sec} seconds")
-        metrics[approach] = results
+            approach_sec = (time.time_ns() - approach_start) / 1e9
+            print(f"Processed with {approach} approach for {approach_sec} seconds")
+            metrics[approach] = results
 
     details = (f'mode={params["label_mode"]},sorted={params["sorting"]},'
                f'noise={params["noise_rate"]},window={params["window_size"]},'
@@ -209,6 +255,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "main.py:41); fixed = n_clusters_total; eigengap = "
                         "unsupervised device estimate from the reduced "
                         "window's spectrum (no labels consulted)")
+    p.add_argument("--parallel-sweep", action="store_true",
+                   help="evaluate the sweep's (approach, value) grid "
+                        "concurrently, one point per jax device (SURVEY.md "
+                        "§5.8 sweep-level scale-out). Points are independent "
+                        "runs: the reference's order-dependent noise-rate "
+                        "mutation quirk does not propagate between them")
     p.add_argument("--verbose", action="store_true",
                    help="small-window debug oracles: print true labels, "
                         "fused/reduced matrices, matched clusters per window "
@@ -262,6 +314,7 @@ def cli(argv=None) -> int:
                                        args.approaches, fixed, count,
                                        log_dir=args.log_dir,
                                        plot_dir=args.plot_dir,
+                                       parallel=args.parallel_sweep,
                                        engine_opts={
                                            "data_shards": args.data_shards,
                                            "merge_topology": args.merge_topology,

@@ -130,3 +130,40 @@ def test_batch_dense_cap_routes_to_blocked(monkeypatch):
         label_mode="all", sorting=False, eps=1.5, min_samples=2,
         min_cluster_size=3, window_size=64)
     assert len(results["f1_score"]) == 1
+
+
+def test_parallel_sweep_driver_matches_sequential(tmp_path, monkeypatch):
+    """--parallel-sweep: the concurrent (approach, value) grid merges into
+    the same per-approach results as the sequential driver (SURVEY.md §5.8).
+    noise_rate=0.0 keeps the measured rate at 0.0, so the reference's
+    order-dependent params-mutation quirk is a no-op and equality is exact
+    (modulo processing_time)."""
+    monkeypatch.chdir(tmp_path)
+    from mused_tpu import main as m
+    from mused_tpu.data.synthetic import synthetic_events_dataframe
+
+    df = synthetic_events_dataframe(n_rows=400, n_events=5, noise_rate=0.5,
+                                    seed=0)
+    captured = {}
+    monkeypatch.setattr(m.output, "log_metrics",
+                        lambda metrics, **kw: captured.update(run=metrics))
+    monkeypatch.setattr(m.output, "visualize_results", lambda **kw: None)
+
+    fixed = {"seed": 0, "subset_size": 192, "noise_rate": 0.0,
+             "label_mode": "binary", "sorting": False, "window_size": 64,
+             "reduced_dim": 8, "k_basis": 3, "step_window_ratio": 1}
+    out = {}
+    for mode in ("seq", "par"):
+        m.run_experiment(df, "window_size", [32, 64], ["sSVDMC", "SWFDMC"],
+                         fixed.copy(), 0, log_dir=str(tmp_path),
+                         plot_dir=str(tmp_path), parallel=(mode == "par"))
+        out[mode] = captured.pop("run")
+
+    for approach in ("sSVDMC", "SWFDMC"):
+        seq, par = out["seq"][approach], out["par"][approach]
+        assert set(seq) == set(par)
+        for key in seq:
+            if key == "processing_time":
+                assert len(seq[key]) == len(par[key])
+                continue
+            assert seq[key] == par[key], (approach, key, seq[key], par[key])
