@@ -194,9 +194,23 @@ def shrink_rr(stacked: jax.Array, ell: int, *, oversample: int = 16,
     this scale — while the NS chain itself is ~180 sequential tiny matmuls
     (~20-40ms) AND barely converges on these stacks (orth_err 0.5-1.0),
     routing absorbs to the m-sized eigh fallback.  Here orthonormalization
-    is Q = V (V^T V)^{-1/2} via an (ell+oversample)-sized eigh (~0.3ms) and
-    the eigenbasis comes from a second small eigh of the Rayleigh quotient —
-    robust on any spectrum, no health gate, ~8 device ops per absorb.
+    is a Householder QR of the G-applied iterate (~0.3ms, same wall as the
+    eigh-whiten it replaced) and the eigenbasis comes from a small eigh of
+    the Rayleigh quotient — robust on any spectrum, no health gate, ~8
+    device ops per absorb.
+
+    Why QR and not the eigh-whiten Q = V (V^T V)^{-1/2}: the whiten's Gram
+    C = V^T V has condition ~kappa(G)^2 (V = G V0), which passes f32's
+    ~1e-7 floor once the sketch's spectral spread grows with stream length.
+    On the real 100k-window fold the whitened Q stopped satisfying
+    Q^T Q <= I after ~16 sequential absorbs, energy compounded
+    exponentially, and the trace-residual loss silently froze at 0
+    (measured on v5e, experiments/exp_fold_diverge.py).  Householder QR is
+    unconditionally stable — Q^T Q = I to rounding on ANY input, including
+    rank-deficient iterates (trailing columns span arbitrary orthonormal
+    directions, which only ever UNDER-estimates y = S^T Q energy) — and
+    measured err 0.043 vs the exact-eigh fold's 0.258 on that stream at
+    identical wall (experiments/exp_fold_fix.py).
 
     GRAM-FREE form: G = S S^T is never materialized — each application is
     two skinny matmuls S (S^T v) at 4*m*d*r FLOPs vs the 2*m^2*d Gram (~5x
@@ -224,25 +238,15 @@ def shrink_rr(stacked: jax.Array, ell: int, *, oversample: int = 16,
         return stacked, jnp.zeros((), stacked.dtype)
     r = min(ell + oversample, m2)
 
-    def _whiten(v):
-        # exact orthonormalization Q = V (V^T V)^{-1/2} via a small eigh;
-        # dropped (near-null) directions get weight 0, which keeps
-        # Q^T Q <= I (never overestimates) even for rank-deficient iterates
-        c = jnp.dot(v.T, v, precision=jax.lax.Precision.HIGHEST)
-        lam_c, u_c = jnp.linalg.eigh(c)                  # ascending
-        inv_sqrt = jnp.where(lam_c > 1e-8 * jnp.max(lam_c),
-                             1.0 / jnp.sqrt(jnp.maximum(lam_c, 1e-30)), 0.0)
-        w = (u_c * inv_sqrt[None, :]) @ u_c.T
-        return jnp.dot(v, w, precision=jax.lax.Precision.HIGHEST)
-
     v = jax.random.normal(jax.random.key(7), (m2, r), jnp.float32)
     for _ in range(power_iters):
-        # whiten BETWEEN applications of G: unorthogonalized power steps
-        # scale direction i by (lam_i/lam_1)^power, and on a decaying
+        # orthonormalize BETWEEN applications of G: unorthogonalized power
+        # steps scale direction i by (lam_i/lam_1)^power, and on a decaying
         # spectrum the trailing subspace would vanish below f32 before the
-        # final whitening could recover it (rank collapse)
+        # final orthonormalization could recover it (rank collapse)
         y = jnp.dot(stacked.T, v, precision=jax.lax.Precision.HIGHEST)
-        v = _whiten(jnp.dot(stacked, y, precision=jax.lax.Precision.HIGHEST))
+        v = jnp.linalg.qr(
+            jnp.dot(stacked, y, precision=jax.lax.Precision.HIGHEST))[0]
     y = jnp.dot(stacked.T, v, precision=jax.lax.Precision.HIGHEST)  # (d, r)
     h = jnp.dot(y.T, y, precision=jax.lax.Precision.HIGHEST)  # == Q^T G Q
     h = 0.5 * (h + h.T)
@@ -266,9 +270,9 @@ def shrink_rr_pair(sketch: jax.Array, rows: jax.Array, ell: int, *,
     Each product splits as S^T v = sketch^T v_s + rows^T v_r (and
     S y = [sketch y; rows y]); the convert of bf16 rows fuses into the
     dot's operand load, so f32 stack bytes never materialize.  The math —
-    whitened subspace iteration, y-trick Rayleigh quotient, exact trace
-    residual — is identical to shrink_rr (same bound argument; only f32
-    summation order differs).
+    QR-orthonormalized subspace iteration, y-trick Rayleigh quotient, exact
+    trace residual — is identical to shrink_rr (same bound argument and the
+    same QR-stability rationale; only f32 summation order differs).
     """
     ellr, d = sketch.shape
     m = rows.shape[0]
@@ -276,14 +280,6 @@ def shrink_rr_pair(sketch: jax.Array, rows: jax.Array, ell: int, *,
     r = min(ell + oversample, m2)
     hi = jax.lax.Precision.HIGHEST
     rows_f = rows.astype(jnp.float32)     # fuses into the dots' loads
-
-    def _whiten(v):
-        c = jnp.dot(v.T, v, precision=hi)
-        lam_c, u_c = jnp.linalg.eigh(c)
-        inv_sqrt = jnp.where(lam_c > 1e-8 * jnp.max(lam_c),
-                             1.0 / jnp.sqrt(jnp.maximum(lam_c, 1e-30)), 0.0)
-        w = (u_c * inv_sqrt[None, :]) @ u_c.T
-        return jnp.dot(v, w, precision=hi)
 
     def _st(v):          # S^T v from the split operands: (d, r)
         return (jnp.dot(sketch.T, v[:ellr], precision=hi)
@@ -295,7 +291,7 @@ def shrink_rr_pair(sketch: jax.Array, rows: jax.Array, ell: int, *,
 
     v = jax.random.normal(jax.random.key(7), (m2, r), jnp.float32)
     for _ in range(power_iters):
-        v = _whiten(_s(_st(v)))
+        v = jnp.linalg.qr(_s(_st(v)))[0]
     y = _st(v)                                            # (d, r)
     h = jnp.dot(y.T, y, precision=hi)
     h = 0.5 * (h + h.T)

@@ -378,7 +378,11 @@ def _shrink_rr_pair_psum(sketch_l: jax.Array, rows_l: jax.Array, ell: int,
     and the Rayleigh quotient are replicated; y = S^T v stays sharded
     (d/p, r); every contraction over d — S y, y^T y, the norms — psums its
     shard partials.  Identical math and honest trace-residual accounting;
-    only f32 summation order differs."""
+    only f32 summation order differs.  The inter-application
+    orthonormalization is Householder QR of the replicated iterate (local,
+    deterministic, so it stays replicated) — the eigh-whiten it replaced
+    has condition ~kappa(G)^2 and diverged on long real folds; see
+    fd.shrink_rr's stability note."""
     hi = jax.lax.Precision.HIGHEST
     ellr = sketch_l.shape[0]
     m2 = ellr + rows_l.shape[0]
@@ -388,13 +392,6 @@ def _shrink_rr_pair_psum(sketch_l: jax.Array, rows_l: jax.Array, ell: int,
                 jnp.zeros((), jnp.float32))
     r = min(ell + oversample, m2)
     rows_f = rows_l.astype(jnp.float32)       # fuses into the dots' loads
-
-    def _whiten(v):                            # v replicated -> local math
-        c = jnp.dot(v.T, v, precision=hi)
-        lam_c, u_c = jnp.linalg.eigh(c)
-        inv_sqrt = jnp.where(lam_c > 1e-8 * jnp.max(lam_c),
-                             1.0 / jnp.sqrt(jnp.maximum(lam_c, 1e-30)), 0.0)
-        return jnp.dot(v, (u_c * inv_sqrt[None, :]) @ u_c.T, precision=hi)
 
     def _st(v):                                # S^T v: (d/p, r), local
         return (jnp.dot(sketch_l.T, v[:ellr], precision=hi)
@@ -407,7 +404,7 @@ def _shrink_rr_pair_psum(sketch_l: jax.Array, rows_l: jax.Array, ell: int,
 
     v = jax.random.normal(jax.random.key(7), (m2, r), jnp.float32)
     for _ in range(power_iters):
-        v = _whiten(_s(_st(v)))
+        v = jnp.linalg.qr(_s(_st(v)))[0]
     y = _st(v)
     h = jax.lax.psum(jnp.dot(y.T, y, precision=hi), axis_name)
     h = 0.5 * (h + h.T)

@@ -266,3 +266,36 @@ class TestShrinkRRPair:
         np.testing.assert_allclose(float(st.sq_frobenius),
                                    float(np.sum(a * a)), rtol=1e-6)
         assert int(st.count) == 600
+
+
+class TestRRStability:
+    """Regression: the rr orthonormalization must be unconditionally stable.
+
+    The original eigh-whiten Q = V (V^T V)^{-1/2} has condition ~kappa(G)^2
+    and broke Q^T Q <= I once the sketch's spectral spread passed f32's
+    floor — on the real 100k-window fold the sketch energy compounded
+    exponentially after ~16 absorbs while the trace-residual loss froze at 0
+    (experiments/exp_fold_diverge.py, v5e).  Householder QR fixed it at
+    identical wall time (experiments/exp_fold_fix.py).  This distills the
+    mechanism to CPU scale: a steep-spectrum stream (singular values
+    spanning ~1e7) absorbed in 48 sequential shrink_rr_pair steps — the
+    whiten violates the per-absorb bound ||B'||_F^2 <= ||S||_F^2 at ~3e-4
+    relative, QR holds it at rounding (~4e-7 measured)."""
+
+    def test_sequential_absorbs_respect_frobenius_bound(self, rng):
+        d, ell, block, k_ev = 2048, 32, 256, 12
+        basis = rng.standard_normal((k_ev, d)).astype(np.float32)
+        basis /= np.linalg.norm(basis, axis=1, keepdims=True)
+        scales = (10.0 ** np.linspace(4, -3, k_ev)).astype(np.float32)
+        s = jnp.zeros((ell, d), jnp.float32)
+        worst = 0.0
+        for _ in range(48):
+            w = (rng.random((block, k_ev)) < 0.4) * rng.random((block, k_ev))
+            rows = (w * scales).astype(np.float32) @ basis
+            rows += 0.01 * (rng.random((block, d)) < 0.02)
+            rows = jnp.asarray(rows, jnp.bfloat16)
+            sq = float(jnp.sum(s * s)
+                       + jnp.sum(jnp.square(rows.astype(jnp.float32))))
+            s, _ = fd.shrink_rr_pair(s, rows, ell)
+            worst = max(worst, (float(jnp.sum(s * s)) - sq) / sq)
+        assert worst <= 1e-5, f"rr absorb bound overshoot {worst:.3g}"
