@@ -243,10 +243,13 @@ def shrink_rr(stacked: jax.Array, ell: int, *, oversample: int = 16,
         # orthonormalize BETWEEN applications of G: unorthogonalized power
         # steps scale direction i by (lam_i/lam_1)^power, and on a decaying
         # spectrum the trailing subspace would vanish below f32 before the
-        # final orthonormalization could recover it (rank collapse)
-        y = jnp.dot(stacked.T, v, precision=jax.lax.Precision.HIGHEST)
-        v = jnp.linalg.qr(
-            jnp.dot(stacked, y, precision=jax.lax.Precision.HIGHEST))[0]
+        # final orthonormalization could recover it (rank collapse).
+        # DEFAULT precision (TPU: one bf16 MXU pass vs HIGHEST's six): these
+        # products only SELECT the iterate — any rounding is just a slightly
+        # different probe direction, re-orthonormalized exactly by the QR —
+        # while the bound-carrying final y below stays HIGHEST
+        y = jnp.dot(stacked.T, v)
+        v = jnp.linalg.qr(jnp.dot(stacked, y))[0]
     y = jnp.dot(stacked.T, v, precision=jax.lax.Precision.HIGHEST)  # (d, r)
     h = jnp.dot(y.T, y, precision=jax.lax.Precision.HIGHEST)  # == Q^T G Q
     h = 0.5 * (h + h.T)
@@ -281,17 +284,22 @@ def shrink_rr_pair(sketch: jax.Array, rows: jax.Array, ell: int, *,
     hi = jax.lax.Precision.HIGHEST
     rows_f = rows.astype(jnp.float32)     # fuses into the dots' loads
 
-    def _st(v):          # S^T v from the split operands: (d, r)
-        return (jnp.dot(sketch.T, v[:ellr], precision=hi)
-                + jnp.dot(rows_f.T, v[ellr:], precision=hi))
+    def _st(v, precision=hi):     # S^T v from the split operands: (d, r)
+        return (jnp.dot(sketch.T, v[:ellr], precision=precision)
+                + jnp.dot(rows_f.T, v[ellr:], precision=precision))
 
-    def _s(y):           # S y: (m2, r)
-        return jnp.concatenate([jnp.dot(sketch, y, precision=hi),
-                                jnp.dot(rows_f, y, precision=hi)], axis=0)
+    def _s(y, precision=hi):      # S y: (m2, r)
+        return jnp.concatenate([jnp.dot(sketch, y, precision=precision),
+                                jnp.dot(rows_f, y, precision=precision)],
+                               axis=0)
 
     v = jax.random.normal(jax.random.key(7), (m2, r), jnp.float32)
     for _ in range(power_iters):
-        v = jnp.linalg.qr(_s(_st(v)))[0]
+        # DEFAULT-precision power products (see shrink_rr): they only pick
+        # the probe direction, the QR re-orthonormalizes exactly, and at
+        # fold scale they are 2 of the 3 big MXU products — one bf16 pass
+        # each instead of HIGHEST's six
+        v = jnp.linalg.qr(_s(_st(v, None), None))[0]
     y = _st(v)                                            # (d, r)
     h = jnp.dot(y.T, y, precision=hi)
     h = 0.5 * (h + h.T)

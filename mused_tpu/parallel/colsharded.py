@@ -393,18 +393,22 @@ def _shrink_rr_pair_psum(sketch_l: jax.Array, rows_l: jax.Array, ell: int,
     r = min(ell + oversample, m2)
     rows_f = rows_l.astype(jnp.float32)       # fuses into the dots' loads
 
-    def _st(v):                                # S^T v: (d/p, r), local
-        return (jnp.dot(sketch_l.T, v[:ellr], precision=hi)
-                + jnp.dot(rows_f.T, v[ellr:], precision=hi))
+    def _st(v, precision=hi):                  # S^T v: (d/p, r), local
+        return (jnp.dot(sketch_l.T, v[:ellr], precision=precision)
+                + jnp.dot(rows_f.T, v[ellr:], precision=precision))
 
-    def _s(y):                                 # S y: (m2, r), psum over d
-        local = jnp.concatenate([jnp.dot(sketch_l, y, precision=hi),
-                                 jnp.dot(rows_f, y, precision=hi)], axis=0)
+    def _s(y, precision=hi):                   # S y: (m2, r), psum over d
+        local = jnp.concatenate([jnp.dot(sketch_l, y, precision=precision),
+                                 jnp.dot(rows_f, y, precision=precision)],
+                                axis=0)
         return jax.lax.psum(local, axis_name)
 
     v = jax.random.normal(jax.random.key(7), (m2, r), jnp.float32)
     for _ in range(power_iters):
-        v = jnp.linalg.qr(_s(_st(v)))[0]
+        # DEFAULT-precision power products, like fd.shrink_rr_pair: they
+        # only pick the probe direction (QR re-orthonormalizes exactly);
+        # the bound-carrying final y keeps HIGHEST
+        v = jnp.linalg.qr(_s(_st(v, None), None))[0]
     y = _st(v)
     h = jax.lax.psum(jnp.dot(y.T, y, precision=hi), axis_name)
     h = 0.5 * (h + h.T)
