@@ -80,13 +80,25 @@ _WORDS = ("festival concert goal match stadium protest plaza camp strike rally "
 
 
 def synthetic_events_dataframe(n_rows: int = 400, n_events: int = 6,
-                               noise_rate: float = 0.4, seed: int = 0) -> pd.DataFrame:
+                               noise_rate: float = 0.4, seed: int = 0,
+                               fast: bool | None = None) -> pd.DataFrame:
     """SED2012-shaped DataFrame with planted multimodal events.
 
     Each event has a home (lat, lon), a time window, a user pool, a tag
     vocabulary, and a text vocabulary; noise rows draw uniformly.  Labels:
     event_id in 1..n_events (0 = noise), is_event, event_type in {0,1,2,3}.
+
+    ``fast`` selects the vectorized generator: same distributions and
+    schema, different RNG consumption order (so rows differ from the loop
+    path for the same seed).  Auto-on at n_rows >= 20_000, where the
+    per-row loop's ~1 ms/row (~16 min per 1M rows) makes the huge-window
+    and 1M-stream regimes host-bound; small fixtures keep the loop path so
+    seeded test streams stay stable.
     """
+    if fast is None:
+        fast = n_rows >= 20_000
+    if fast:
+        return _synthetic_events_fast(n_rows, n_events, noise_rate, seed)
     rng = np.random.default_rng(seed)
     n_noise = int(n_rows * noise_rate)
     n_event_rows = n_rows - n_noise
@@ -132,6 +144,109 @@ def synthetic_events_dataframe(n_rows: int = 400, n_events: int = 6,
     df = pd.DataFrame(rows, columns=["id", "datetaken", "dateupload", "latitude",
                                      "longitude", "title", "description", "tags",
                                      "username", "event_id"])
+    df = df.sample(frac=1.0, random_state=seed).reset_index(drop=True)
+    eid = df["event_id"].to_numpy()
+    df["is_event"] = (eid > 0).astype(int)
+    df["event_type"] = np.where(eid == 0, 0, (eid - 1) % 3 + 1)
+    return df
+
+
+def _join_words(words: np.ndarray) -> list[str]:
+    """Row-wise ' '.join of a (n, w) object array of words."""
+    out = words[:, 0].astype(object)
+    for j in range(1, words.shape[1]):
+        out = out + " " + words[:, j]
+    return out.tolist()
+
+
+def _synthetic_events_fast(n_rows: int, n_events: int, noise_rate: float,
+                           seed: int) -> pd.DataFrame:
+    """Vectorized synthetic_events_dataframe: identical schema and
+    per-column distributions, ~3 orders of magnitude faster at 1M rows.
+
+    Matches the loop generator's structure: event rows first (event
+    homes/time windows/vocabularies are the SAME deterministic per-event
+    values — they derive from per-event default_rng(1000+ev) streams),
+    then noise rows, then the same df.sample(random_state=seed) shuffle.
+    Only the per-row draws consume the global RNG in a different order.
+    """
+    rng = np.random.default_rng(seed)
+    n_noise = int(n_rows * noise_rate)
+    ne = n_rows - n_noise
+    base_time = 1.3e9
+    words_arr = np.array(_WORDS, object)
+
+    # --- event rows -------------------------------------------------------
+    ev = (np.arange(ne) % n_events) + 1 if ne else np.zeros(0, np.int64)
+    homes = np.stack([np.random.default_rng(1000 + e)
+                      .uniform([-40, -120], [40, 120])
+                      for e in range(1, n_events + 1)]) \
+        if n_events else np.zeros((0, 2))
+    latlon = homes[ev - 1] + rng.normal(size=(ne, 2)) * 0.05 \
+        if ne else np.zeros((0, 2))
+    taken_e = base_time + ev * 5e5 + rng.uniform(0, 3600, ne)
+    upload_e = taken_e + rng.uniform(0, 1800, ne)
+    user_e = np.array([f"user_{e}_{k}" for e, k in
+                       zip(ev, rng.integers(0, 4, ne))], object) \
+        if ne else np.zeros(0, object)
+
+    tag_vocab = np.array([[f"tag{e}_{k}" for k in range(6)] + ["shared"]
+                          for e in range(1, n_events + 1)], object) \
+        if n_events else np.zeros((0, 7), object)
+    tag_perm = np.argsort(rng.random((ne, 7)), axis=1)
+    tag_sizes = rng.integers(2, 5, ne)
+    tag_rows = np.take_along_axis(tag_vocab[ev - 1], tag_perm, axis=1) \
+        if ne else np.zeros((0, 7), object)
+    tags_e = [list(r[:s]) for r, s in zip(tag_rows, tag_sizes)]
+
+    # per-row 5-word vocab: 4 global words + the event word; title/desc draw
+    # from it with replacement (the loop generator's rng.choice default)
+    vocab_e = np.concatenate(
+        [words_arr[rng.integers(0, len(words_arr), (ne, 4))],
+         np.array([f"event{e}" for e in ev], object)[:, None]], axis=1) \
+        if ne else np.zeros((0, 5), object)
+    title_e = _join_words(np.take_along_axis(
+        vocab_e, rng.integers(0, 5, (ne, 3)), axis=1)) if ne else []
+    desc_e = _join_words(np.take_along_axis(
+        vocab_e, rng.integers(0, 5, (ne, 5)), axis=1)) if ne else []
+
+    # --- noise rows -------------------------------------------------------
+    nn = n_noise
+    latlon_n = rng.uniform([-60, -170], [60, 170], size=(nn, 2)) \
+        if nn else np.zeros((0, 2))
+    taken_n = base_time + rng.uniform(0, n_events * 1e6, nn)
+    upload_n = taken_n + rng.uniform(0, 86400, nn)
+    user_n = np.array([f"noise_user_{u}" for u in
+                       rng.integers(0, n_noise // 2 + 1, nn)], object) \
+        if nn else np.zeros(0, object)
+    ntag_vocab = np.array([f"ntag{k}" for k in range(50)], object)
+    nperm = np.argsort(rng.random((nn, 50)), axis=1)[:, :3]
+    nsizes = rng.integers(0, 3, nn)
+    tags_n = [list(ntag_vocab[p[:s]]) for p, s in zip(nperm, nsizes)]
+    title_n = _join_words(
+        words_arr[rng.integers(0, len(words_arr), (nn, 2))]) if nn else []
+    desc_n = _join_words(
+        words_arr[rng.integers(0, len(words_arr), (nn, 3))]) if nn else []
+
+    # --- assemble + the loop generator's invalidity sprinkle --------------
+    lat = np.concatenate([latlon[:, 0], latlon_n[:, 0]])
+    lon = np.concatenate([latlon[:, 1], latlon_n[:, 1]])
+    taken = np.concatenate([taken_e, taken_n])
+    upload = np.concatenate([upload_e, upload_n])
+    geo_bad = rng.random(n_rows) < 0.1
+    lat[geo_bad] = np.nan
+    lon[geo_bad] = np.nan
+    taken[rng.random(n_rows) < 0.05] = 0.0
+
+    df = pd.DataFrame({
+        "id": np.arange(n_rows),
+        "datetaken": taken, "dateupload": upload,
+        "latitude": lat, "longitude": lon,
+        "title": title_e + title_n, "description": desc_e + desc_n,
+        "tags": tags_e + tags_n,
+        "username": np.concatenate([user_e, user_n]),
+        "event_id": np.concatenate([ev, np.zeros(nn, np.int64)]),
+    })
     df = df.sample(frac=1.0, random_state=seed).reset_index(drop=True)
     eid = df["event_id"].to_numpy()
     df["is_event"] = (eid > 0).astype(int)
