@@ -74,6 +74,11 @@ def main():
                 return fd.update_block(state, fused, None, mode="rr")
         else:
             def f(state, fused, start):
+                if variant == "v3":
+                    # force ONE materialization of the block: without it the
+                    # candidates->dense broadcast expansion fuses into every
+                    # consumer dot and the block regenerates per read
+                    fused = jax.lax.optimization_barrier(fused)
                 sk, delta = fd.shrink_rr_pair(state.sketch, fused, ell)
                 sq = jnp.sum(jnp.square(fused.astype(jnp.float32)),
                              dtype=jnp.float32)
@@ -89,27 +94,31 @@ def main():
         return st.sketch, st.sq_frobenius, st.shrink_loss
 
     args = (cols.tensors, cols.valids, cols.idf, cols.kinds)
+    variants = sys.argv[1:] or ["v2", "v1", "v0"]
     outs = {}
-    for v in ("v0", "v1", "v2"):
+    for v in variants:
+        print(f"[{time.strftime('%H:%M:%S')}] compiling {v}...", flush=True)
         t, outs[v] = timeit(lambda v=v: fold(*args, v))
         print(f"{v}: {t:.2f} s total "
               f"({t / (n // block) * 1e3:.1f} ms/block incl. sweep)",
               flush=True)
 
-    # agreement: same sketch Gram to rounding
-    z = jax.random.normal(jax.random.key(1), (n, 64), jnp.float32)
+    if len(outs) > 1:
+        # agreement: same sketch Gram to rounding
+        z = jax.random.normal(jax.random.key(1), (n, 64), jnp.float32)
 
-    @jax.jit
-    def gz(b):
-        return jnp.dot(b.T, jnp.dot(b, z))
-    g0 = gz(outs["v0"][0])
-    scale = float(jnp.max(jnp.abs(g0)))
-    for v in ("v1", "v2"):
-        dev = float(jnp.max(jnp.abs(gz(outs[v][0]) - g0))) / scale
-        dsq = abs(float(outs[v][1]) - float(outs["v0"][1]))
-        dls = abs(float(outs[v][2]) - float(outs["v0"][2]))
-        print(f"{v} vs v0: probe dev {dev:.2e}  d_sq {dsq:.3g}  "
-              f"d_loss {dls:.3g}", flush=True)
+        @jax.jit
+        def gz(b):
+            return jnp.dot(b.T, jnp.dot(b, z))
+        ref = variants[0]
+        g0 = gz(outs[ref][0])
+        scale = float(jnp.max(jnp.abs(g0)))
+        for v in variants[1:]:
+            dev = float(jnp.max(jnp.abs(gz(outs[v][0]) - g0))) / scale
+            dsq = abs(float(outs[v][1]) - float(outs[ref][1]))
+            dls = abs(float(outs[v][2]) - float(outs[ref][2]))
+            print(f"{v} vs {ref}: probe dev {dev:.2e}  d_sq {dsq:.3g}  "
+                  f"d_loss {dls:.3g}", flush=True)
 
 
 if __name__ == "__main__":
