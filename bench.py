@@ -4,7 +4,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Headline metric (BASELINE.md config #1 regime): streaming sliding-window
 Frequent-Directions updates/sec at d=1024, ell=64, window=2048 — the engine's
-actual sketch path (fd.hierarchical_sketch batched-lane FD + swfd ring absorb
+actual sketch path (fd.fold_sketch scanned FD fold + swfd ring absorb
 + per-window query).  Baseline: the reference's consumption pattern — a
 per-row Python ``swfd.fit(row)`` loop over a NumPy FD implementation
 (reference main.py:65-67) — measured on this host's CPU.

@@ -58,10 +58,12 @@ def batched_variant(lanes):
     @jax.jit
     def run(ws):
         def one(w):
-            if lanes == 1:
-                st = fd.update_stream(fd.init(ell, d), w, mode="rr")
-                return st.sketch, st.sq_frobenius, st.shrink_loss
-            return fd.hierarchical_sketch(w, ell=ell, lanes=lanes, mode="rr")
+            # variant D (in-window vmap lanes) was measured slower and the
+            # lane machinery has since been removed from ops/fd (see
+            # fd.fold_sketch docstring); lanes kept only as a label here
+            assert lanes == 1
+            st = fd.update_stream(fd.init(ell, d), w, mode="rr")
+            return st.sketch, st.sq_frobenius, st.shrink_loss
         sks, sqs, losses = jax.vmap(one)(ws)
 
         def absorb(state, x):

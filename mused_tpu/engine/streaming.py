@@ -60,17 +60,6 @@ class _PendingWindow(NamedTuple):
     clusters: object = None
 
 
-def _choose_lanes(n: int, ell: int) -> int:
-    """Lane count for fd.hierarchical_sketch.  lanes=1 measured fastest on
-    v5e (123k rows/s vs 94k at 16 — the scan pipelines well and extra lanes
-    add merge shrinks) AND keeps the subspace shrink's health-gate cond a
-    real branch (vmap lowers cond to select, executing the eigh fallback
-    unconditionally).  The vmap machinery stays available for other
-    hardware/shapes via explicit lanes arguments."""
-    del n, ell
-    return 1
-
-
 def _fuse_standard(location, times, user_ids, tags, text, k_basis: int,
                    tags_valid=None):
     return affinity.multimodal_fused_adjacency(
@@ -214,7 +203,7 @@ def _window_step_impl(state: StreamState, fused: jax.Array,
         # TPU fast path: batched-lane FD over the window's rows (one summary
         # block, few sequential eighs) sealed into the sliding-window ring —
         # replaces the reference's n sequential swfd.fit(row) calls
-        # (main.py:65-67) with a depth-log reduction (see fd.hierarchical_sketch).
+        # (main.py:65-67) with one scanned fold (see fd.fold_sketch).
         # Semantics note: the reference feeds ALL n fused-matrix rows at EVERY
         # trigger (even overlapping sliding triggers), and with N=window_size
         # the sketch then covers exactly this trigger's rows — absorbing one
@@ -222,13 +211,12 @@ def _window_step_impl(state: StreamState, fused: jax.Array,
         # tumbling and sliding modes.  (Row-granular streaming remains
         # available via ops.swfd.update / SeqBasedSWFD.)
         ell = state.swfd.ell
-        lanes = _choose_lanes(n, ell)
         # the whole-window summary is a FOLD (one-shot sketch of n rows):
         # "subspace" resolves to the Gram-free Rayleigh-Ritz shrink there —
         # measured 1.28x the Newton-Schulz chain at window=2048/d=1024 on
         # v5e (1104k vs 861k rows/s) WITH lower spectral error (257 vs 291)
-        blk, sq_fro, loss = fd.hierarchical_sketch(
-            fused, ell=ell, lanes=lanes, mode=fd.resolve_fold_mode(fd_shrink))
+        blk, sq_fro, loss = fd.fold_sketch(
+            fused, ell=ell, mode=fd.resolve_fold_mode(fd_shrink))
         new_swfd = swfd.absorb_summary(state.swfd, blk, jnp.int32(n), sq_fro,
                                        loss)
         sketch, _, _, _ = swfd.query(new_swfd, window=window,
@@ -287,6 +275,37 @@ def _auto_col_shards(p: int) -> int:
             best = d
         d += 1
     return best
+
+def resolve_windows_per_batch(cfg: PipelineConfig, *, standard_types: bool,
+                              step_window_ratio: int | None = None,
+                              checkpoint_dir: str | None = None,
+                              backend: str | None = None,
+                              auto_w: int = 4) -> int:
+    """Resolve ``cfg.windows_per_batch`` (None = auto) to a concrete W.
+
+    Auto: scanned dispatch is tested numerically identical to per-window
+    dispatch and measured ~3x e2e on remote TPU links (BENCH_DETAIL 1b:
+    20.6 -> 59.7 windows/s at W=4), so eligible TPU runs get it by default
+    (VERDICT r2 next #4); ``windows_per_batch=1`` opts out.  Checkpointing
+    and verbose stay per-window under auto: batched saves land only at
+    group boundaries, and the scanned body has no per-window debug oracles
+    (explicit W>1 still composes with checkpoint_dir).
+    """
+    batch_w = getattr(cfg, "windows_per_batch", None)
+    if batch_w is None:
+        backend = backend or jax.default_backend()
+        ratio = (cfg.step_window_ratio if step_window_ratio is None
+                 else step_window_ratio)
+        batch_w = auto_w if (
+            backend == "tpu"
+            and cfg.approach in BATCHABLE_APPROACHES
+            and ratio == 1
+            and not cfg.force_blocked_window
+            and cfg.window_size <= LARGE_WINDOW_ROWS
+            and not checkpoint_dir and not cfg.verbose
+            and not (cfg.matching == "centroid" and standard_types)) else 1
+    return max(int(batch_w), 1)
+
 
 # approaches whose per-window host glue is only the label matching (no
 # per-window host clustering like the DBSCAN family) — eligible for scanned
@@ -1021,7 +1040,7 @@ def process_streaming_data(results, data_modalities, modality_types,
                            checkpoint_every: int = 1, data_shards: int = 1,
                            merge_topology: str = "allgather",
                            verbose: bool = False, matching: str = "auto",
-                           windows_per_batch: int = 1,
+                           windows_per_batch: int | None = None,
                            k_estimate: str = "labels",
                            huge_window_layout: str = "rows",
                            huge_window_col_shards: int = 0):
@@ -1084,9 +1103,11 @@ def process_streaming_data(results, data_modalities, modality_types,
         return engine.featurize([m[lo:hi] for m in data_modalities],
                                 modality_types)
 
-    batch_w = max(int(getattr(cfg, "windows_per_batch", 1)), 1)
     standard_types = list(modality_types) == ["location", "time", "username",
                                               "tags", "text"]
+    batch_w = resolve_windows_per_batch(cfg, standard_types=standard_types,
+                                        step_window_ratio=step_window_ratio,
+                                        checkpoint_dir=checkpoint_dir)
     if cfg.matching == "centroid" and standard_types:
         # fail fast (matching the other config validations) instead of from
         # _stable_feats at the first processed window

@@ -236,11 +236,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="grid layout: how many of data-shards shard the "
                         "feature columns (must divide it; 0 = balanced "
                         "auto factorization)")
-    p.add_argument("--windows-per-batch", type=int, default=1,
+    p.add_argument("--windows-per-batch", type=int, default=None,
                    help="dispatch this many tumbling windows per device call "
                         "(one lax.scan; numerically identical to per-window "
-                        "dispatch; measured ~1.6x e2e on remote TPU links "
-                        "at 8)")
+                        "dispatch; measured ~3x e2e on remote TPU links). "
+                        "Default: auto — 4 on TPU when the approach/config "
+                        "is eligible, else per-window; pass 1 to force "
+                        "per-window dispatch")
     p.add_argument("--matching", default="auto",
                    choices=["auto", "hungarian", "pot", "centroid"],
                    help="cross-window cluster-ID matching: auto = reference "
@@ -272,11 +274,15 @@ def load_dataframe(args):
     if args.dataset == "sed2012":
         return sed2012.load_sed2012_dataset(args.dataset_dir,
                                             max_records=args.max_records)
-    n = min(args.subset_size * 2, 20000) if args.dataset == "synthetic" else 400
-    # noise pool must cover the highest sweep noise_rate (0.95) of any subset
-    # <= n_rows, since prepare_modalities samples noise without replacement
+    n = max(args.subset_size * 2, 400) if args.dataset == "synthetic" else 400
+    # pool sizing: prepare_modalities samples events and noise WITHOUT
+    # replacement, so with n = 2*subset a half-noise pool covers every sweep
+    # noise_rate in [0.05, 0.95] at FULL subset size (noise needed =
+    # r*s <= n/2 and events (1-r)*s <= n/2 for all r in that range) — the
+    # reference-default 150k-row sweeps run at their real scale (the fast
+    # vectorized generator engages past 20k rows)
     return synthetic.synthetic_events_dataframe(
-        n_rows=max(n, 200), n_events=6, noise_rate=0.96, seed=args.seed)
+        n_rows=n, n_events=6, noise_rate=0.5, seed=args.seed)
 
 
 def cli(argv=None) -> int:

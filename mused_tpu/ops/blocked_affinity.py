@@ -540,7 +540,7 @@ def blocked_fd_sketch(cols: Columns, *, ell: int, block: int,
     select explicitly.
 
     Returns (sketch, sq_frobenius, shrink_loss) — feed to swfd.absorb_summary
-    exactly like fd.hierarchical_sketch's output.
+    exactly like fd.fold_sketch's output.
     """
     from mused_tpu.ops import fd
     mode = fd.resolve_fold_mode(mode)

@@ -428,54 +428,26 @@ def update_stream(state: FDState, rows: jax.Array, *, block_rows: int | None = N
     return state
 
 
-@functools.partial(jax.jit, static_argnames=("ell", "lanes", "mode"))
-def hierarchical_sketch(rows: jax.Array, *, ell: int, lanes: int = 8,
-                        mode: str = "eigh"):
-    """FD sketch of (m, d) rows via parallel lanes + tree merge.
+@functools.partial(jax.jit, static_argnames=("ell", "mode"))
+def fold_sketch(rows: jax.Array, *, ell: int, mode: str = "eigh"):
+    """One-shot FD sketch ("fold") of (m, d) rows: a fresh sketch streamed
+    through :func:`update_stream` in one jit.
 
-    TPU rationale: the sequential block-FD scan is latency-bound — each
-    (Gram, eigh(2*ell), reconstruct) step is ~1ms of launch/solver latency for
-    microseconds of MXU work.  Splitting the rows into ``lanes`` independent
-    FD sketches batches the eighs via vmap ((lanes, 2l, 2l) batched solver),
-    then a log2(lanes)-level pairwise merge (also batched) combines them:
-    sequential eigh DEPTH drops from m/ell to m/(ell*lanes) + log2(lanes).
-
-    Error (FD mergeability, SURVEY.md §2.8): sum of lane bounds
-    (<= ||A||_F^2/ell total) plus one delta per merge level — the same
-    additive-merge argument as the multi-chip ICI path, applied intra-chip.
+    This is the engine's whole-window summary primitive (one fold per window,
+    sealed into the sliding ring by ``swfd.absorb_summary``).  An earlier
+    vmap-lane + tree-merge variant was measured SLOWER on v5e (123k vs 94k
+    rows/s at 16 lanes — the scan pipelines well, extra lanes add merge
+    shrinks) and vmap lowers the subspace shrink's health-gate ``lax.cond``
+    to a select that executes the eigh fallback unconditionally; the
+    sequential fold is both the fastest measured configuration and the one
+    that keeps the gate a real branch, so the lane machinery was removed
+    (VERDICT r2 weak #6).  Cross-chip merging (the true parallel axis) lives
+    in parallel/sketch_merge.py.
 
     Returns (sketch (ell, d), sq_frobenius, shrink_loss_upper).
     """
-    m, d = rows.shape
-    assert lanes & (lanes - 1) == 0, "lanes must be a power of two"
-    if lanes == 1:
-        # no vmap: keeps lax.cond branches REAL (vmap lowers cond to select,
-        # which would execute the exact-eigh fallback on every subspace-mode
-        # shrink) — also the fastest measured configuration on v5e
-        st = update_stream(init(ell, d), rows, mode=mode)
-        return st.sketch, st.sq_frobenius, st.shrink_loss
-    per = -(-m // lanes)
-    pad = per * lanes - m
-    if pad:
-        rows = jnp.concatenate([rows, jnp.zeros((pad, d), rows.dtype)], axis=0)
-    lane_rows = rows.reshape(lanes, per, d)
-
-    def lane_update(r):
-        st = update_stream(init(ell, d), r, mode=mode)
-        return st.sketch, st.shrink_loss
-
-    sketches, losses = jax.vmap(lane_update)(lane_rows)   # (lanes, ell, d)
-    loss = jnp.sum(losses)
-
-    merge_shrink = _SHRINKS[mode]
-    while sketches.shape[0] > 1:
-        k = sketches.shape[0] // 2
-        pairs = sketches.reshape(k, 2 * ell, d)
-        sketches, deltas = jax.vmap(lambda s: merge_shrink(s, ell))(pairs)
-        loss = loss + jnp.sum(deltas)
-
-    sq_fro = jnp.sum(rows * rows)
-    return sketches[0], sq_fro, loss
+    st = update_stream(init(ell, rows.shape[1]), rows, mode=mode)
+    return st.sketch, st.sq_frobenius, st.shrink_loss
 
 
 def error_bound(state: FDState) -> jax.Array:

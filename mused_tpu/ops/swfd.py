@@ -142,7 +142,7 @@ def absorb_summary(state: SWFDState, sketch: jax.Array, n_rows: jax.Array,
                    sq_fro: jax.Array,
                    loss: jax.Array | float = 0.0) -> SWFDState:
     """Seal a pre-sketched row block (e.g. one whole window sketched by
-    ``fd.hierarchical_sketch``) directly into the ring as one block.
+    ``fd.fold_sketch``) directly into the ring as one block.
 
     This is the engine's TPU fast path: instead of scanning n/ell sequential
     shrinks through the active FD, the window's rows are sketched with
@@ -199,16 +199,26 @@ class SeqBasedSWFD:
 
     ``fit`` accepts a single (1, d) row for drop-in parity but also any (m, d)
     block — feed blocks for TPU throughput.
+
+    ``headroom``: the internal sketch rank is ``sketch_dim + headroom`` while
+    ``get()`` still shrinks to ``sketch_dim`` — each block's FD loss scales as
+    ``||block||_F^2 / ell``, so a little slack above the query rank lowers the
+    live-window covariance error (measured on a decaying-spectrum stream:
+    mean true error 20.4 at slack 0 -> 18.0 at slack 8, flat beyond 16 —
+    tests/test_swfd.py pins the improvement).  None = auto
+    ``min(sketch_dim, 8)``; 0 restores query-rank-only state.
     """
 
     def __init__(self, N: int, R: float, d: int, sketch_dim: int,
-                 block_rows: int | None = None, dtype=jnp.float32):
+                 block_rows: int | None = None, dtype=jnp.float32,
+                 headroom: int | None = None):
         self.N = int(N)
         self.R = float(R)
         self.d = int(d)
         self.sketch_dim = int(sketch_dim)
-        # internal rank: a little headroom above the query rank improves accuracy
-        self.ell = int(sketch_dim)
+        if headroom is None:
+            headroom = min(self.sketch_dim, 8)
+        self.ell = self.sketch_dim + int(headroom)
         self.block_rows = block_rows or choose_block_rows(self.N, self.ell)
         # FD chunk the jitted update consumes; feeding only multiples of it
         # keeps seals landing exactly every block_rows rows

@@ -266,9 +266,8 @@ def _engine_step_core(swfd_state, minibatch_state, feats: tuple,
             ell = swfd_state.blocks.shape[1]
             # per-shard whole-window-share summary = a fold; "subspace"
             # resolves to the rr shrink exactly like the single-chip step
-            blk, sq_fro, loss = fd.hierarchical_sketch(
-                fused_s, ell=ell, lanes=1,
-                mode=fd.resolve_fold_mode(fd_shrink))
+            blk, sq_fro, loss = fd.fold_sketch(
+                fused_s, ell=ell, mode=fd.resolve_fold_mode(fd_shrink))
             if topology == "ring":
                 merged = sketch_merge.ring_merge(blk)
             else:

@@ -288,3 +288,37 @@ def test_k_estimate_validation(modalities):
     from mused_tpu.engine.streaming import StreamingEngine
     with pytest.raises(ValueError, match="k_estimate"):
         StreamingEngine(PipelineConfig(window_size=64, k_estimate="bogus"))
+
+
+def test_windows_per_batch_auto_resolution():
+    """windows_per_batch=None resolves to scanned-4 only on TPU backends for
+    eligible configs (VERDICT r2 next #4); explicit values always win."""
+    from mused_tpu.engine.streaming import resolve_windows_per_batch
+    from mused_tpu.utils.config import PipelineConfig
+    base = PipelineConfig(approach="SWFDMC", window_size=64)
+    kw = dict(standard_types=False)
+    assert resolve_windows_per_batch(base, backend="tpu", **kw) == 4
+    assert resolve_windows_per_batch(base, backend="cpu", **kw) == 1
+    # explicit opt-out / explicit W win on any backend
+    assert resolve_windows_per_batch(
+        base.replace(windows_per_batch=1), backend="tpu", **kw) == 1
+    assert resolve_windows_per_batch(
+        base.replace(windows_per_batch=8), backend="cpu", **kw) == 8
+    # ineligibility gates: host-clustered approach, sliding ratio,
+    # checkpointing, verbose, huge windows, centroid-on-standard
+    assert resolve_windows_per_batch(
+        base.replace(approach="DBSCAN_incr"), backend="tpu", **kw) == 1
+    assert resolve_windows_per_batch(
+        base.replace(step_window_ratio=2), backend="tpu", **kw) == 1
+    assert resolve_windows_per_batch(
+        base, backend="tpu", checkpoint_dir="/tmp/x", **kw) == 1
+    assert resolve_windows_per_batch(
+        base.replace(verbose=True), backend="tpu", **kw) == 1
+    assert resolve_windows_per_batch(
+        base.replace(force_blocked_window=True), backend="tpu", **kw) == 1
+    assert resolve_windows_per_batch(
+        base.replace(matching="centroid"), backend="tpu",
+        standard_types=True) == 1
+    # the engine-arg ratio overrides the cfg field when provided
+    assert resolve_windows_per_batch(base, backend="tpu",
+                                     step_window_ratio=2, **kw) == 1
