@@ -7,7 +7,8 @@ are visible (VERDICT r1 next #4):
   #1 sketch updates/sec (same workload as bench.py)
   #2 crisis text+image embedding stream, ell=128 + spectral: windows/s, F1/NMI
   #3 huge-window regime: 100k-row windows over the blocked rematerialized
-     path: sketch rows/sec/chip
+     path: sketch rows/sec/chip (reduction-only) + 3b: the ~1M-row stream
+     through the REAL engine, e2e rows/s + F1/NMI (BASELINE #3 as written)
   #4 d=4096 affinity: Pallas fused kernel GFLOP/s vs the XLA path
   #5 8-virtual-device CPU mesh: merged-sketch (data_shards=8) F1/NMI delta
      vs single-chip (run in a subprocess so the host platform can be forced)
@@ -136,6 +137,11 @@ def config2_crisis_spectral():
     wps = max(wps, run("centroid")[0])      # best-of-2 (tunnel noise)
     RESULTS["2_crisis_windows_per_sec"] = round(wps, 2)
     RESULTS["2_crisis_f1"] = round(r["f1_score"][0], 4)
+    # the raw F1 treats cluster ids as class labels (reference semantics),
+    # so the registry's label-free id numbering caps it even at a perfect
+    # partition; the aligned F1 scores the partition itself
+    # (utils/metrics.aligned_f1, VERDICT r2 weak #3)
+    RESULTS["2_crisis_f1_aligned"] = round(r["f1_aligned"][0], 4)
     RESULTS["2_crisis_nmi"] = round(r["nmi_score"][0], 4)
     RESULTS["2_crisis_nmi_e"] = round(r["nmi_e_score"][0], 4)
     run("centroid", batch_w=4)              # scanned dispatch (identical NMI)
@@ -179,8 +185,44 @@ def config3_huge_window():
                                             select=select, nbins=nbins)
         _materialize(sk)
         dt = min(dt, time.perf_counter() - t0)
-    RESULTS["3_hugewindow_rows_per_sec_per_chip"] = round(window / dt, 1)
-    RESULTS["3_hugewindow_seconds_per_100k_window"] = round(dt, 2)
+    # reduction-only kernel numbers (ONE window's blocked FD sketch — no
+    # featurization/transfer/clustering/matching); the e2e stream number
+    # for this regime is config 3b below (VERDICT r2 weak #7)
+    RESULTS["3_hugewindow_reduction_rows_per_sec_per_chip"] = round(window / dt, 1)
+    RESULTS["3_hugewindow_reduction_seconds_per_100k_window"] = round(dt, 2)
+
+
+def config3b_stream_1m():
+    """BASELINE #3 AS WRITTEN: a ~1M-row stream at ~100k windows through the
+    REAL engine (SWFDMC, auto huge-window blocked path) — featurization,
+    transfer, FD fold, query, clustering, matching and metrics all included
+    (VERDICT r2 next #2; experiments/exp_stream_1m.py is the standalone
+    probe).  Generator note: rows come from the vectorized synthetic path
+    (auto past 20k rows since commit 872169a), so F1/NMI here are not
+    comparable to pre-872169a records."""
+    from mused_tpu import api
+    from mused_tpu.data.synthetic import synthetic_events_dataframe
+    from mused_tpu.data.sed2012 import prepare_modalities
+    n_windows, window = 10, 98_304
+    total = n_windows * window
+    df = synthetic_events_dataframe(n_rows=total + 64, n_events=24,
+                                    noise_rate=0.9, seed=0)
+    mods, mtypes, labels = prepare_modalities(
+        df, subset_size=total, binary=True, sort_by_uploaded=False,
+        noise_rate=0.9, seed=0)
+    results, _ = api.get_initial_results()
+    t0 = time.perf_counter()
+    results = api.process_streaming_data(
+        results=results, data_modalities=mods, modality_types=mtypes,
+        window_size=window, reduced_dim=50, k_basis=50, n_clusters_total=2,
+        seed=0, approach="SWFDMC", complete_true_labels=labels,
+        step_window_ratio=1, noise_rate=0.9, label_mode="binary",
+        sorting=False, eps=1.5, min_samples=2)
+    dt = time.perf_counter() - t0
+    RESULTS["3b_stream1m_rows_per_sec_e2e"] = round(total / dt, 1)
+    RESULTS["3b_stream1m_seconds_per_window_e2e"] = round(dt / n_windows, 2)
+    RESULTS["3b_stream1m_f1"] = round(results["f1_score"][0], 4)
+    RESULTS["3b_stream1m_nmi"] = round(results["nmi_score"][0], 4)
 
 
 def config4_affinity_gflops():
@@ -298,6 +340,7 @@ def main():
                      ("config1b", config1b_e2e_stream),
                      ("config2", config2_crisis_spectral),
                      ("config3", config3_huge_window),
+                     ("config3b", config3b_stream_1m),
                      ("config4", config4_affinity_gflops),
                      ("config5", config5_merged_sketch_delta)]:
         try:

@@ -1022,6 +1022,39 @@ class StreamingEngine:
         return np.asarray(clusters)
 
 
+def stack_window_features(feats_list: list[tuple]) -> tuple:
+    """Stack per-window featurized tuples into one (W, ...) batch per
+    component for the scanned multi-window dispatch.  Trimmed token tensors
+    can differ in width across the group's windows: pad to the group max
+    (ids pad with the -1 invalid sentinel, uint8 counts with 0).  Shared by
+    the offline batched loop and the serving group dispatch."""
+    def _stack(j):
+        parts = [np.asarray(f[j]) for f in feats_list]
+        widths = {p.shape[1] for p in parts if p.ndim == 2}
+        if len(widths) > 1:
+            w = max(widths)
+            fill = (-1 if np.issubdtype(parts[0].dtype, np.signedinteger)
+                    else 0)   # signed = token ids; uint8 counts pad 0
+            parts = [np.pad(p, ((0, 0), (0, w - p.shape[1])),
+                            constant_values=fill) if p.shape[1] < w
+                     else p for p in parts]
+        return np.stack(parts)
+
+    return tuple(_stack(j) for j in range(len(feats_list[0])))
+
+
+def scanned_types_for(modality_types, features_cfg) -> tuple:
+    """Static ``types`` tag for the scanned dispatch given host modality
+    types (mirrors _types_for, which keys off the featurized objects)."""
+    standard = list(modality_types) == ["location", "time", "username",
+                                        "tags", "text"]
+    if standard and features_cfg.sparse:
+        return ("standard_sparse",)
+    if standard:
+        return ("standard",)
+    return tuple(modality_types)
+
+
 def stable_feature_matrix(window_modalities) -> np.ndarray:
     """(n, d) input-feature-space matrix for centroid matching — shared by
     the sequential (_stable_feats) and batched (_run_batched_loop) paths so
@@ -1209,14 +1242,8 @@ def _run_batched(results, engine, cfg, todo, data_modalities, modality_types,
                  total_start, checkpoint_dir=None, checkpoint_every=1):
     """Batched-dispatch tumbling stream: W windows per device call
     (_scanned_window_steps), host matching chains the labels afterwards."""
-    standard = list(modality_types) == ["location", "time", "username",
-                                        "tags", "text"]
-    if standard and cfg.features.sparse:
-        types = ("standard_sparse",)
-    elif standard:
-        types = ("standard",)
-    else:
-        types = tuple(modality_types)
+    types = scanned_types_for(modality_types, cfg.features)
+    standard = types[0] in ("standard", "standard_sparse")
 
     from mused_tpu.data.ingest import WindowPrefetcher
 
@@ -1238,23 +1265,8 @@ def _run_batched(results, engine, cfg, todo, data_modalities, modality_types,
         while len(feats_list) < batch_w:
             feats_list.append(feats_list[-1])
 
-        def _stack(j):
-            parts = [np.asarray(f[j]) for f in feats_list]
-            widths = {p.shape[1] for p in parts if p.ndim == 2}
-            if len(widths) > 1:
-                # trimmed token tensors can differ in width across the
-                # group's windows: pad to the group max (ids pad with the
-                # -1 invalid sentinel, counts with 0)
-                w = max(widths)
-                fill = (-1 if np.issubdtype(parts[0].dtype, np.signedinteger)
-                        else 0)   # signed = token ids; uint8 counts pad 0
-                parts = [np.pad(p, ((0, 0), (0, w - p.shape[1])),
-                                constant_values=fill) if p.shape[1] < w
-                         else p for p in parts]
-            return np.stack(parts)
-
         # host arrays out — the prefetcher's _task does the device_put
-        return tuple(_stack(j) for j in range(len(feats_list[0])))
+        return stack_window_features(feats_list)
 
     n_groups = -(-len(todo) // batch_w)
     # depth=2 groups: the in-flight group and the next one (the dispatch-

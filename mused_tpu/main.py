@@ -51,6 +51,24 @@ DEFAULT_PARAMS = {
 }
 
 
+def _measured_noise_rate(df, params) -> float:
+    """The ACTUAL noise share prepare_modalities delivers for ``params`` —
+    the quantity the reference writes back into the sweep params
+    (main.py:196).  Data-only (no engine), so a parallel driver can chain
+    the mutation quirk through the sweep order cheaply (phase 1 of the
+    two-phase parallel sweep)."""
+    _, _, truth_labels = sed2012.prepare_modalities(
+        df=df,
+        subset_size=params["subset_size"],
+        binary=(params["label_mode"] == "binary"),
+        event_types=(params["label_mode"] != "all"),
+        sort_by_uploaded=params["sorting"],
+        noise_rate=params["noise_rate"],
+        seed=params["seed"],
+    )
+    return float(np.sum(truth_labels == 0) / len(truth_labels))
+
+
 def _eval_sweep_point(df, experiment_type, params, approach, results,
                       engine_opts: dict | None):
     """One (approach, variable value) sweep point: prepare modalities, run
@@ -108,12 +126,13 @@ def run_experiment(df, experiment_type, variable_values, approaches,
 
     ``parallel=True`` evaluates the (approach, value) grid concurrently, one
     point per jax device (parallel/sweep.parallel_sweep — SURVEY.md §5.8's
-    DCN/sweep-level scale-out axis).  Points are independent runs, so the
-    merged results equal the sequential driver's EXCEPT for the reference's
-    order-dependent quirk: sequentially, each point's measured noise rate
-    overwrites the params for the NEXT point (main.py:196); parallel points
-    each use the requested rate.  The sequential driver stays the default
-    for quirk-exact sweeps."""
+    DCN/sweep-level scale-out axis), in TWO PHASES so the merged results
+    equal the sequential driver's EXACTLY at any noise rate: phase 1 walks
+    the sweep order sequentially but data-only, chaining the reference's
+    order-dependent quirk (each point's measured noise rate overwrites the
+    params for the NEXT point, main.py:196) through one cheap
+    prepare_modalities call per point; phase 2 evaluates the points in
+    parallel, each with its phase-1 params snapshot."""
     print(f"Running {experiment_type} experiment.")
     print(f"Fixed params: {fixed_params}")
     start_ns = time.time_ns()
@@ -122,17 +141,22 @@ def run_experiment(df, experiment_type, variable_values, approaches,
 
     if parallel:
         from mused_tpu.parallel.sweep import parallel_sweep
-        points = [(a, v) for a in approaches for v in variable_values]
+        # phase 1: engine-free quirk chaining in the sequential order
+        points = []
+        for approach in approaches:
+            for var_value in variable_values:
+                params[experiment_type] = var_value
+                points.append((approach, var_value, params.copy()))
+                params["noise_rate"] = _measured_noise_rate(df, params)
 
         def eval_point(point):
-            approach, var_value = point
-            p = fixed_params.copy()
-            p[experiment_type] = var_value
+            approach, var_value, p = point
             results_p, _ = metrics_mod.get_initial_results()
             noise = _eval_sweep_point(df, experiment_type, p, approach,
                                       results_p, engine_opts)
             return results_p, noise
 
+        # phase 2: independent engine runs, one per device
         outs = parallel_sweep(eval_point, points)
         independent_variables = metrics_mod.get_initial_results()[1]
         for ai, approach in enumerate(approaches):
@@ -142,9 +166,10 @@ def run_experiment(df, experiment_type, variable_values, approaches,
                 for key, vals in part.items():
                     merged[key].extend(vals)
             metrics[approach] = merged
-        # the detail string below reports the LAST point's measured rate,
-        # matching what the sequential quirk leaves in params
-        params["noise_rate"] = outs[-1][1]
+        # params already carries the last point's measured rate from the
+        # phase-1 chain — exactly what the sequential quirk leaves behind
+        # for the detail string below (phase 2 re-measures identically)
+        assert abs(params["noise_rate"] - outs[-1][1]) < 1e-12
     else:
         for approach in approaches:
             results, independent_variables = metrics_mod.get_initial_results()
@@ -260,9 +285,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--parallel-sweep", action="store_true",
                    help="evaluate the sweep's (approach, value) grid "
                         "concurrently, one point per jax device (SURVEY.md "
-                        "§5.8 sweep-level scale-out). Points are independent "
-                        "runs: the reference's order-dependent noise-rate "
-                        "mutation quirk does not propagate between them")
+                        "§5.8 sweep-level scale-out). Two-phase: a cheap "
+                        "sequential data-only pass first chains the "
+                        "reference's noise-rate mutation quirk through the "
+                        "sweep order, so parallel results == sequential "
+                        "exactly, at any noise rate")
     p.add_argument("--verbose", action="store_true",
                    help="small-window debug oracles: print true labels, "
                         "fused/reduced matrices, matched clusters per window "

@@ -19,6 +19,13 @@ cluster count (main.py:41) and the engine returns only end-of-stream metrics.
   * the device pipeline stays asynchronous: up to ``max_lag`` windows are
     dispatched ahead of the oldest un-pulled one, so pushes return without
     blocking on device compute (``flush()`` drains);
+  * eligible configs batch W ready windows into ONE scanned device dispatch
+    (``windows_per_batch``, same lax.scan as the offline engine — auto-4 on
+    TPU backends, numerically identical to per-window); batching buffers up
+    to W-1 additional windows before dispatch, so results may lag up to
+    ``W - 1 + max_lag`` windows behind pushes (``flush()`` still drains
+    exactly — a partial group dispatches per-window, never padded, so the
+    sketch state sees each window exactly once);
   * ``save()``/``load()`` checkpoint the full detector (device sketch state,
     matcher registries, the raw-record tail needed for the next windows) for
     crash recovery or migration between hosts.
@@ -35,6 +42,22 @@ import numpy as np
 
 from mused_tpu.engine import streaming as engine_mod
 from mused_tpu.utils.config import FeatureConfig, PipelineConfig
+
+
+class _GroupHandle:
+    """Lazily-pulled scanned-group results (one device->host transfer per
+    group, shared by its W pending windows)."""
+
+    def __init__(self, batch_labels, r_norms):
+        self._device_labels = batch_labels
+        self.r_norms = r_norms
+        self._host = None
+
+    def pull(self) -> np.ndarray:
+        if self._host is None:
+            self._host = np.asarray(self._device_labels)
+            self._device_labels = None
+        return self._host
 
 
 class WindowResult(NamedTuple):
@@ -89,11 +112,27 @@ class StreamDetector:
         self._count = 0          # absolute records pushed
         self._window_index = 0
         self._prev_clusters: np.ndarray | None = None
-        self._pending: list[tuple] = []   # [(row_start, _PendingWindow)]
+        # [(row_start, _PendingWindow)  — per-window dispatch, or
+        #  (row_start, widx, stable_feats, _GroupHandle, pos) — scanned]
+        self._pending: list[tuple] = []
         self._seen_events: set[int] = set()
         # labels are never consulted (k_estimate is label-free); this array
         # only satisfies the engine's window-step signature
         self._dummy_labels = np.zeros(cfg.window_size, np.int64)
+        # scanned multi-window dispatch (VERDICT r2 next #5): same
+        # eligibility/auto rule as the offline engine; the huge-window
+        # max_lag=0 clamp above also forces per-window
+        standard = list(self.modality_types) == ["location", "time",
+                                                 "username", "tags", "text"]
+        self._batch_w = engine_mod.resolve_windows_per_batch(
+            cfg, standard_types=standard,
+            step_window_ratio=cfg.step_window_ratio)
+        if self.max_lag == 0:
+            self._batch_w = 1
+        self._scan_types = engine_mod.scanned_types_for(self.modality_types,
+                                                        cfg.features)
+        self._gbuf: list[tuple[int, int, list[np.ndarray]]] = []
+        # [(row_start, window_index, window rows)] awaiting a full group
 
     # ------------------------------------------------------------------
     def push(self, modality_rows: Sequence[np.ndarray]) -> list[WindowResult]:
@@ -144,32 +183,120 @@ class StreamDetector:
         return out
 
     def _fire(self, i: int, window: list[np.ndarray]) -> list[WindowResult]:
-        """Dispatch the window ending at absolute index ``i``; finalize any
-        windows beyond the ``max_lag`` pipeline depth."""
-        pending = self.engine.dispatch_window(
-            window, self.modality_types, self._dummy_labels,
-            self._window_index, self._prev_clusters)
-        self._pending.append((i + 1 - self.cfg.window_size, pending))
-        self._window_index += 1
+        """Queue/dispatch the window ending at absolute index ``i``;
+        finalize any windows beyond the ``max_lag`` pipeline depth."""
+        row_start = i + 1 - self.cfg.window_size
+        if self._batch_w > 1:
+            # copy: the caller's buf slices alias the retained tail
+            self._gbuf.append((row_start, self._window_index,
+                               [np.array(m) for m in window]))
+            self._window_index += 1
+            if len(self._gbuf) == self._batch_w:
+                self._dispatch_group()
+        else:
+            pending = self.engine.dispatch_window(
+                window, self.modality_types, self._dummy_labels,
+                self._window_index, self._prev_clusters)
+            self._pending.append((row_start, pending))
+            self._window_index += 1
         out = []
         while len(self._pending) > self.max_lag:
             out.append(self._finalize_oldest())
         return out
 
+    def _dispatch_group(self) -> None:
+        """One scanned device dispatch for the buffered FULL group — the
+        same lax.scan the offline engine's batched loop runs (numerically
+        identical to per-window dispatch; state threads through the carry).
+        """
+        import jax
+        import jax.numpy as jnp
+        from mused_tpu.engine.streaming import (_scanned_window_steps,
+                                                stack_window_features)
+        eng, cfg = self.engine, self.cfg
+        group, self._gbuf = self._gbuf, []
+        feats_list, stable = [], []
+        for _, _, rows in group:
+            feats = eng.featurize(rows, self.modality_types)
+            feats_list.append(tuple(feats))
+            stable.append(eng._stable_feats(rows, feats))
+        feats_batch = tuple(jnp.asarray(a) for a in
+                            stack_window_features(feats_list))
+        k_host, k_source = eng._k_plan(self._dummy_labels)
+        n_clusters = jnp.full((len(group),), k_host, jnp.int32)
+        keys = jax.vmap(lambda w: jax.random.fold_in(
+            jax.random.key(cfg.seed), w))(
+                jnp.asarray([w for _, w, _ in group]))
+        if eng.mesh is not None:
+            from mused_tpu.parallel import sharded as shard_mod
+            new_swfd, new_mb, batch_labels, r_norms = \
+                shard_mod.sharded_scanned_steps(
+                    eng.state.swfd, eng.state.minibatch, feats_batch,
+                    n_clusters, keys, approach=cfg.approach,
+                    k_basis=cfg.k_basis, reduced_dim=cfg.reduced_dim,
+                    k_max=eng.k_max, window=cfg.window_size,
+                    fd_shrink=cfg.fd_shrink, types=self._scan_types,
+                    tags_dim=cfg.features.tags_hash_dim,
+                    text_dim=cfg.features.text_hash_dim, mesh=eng.mesh,
+                    topology=cfg.merge_topology, k_source=k_source)
+            eng.state = engine_mod.StreamState(swfd=new_swfd, minibatch=new_mb)
+        else:
+            eng.state, batch_labels, r_norms = _scanned_window_steps(
+                eng.state, feats_batch, n_clusters, keys,
+                approach=cfg.approach, k_basis=cfg.k_basis,
+                reduced_dim=cfg.reduced_dim, k_max=eng.k_max,
+                window=cfg.window_size, block_rows=eng.block_rows,
+                fd_shrink=cfg.fd_shrink, types=self._scan_types,
+                use_pallas=eng.use_pallas,
+                tags_dim=cfg.features.tags_hash_dim,
+                text_dim=cfg.features.text_hash_dim, k_source=k_source)
+        handle = _GroupHandle(batch_labels, r_norms)
+        for pos, ((row_start, widx, _), sf) in enumerate(zip(group, stable)):
+            self._pending.append((row_start, widx, sf, handle, pos))
+
     def _finalize_oldest(self) -> WindowResult:
-        row_start, pending = self._pending.pop(0)
-        clusters = self.engine.finalize_window(pending, self._prev_clusters)
+        entry = self._pending.pop(0)
+        eng, cfg = self.engine, self.cfg
+        if len(entry) == 2:              # per-window dispatch
+            row_start, pending = entry
+            widx = pending.window_index
+            clusters = eng.finalize_window(pending, self._prev_clusters)
+        else:                            # scanned group member
+            row_start, widx, stable_feats, handle, pos = entry
+            labels = handle.pull()[pos]
+            if cfg.approach == "SWFDMC" and eng.swfd_R is None:
+                eng.swfd_R = float(np.asarray(handle.r_norms)[0])
+            if eng.centroid_matcher is not None:
+                clusters = eng.centroid_matcher.match(stable_feats, labels)
+            else:
+                from mused_tpu.ops import matching
+                clusters = matching.match_clusters(
+                    self._prev_clusters, labels,
+                    method=eng._match_method(), min_overlap=3,
+                    sinkhorn_reg=cfg.sinkhorn_reg,
+                    sinkhorn_iters=cfg.sinkhorn_iters)
+            if clusters is None or len(clusters) == 0:
+                clusters = np.full(cfg.window_size, 0)
+            clusters = np.asarray(clusters)
         self._prev_clusters = clusters
         ids, counts = np.unique(clusters, return_counts=True)
         new = np.array([e for e in ids.tolist()
                         if e not in self._seen_events], ids.dtype)
         self._seen_events.update(ids.tolist())
-        return WindowResult(window_index=pending.window_index,
+        return WindowResult(window_index=widx,
                             row_start=row_start, clusters=clusters,
                             event_ids=ids, counts=counts, new_events=new)
 
     def flush(self) -> list[WindowResult]:
-        """Finalize every dispatched-but-unpulled window."""
+        """Finalize every queued window.  A buffered partial group
+        dispatches per-window (never padded — the sketch state must see
+        each window exactly once, mid-stream), then everything drains."""
+        for row_start, widx, rows in self._gbuf:
+            pending = self.engine.dispatch_window(
+                rows, self.modality_types, self._dummy_labels, widx,
+                self._prev_clusters)
+            self._pending.append((row_start, pending))
+        self._gbuf = []
         out = []
         while self._pending:
             out.append(self._finalize_oldest())

@@ -22,6 +22,11 @@ INDEPENDENT_VARIABLES = (
 METRIC_NAMES = (
     "f1_score", "nmi_score", "nmi_e_score", "precision", "recall",
     "accuracy", "mae", "processing_time",
+    # extension over the reference schema: F1 under the optimal one-to-one
+    # id alignment (see aligned_f1) — recorded alongside the reference-
+    # semantics f1_score, whose value depends on the truth's arbitrary id
+    # numbering (reference metrics_evaluation.py:69-72)
+    "f1_aligned",
 )
 
 
@@ -120,6 +125,44 @@ def weighted_recall(true_labels, pred) -> float:
     return float(np.sum(rec * support) / support.sum())
 
 
+def aligned_f1(true_labels, pred) -> float:
+    """Weighted F1 after the OPTIMAL one-to-one relabeling of predicted
+    cluster ids onto truth ids (Hungarian assignment on the overlap
+    contingency, maximizing total overlap).
+
+    Why it exists: the reference's F1 treats cluster ids as class labels
+    directly (reference metrics_evaluation.py:69-72), which is meaningful
+    only when the matching stage happens to land on the truth's arbitrary
+    id NUMBERING.  Stable-id matchers (the centroid registry) assign ids in
+    first-seen order — no label-free rule can recover the truth's numbering
+    — so a PERFECT partition (NMI_e = 1.0) can still score a low raw F1
+    (VERDICT r2 weak #3: crisis F1 0.538 at NMI_e 1.00).  This metric
+    reports what the partition earns under the best id alignment; it is
+    recorded ALONGSIDE the reference-semantics F1, never instead of it.
+    Predicted ids beyond the truth id count stay unmatched (they remain
+    errors), so over-segmentation is still penalized.
+    """
+    t, p = np.asarray(true_labels), np.asarray(pred)
+    if len(t) == 0:
+        return 0.0
+    ut, ti = np.unique(t, return_inverse=True)
+    up, pi = np.unique(p, return_inverse=True)
+    c = np.zeros((len(up), len(ut)), np.float64)
+    np.add.at(c, (pi, ti), 1.0)
+    from scipy.optimize import linear_sum_assignment
+    rows, cols = linear_sum_assignment(-c)
+    remap = {}
+    for r, col in zip(rows, cols):
+        remap[up[r]] = ut[col]
+    # unassigned predicted ids map to fresh never-matching labels
+    fresh = int(max(ut.max(), up.max())) + 1
+    for u in up:
+        if u not in remap:
+            remap[u] = fresh
+            fresh += 1
+    return weighted_f1(t, np.array([remap[x] for x in p]))
+
+
 def accuracy(true_labels, pred) -> float:
     t, p = np.asarray(true_labels), np.asarray(pred)
     return float(np.mean(t == p)) if len(t) else 0.0
@@ -156,6 +199,8 @@ def compute_all_metrics(results, subset_size, noise_rate, label_mode, sorting,
     results["nmi_e_score"].append(v); log.append(f"nmi_e={v:.2f}")
     v = weighted_f1(true_labels, clusters)
     results["f1_score"].append(v); log.append(f"f1={v:.2f}")
+    v = aligned_f1(true_labels, clusters)
+    results["f1_aligned"].append(v); log.append(f"f1_aligned={v:.2f}")
     v = weighted_precision(true_labels, clusters)
     results["precision"].append(v); log.append(f"precision={v:.2f}")
     v = weighted_recall(true_labels, clusters)

@@ -134,10 +134,11 @@ def test_batch_dense_cap_routes_to_blocked(monkeypatch):
 
 def test_parallel_sweep_driver_matches_sequential(tmp_path, monkeypatch):
     """--parallel-sweep: the concurrent (approach, value) grid merges into
-    the same per-approach results as the sequential driver (SURVEY.md §5.8).
-    noise_rate=0.0 keeps the measured rate at 0.0, so the reference's
-    order-dependent params-mutation quirk is a no-op and equality is exact
-    (modulo processing_time)."""
+    the same per-approach results as the sequential driver (SURVEY.md §5.8)
+    EXACTLY, at a noise rate where the reference's order-dependent
+    params-mutation quirk (main.py:196) actually mutates — the two-phase
+    driver chains the measured rates through the sweep order before fanning
+    out, so parallel == sequential including the quirk."""
     monkeypatch.chdir(tmp_path)
     from mused_tpu import main as m
     from mused_tpu.data.synthetic import synthetic_events_dataframe
@@ -149,7 +150,7 @@ def test_parallel_sweep_driver_matches_sequential(tmp_path, monkeypatch):
                         lambda metrics, **kw: captured.update(run=metrics))
     monkeypatch.setattr(m.output, "visualize_results", lambda **kw: None)
 
-    fixed = {"seed": 0, "subset_size": 192, "noise_rate": 0.0,
+    fixed = {"seed": 0, "subset_size": 192, "noise_rate": 0.5,
              "label_mode": "binary", "sorting": False, "window_size": 64,
              "reduced_dim": 8, "k_basis": 3, "step_window_ratio": 1}
     out = {}

