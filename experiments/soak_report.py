@@ -1,0 +1,99 @@
+"""Generate SOAK.md from a completed soak run (experiments/soak_driver.py).
+
+Parses the driver stdout log (wall minutes, peak RSS, per-experiment wall)
+and the structured per-experiment results files under logs/soak_r3/ into
+the committed soak record (VERDICT r2 next #1).
+
+Usage: python experiments/soak_report.py /tmp/soak_r3.log logs/soak_r3 SOAK.md
+"""
+import ast
+import os
+import re
+import sys
+
+
+def parse_results_file(path):
+    """-> {approach: results_dict} from one exp=... file."""
+    out = {}
+    with open(path) as f:
+        lines = f.read().splitlines()
+    for line in lines[1:]:
+        if ": {" not in line:
+            continue
+        name, blob = line.split(": ", 1)
+        try:
+            out[name] = ast.literal_eval(blob)
+        except (ValueError, SyntaxError):
+            pass
+    return out
+
+
+def main():
+    log_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/soak_r3.log"
+    log_dir = sys.argv[2] if len(sys.argv) > 2 else "logs/soak_r3"
+    out_path = sys.argv[3] if len(sys.argv) > 3 else "SOAK.md"
+    log = open(log_path).read()
+
+    wall = re.search(r"SOAK wall_minutes=([\d.]+) peak_rss_gib=([\d.]+)", log)
+    finished = re.findall(r"Finished (exp=\S+) after ([\d.]+) minutes", log)
+    times = [float(m) for m in re.findall(r"processing_time=([\d.]+)", log)]
+    n_points = len(times)
+
+    lines = [
+        "# SOAK — reference-default sweep, end-to-end on TPU (round 3)",
+        "",
+        "The L5 driver's reference-default grid "
+        "(`/root/reference/main.py:258-313`: subset up to 150k rows x "
+        "experiments subset_size/label_mode/noise_rate/sorting x 6 "
+        "approaches x 2 label passes), run to completion on the v5e via "
+        "`python experiments/soak_driver.py` (`--dataset synthetic`, pool "
+        "2x subset).  Engine defaults as shipped (auto scanned-4 dispatch "
+        "on eligible approaches).",
+        "",
+    ]
+    if wall:
+        lines += [f"- **Wall: {float(wall.group(1)):.1f} minutes**, peak "
+                  f"host RSS {float(wall.group(2)):.2f} GiB (single-CPU "
+                  f"host + remote TPU tunnel)",
+                  f"- **{n_points} sweep points** evaluated; per-point "
+                  f"engine time: median "
+                  f"{sorted(times)[n_points // 2]:.1f}s, p90 "
+                  f"{sorted(times)[int(n_points * 0.9)]:.1f}s, max "
+                  f"{max(times):.1f}s (max = first blocked-batch point "
+                  f"incl. fresh compiles; label-mode switches recompile "
+                  f"k_max-dependent graphs)", ""]
+    lines += ["## Per-experiment wall (driver loop, incl. data prep + "
+              "logging/plots)", "", "| experiment | minutes |", "|---|---|"]
+    for name, mins in finished:
+        lines.append(f"| {name} | {float(mins):.1f} |")
+
+    lines += ["", "## Per-point metrics",
+              "",
+              "Full per-point tables live in `logs/soak_r3/exp=*.txt` "
+              "(committed); summary F1/NMI per approach below is the mean "
+              "over that experiment's sweep values.", ""]
+    for fname in sorted(os.listdir(log_dir)):
+        if not fname.startswith("exp="):
+            continue
+        res = parse_results_file(os.path.join(log_dir, fname))
+        if not res:
+            continue
+        lines += [f"### {fname[:-4]}", "",
+                  "| approach | mean F1 | mean NMI | mean NMI_e | "
+                  "mean engine s |", "|---|---|---|---|---|"]
+        for ap, r in res.items():
+            f1 = sum(r["f1_score"]) / len(r["f1_score"])
+            nm = sum(r["nmi_score"]) / len(r["nmi_score"])
+            ne = sum(r["nmi_e_score"]) / len(r["nmi_e_score"])
+            pt = sum(r["processing_time"]) / len(r["processing_time"])
+            lines.append(f"| {ap} | {f1:.3f} | {nm:.3f} | {ne:.3f} | "
+                         f"{pt:.1f} |")
+        lines.append("")
+
+    with open(out_path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()
