@@ -210,15 +210,22 @@ def config3b_stream_1m():
     mods, mtypes, labels = prepare_modalities(
         df, subset_size=total, binary=True, sort_by_uploaded=False,
         noise_rate=0.9, seed=0)
-    results, _ = api.get_initial_results()
-    t0 = time.perf_counter()
-    results = api.process_streaming_data(
-        results=results, data_modalities=mods, modality_types=mtypes,
-        window_size=window, reduced_dim=50, k_basis=50, n_clusters_total=2,
-        seed=0, approach="SWFDMC", complete_true_labels=labels,
-        step_window_ratio=1, noise_rate=0.9, label_mode="binary",
-        sorting=False, eps=1.5, min_samples=2)
-    dt = time.perf_counter() - t0
+
+    def run(n_rows):
+        results, _ = api.get_initial_results()
+        t0 = time.perf_counter()
+        results = api.process_streaming_data(
+            results=results, data_modalities=[m[:n_rows] for m in mods],
+            modality_types=mtypes, window_size=window, reduced_dim=50,
+            k_basis=50, n_clusters_total=2, seed=0, approach="SWFDMC",
+            complete_true_labels=labels[:n_rows], step_window_ratio=1,
+            noise_rate=0.9, label_mode="binary", sorting=False, eps=1.5,
+            min_samples=2)
+        return time.perf_counter() - t0, results
+
+    run(2 * window)      # warm the blocked-path compiles (~30 s first time;
+                         # every other config warms the same way)
+    dt, results = run(total)
     RESULTS["3b_stream1m_rows_per_sec_e2e"] = round(total / dt, 1)
     RESULTS["3b_stream1m_seconds_per_window_e2e"] = round(dt / n_windows, 2)
     RESULTS["3b_stream1m_f1"] = round(results["f1_score"][0], 4)
