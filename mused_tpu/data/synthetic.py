@@ -90,15 +90,15 @@ def synthetic_events_dataframe(n_rows: int = 400, n_events: int = 6,
 
     ``fast`` selects the vectorized generator: same distributions and
     schema, different RNG consumption order (so rows differ from the loop
-    path for the same seed).  Auto-on STRICTLY past 20_000 rows, where the
+    path for the same seed).  Auto-on at n_rows >= 20_000, where the
     per-row loop's ~1 ms/row (~16 min per 1M rows) makes the huge-window
-    and 1M-stream regimes host-bound; smaller fixtures (and callers landing
-    exactly on 20_000) keep the loop path so seeded test streams stay
-    stable.  Callers that must reproduce a recorded stream should pass
-    ``fast`` explicitly rather than rely on the threshold.
+    and 1M-stream regimes host-bound; small fixtures keep the loop path so
+    seeded test streams stay stable.  The threshold is part of the data
+    contract since commit 872169a — callers that must reproduce a recorded
+    stream should pass ``fast`` explicitly rather than rely on it.
     """
     if fast is None:
-        fast = n_rows > 20_000
+        fast = n_rows >= 20_000
     if fast:
         return _synthetic_events_fast(n_rows, n_events, noise_rate, seed)
     rng = np.random.default_rng(seed)

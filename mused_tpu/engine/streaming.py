@@ -290,21 +290,29 @@ def resolve_windows_per_batch(cfg: PipelineConfig, *, standard_types: bool,
     and verbose stay per-window under auto: batched saves land only at
     group boundaries, and the scanned body has no per-window debug oracles
     (explicit W>1 still composes with checkpoint_dir).
+
+    EXPLICIT W>1 is clamped back to 1 when the config can't run scanned at
+    all (non-batchable approach — the scanned body has no host clustering
+    glue and would return placeholder labels; sliding ratio; huge windows;
+    centroid matching on standard streams): the one eligibility rule for
+    the offline loop AND serving, so neither can dispatch a non-batchable
+    approach scanned (review r3 finding #1).
     """
+    ratio = (cfg.step_window_ratio if step_window_ratio is None
+             else step_window_ratio)
+    hard_eligible = (cfg.approach in BATCHABLE_APPROACHES
+                     and ratio == 1
+                     and not cfg.force_blocked_window
+                     and cfg.window_size <= LARGE_WINDOW_ROWS
+                     and not (cfg.matching == "centroid" and standard_types))
     batch_w = getattr(cfg, "windows_per_batch", None)
     if batch_w is None:
         backend = backend or jax.default_backend()
-        ratio = (cfg.step_window_ratio if step_window_ratio is None
-                 else step_window_ratio)
-        batch_w = auto_w if (
-            backend == "tpu"
-            and cfg.approach in BATCHABLE_APPROACHES
-            and ratio == 1
-            and not cfg.force_blocked_window
-            and cfg.window_size <= LARGE_WINDOW_ROWS
-            and not checkpoint_dir and not cfg.verbose
-            and not (cfg.matching == "centroid" and standard_types)) else 1
-    return max(int(batch_w), 1)
+        batch_w = auto_w if (backend == "tpu" and hard_eligible
+                             and not checkpoint_dir
+                             and not cfg.verbose) else 1
+    batch_w = max(int(batch_w), 1)
+    return batch_w if hard_eligible else 1
 
 
 # approaches whose per-window host glue is only the label matching (no
@@ -1004,22 +1012,37 @@ class StreamingEngine:
         # or the centroid-registry matcher under cfg.matching="centroid"
         if cfg.approach != "DBSCAN_centr":   # centr does its own matching
             with self.timer.span("matching"):
-                if self.centroid_matcher is not None:
-                    clusters = self.centroid_matcher.match(
-                        stable_feats, np.asarray(clusters))
-                else:
-                    clusters = matching.match_clusters(
-                        prev_clusters, clusters, method=self._match_method(),
-                        min_overlap=3, sinkhorn_reg=cfg.sinkhorn_reg,
-                        sinkhorn_iters=cfg.sinkhorn_iters)
-
-        if clusters is None or len(clusters) == 0:
-            # clustering-failure fallback: all-noise window (main.py:114-116)
+                clusters = match_window_labels(
+                    prev_clusters, clusters, cfg,
+                    method=self._match_method(),
+                    centroid_matcher=self.centroid_matcher,
+                    stable_feats=stable_feats)
+        elif clusters is None or len(clusters) == 0:
             clusters = np.full(cfg.window_size, 0)
         if verbose:   # ref main.py:107-112 oracle (matched labels)
             print(f"[window {window_index}] matched clusters: "
                   f"{np.asarray(clusters)}")
         return np.asarray(clusters)
+
+
+def match_window_labels(prev_clusters, labels, cfg, *, method: str,
+                        centroid_matcher=None,
+                        stable_feats=None) -> np.ndarray:
+    """Cross-window matching + clustering-failure fallback for ONE window —
+    the single home of the min_overlap=3 / sinkhorn parameters and the
+    all-noise fallback (reference main.py:105-116), shared by the
+    per-window glue, the offline batched loop, and the serving group
+    finalize (review r3 finding #4: three hand-rolled copies drifted)."""
+    if centroid_matcher is not None:
+        clusters = centroid_matcher.match(stable_feats, np.asarray(labels))
+    else:
+        clusters = matching.match_clusters(
+            prev_clusters, np.asarray(labels), method=method, min_overlap=3,
+            sinkhorn_reg=cfg.sinkhorn_reg, sinkhorn_iters=cfg.sinkhorn_iters)
+    if clusters is None or len(clusters) == 0:
+        # clustering-failure fallback: all-noise window (main.py:114-116)
+        clusters = np.full(cfg.window_size, 0)
+    return np.asarray(clusters)
 
 
 def stack_window_features(feats_list: list[tuple]) -> tuple:
@@ -1153,10 +1176,7 @@ def process_streaming_data(results, data_modalities, modality_types,
     # data_shards>1 via parallel.sharded.sharded_scanned_steps (W sharded
     # steps per dispatch) AND with checkpointing (saves at group boundaries
     # — the device state is only window-consistent between dispatches).
-    if (batch_w > 1 and cfg.approach in BATCHABLE_APPROACHES
-            and step_window_ratio == 1 and not cfg.force_blocked_window
-            and window_size <= LARGE_WINDOW_ROWS
-            and not (cfg.matching == "centroid" and standard_types)):
+    if batch_w > 1:   # resolver already enforced scanned eligibility
         return _run_batched(results, engine, cfg, todo, data_modalities,
                             modality_types, complete_true_labels, prev_clusters,
                             all_clusters, all_true_labels, window_size,
@@ -1306,21 +1326,16 @@ def _run_batched_loop(results, engine, cfg, todo, groups_iter,
             engine.swfd_R = float(np.asarray(r_norms)[0])
         method = engine._match_method()
         for pos in range(n_real):
+            stable = None
             if engine.centroid_matcher is not None:
                 _, i = group[pos]
                 lo, hi = i - window_size + 1, i + 1
-                clusters = engine.centroid_matcher.match(
-                    stable_feature_matrix([m[lo:hi]
-                                           for m in data_modalities]),
-                    batch_labels[pos])
-            else:
-                clusters = matching.match_clusters(
-                    prev_clusters, batch_labels[pos], method=method,
-                    min_overlap=3, sinkhorn_reg=cfg.sinkhorn_reg,
-                    sinkhorn_iters=cfg.sinkhorn_iters)
-            if clusters is None or len(clusters) == 0:
-                clusters = np.full(window_size, 0)
-            prev_clusters = np.asarray(clusters)
+                stable = stable_feature_matrix([m[lo:hi]
+                                                for m in data_modalities])
+            prev_clusters = match_window_labels(
+                prev_clusters, batch_labels[pos], cfg, method=method,
+                centroid_matcher=engine.centroid_matcher,
+                stable_feats=stable)
             all_clusters.append(prev_clusters)
             all_true_labels.append(labels_list[pos])
 

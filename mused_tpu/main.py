@@ -141,13 +141,20 @@ def run_experiment(df, experiment_type, variable_values, approaches,
 
     if parallel:
         from mused_tpu.parallel.sweep import parallel_sweep
-        # phase 1: engine-free quirk chaining in the sequential order
+        # phase 1: engine-free quirk chaining in the sequential order.
+        # For a noise_rate SWEEP the chained value is dead on arrival —
+        # the next iteration's `params[experiment_type] = var_value`
+        # overwrites it before anything reads it — so only the LAST
+        # point's measurement (the detail-string value) is computed
         points = []
+        n_points = len(approaches) * len(variable_values)
         for approach in approaches:
             for var_value in variable_values:
                 params[experiment_type] = var_value
                 points.append((approach, var_value, params.copy()))
-                params["noise_rate"] = _measured_noise_rate(df, params)
+                if experiment_type != "noise_rate" \
+                        or len(points) == n_points:
+                    params["noise_rate"] = _measured_noise_rate(df, params)
 
         def eval_point(point):
             approach, var_value, p = point
@@ -301,13 +308,18 @@ def load_dataframe(args):
     if args.dataset == "sed2012":
         return sed2012.load_sed2012_dataset(args.dataset_dir,
                                             max_records=args.max_records)
-    n = max(args.subset_size * 2, 400) if args.dataset == "synthetic" else 400
     # pool sizing: prepare_modalities samples events and noise WITHOUT
     # replacement, so with n = 2*subset a half-noise pool covers every sweep
     # noise_rate in [0.05, 0.95] at FULL subset size (noise needed =
     # r*s <= n/2 and events (1-r)*s <= n/2 for all r in that range) — the
     # reference-default 150k-row sweeps run at their real scale (the fast
-    # vectorized generator engages past 20k rows)
+    # vectorized generator engages past 20k rows).  A subset_size SWEEP can
+    # exceed the --subset-size flag, so size for its largest value too
+    # (review r3 finding #2: a smaller flag would crash rng.choice mid-sweep)
+    biggest = args.subset_size
+    if "subset_size" in getattr(args, "experiments", []):
+        biggest = max(biggest, max(EXPERIMENT_DEFAULTS["subset_size"]))
+    n = max(biggest * 2, 400) if args.dataset == "synthetic" else 400
     return synthetic.synthetic_events_dataframe(
         n_rows=n, n_events=6, noise_rate=0.5, seed=args.seed)
 

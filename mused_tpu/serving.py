@@ -266,18 +266,11 @@ class StreamDetector:
             labels = handle.pull()[pos]
             if cfg.approach == "SWFDMC" and eng.swfd_R is None:
                 eng.swfd_R = float(np.asarray(handle.r_norms)[0])
-            if eng.centroid_matcher is not None:
-                clusters = eng.centroid_matcher.match(stable_feats, labels)
-            else:
-                from mused_tpu.ops import matching
-                clusters = matching.match_clusters(
-                    self._prev_clusters, labels,
-                    method=eng._match_method(), min_overlap=3,
-                    sinkhorn_reg=cfg.sinkhorn_reg,
-                    sinkhorn_iters=cfg.sinkhorn_iters)
-            if clusters is None or len(clusters) == 0:
-                clusters = np.full(cfg.window_size, 0)
-            clusters = np.asarray(clusters)
+            clusters = engine_mod.match_window_labels(
+                self._prev_clusters, labels, cfg,
+                method=eng._match_method(),
+                centroid_matcher=eng.centroid_matcher,
+                stable_feats=stable_feats)
         self._prev_clusters = clusters
         ids, counts = np.unique(clusters, return_counts=True)
         new = np.array([e for e in ids.tolist()

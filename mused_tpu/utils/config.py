@@ -92,7 +92,10 @@ class PipelineConfig:
     # remote TPU links.  None = auto: 4 on TPU backends when eligible
     # (approach in BATCHABLE_APPROACHES, step_window_ratio==1, dense
     # windows, no checkpoint_dir/verbose), else per-window.  Explicit 1
-    # opts out of batching everywhere.
+    # opts out of batching everywhere; explicit W>1 is clamped back to
+    # per-window when the config can't run scanned at all (non-batchable
+    # approach, sliding ratio, huge windows, centroid-on-standard) — see
+    # engine.resolve_windows_per_batch.
     huge_window_approx_knn: bool = True
     # huge-window (rematerialized blocked) path only: use lax.approx_max_k
     # for the per-block kNN selections — measured 2x exact top_k at n~100k

@@ -322,3 +322,27 @@ def test_windows_per_batch_auto_resolution():
     # the engine-arg ratio overrides the cfg field when provided
     assert resolve_windows_per_batch(base, backend="tpu",
                                      step_window_ratio=2, **kw) == 1
+
+
+def test_windows_per_batch_explicit_clamped_when_ineligible():
+    """Explicit W>1 must clamp to per-window when the config can't run
+    scanned at all — the scanned body has no host clustering glue, so a
+    DBSCAN approach dispatched scanned would return placeholder labels
+    (review r3 finding #1)."""
+    from mused_tpu.engine.streaming import resolve_windows_per_batch
+    from mused_tpu.utils.config import PipelineConfig
+    base = PipelineConfig(approach="SWFDMC", window_size=64,
+                          windows_per_batch=4)
+    kw = dict(standard_types=False)
+    assert resolve_windows_per_batch(base, backend="cpu", **kw) == 4
+    assert resolve_windows_per_batch(
+        base.replace(approach="DBSCAN_incr"), backend="tpu", **kw) == 1
+    assert resolve_windows_per_batch(
+        base.replace(approach="DBSCAN_centr"), backend="tpu", **kw) == 1
+    assert resolve_windows_per_batch(
+        base.replace(step_window_ratio=2), backend="tpu", **kw) == 1
+    assert resolve_windows_per_batch(
+        base.replace(force_blocked_window=True), backend="tpu", **kw) == 1
+    # soft conditions (checkpointing) still compose with EXPLICIT W>1
+    assert resolve_windows_per_batch(base, backend="cpu",
+                                     checkpoint_dir="/tmp/x", **kw) == 4

@@ -248,3 +248,21 @@ def test_scanned_serving_chunk_invariance_and_save_load(stream, tmp_path):
     for x, y in zip(a, out):
         assert x.window_index == y.window_index
         assert np.array_equal(x.clusters, y.clusters)
+
+
+def test_serving_clamps_scanned_for_non_batchable_approach():
+    """Explicit windows_per_batch>1 with a host-clustered approach must be
+    clamped to per-window dispatch in serving too — the scanned body has no
+    DBSCAN glue and would silently emit placeholder labels (review r3
+    finding #1, reproduced before the clamp)."""
+    df = synthetic_events_dataframe(n_rows=1500, n_events=4, noise_rate=0.5,
+                                    seed=1)
+    mods, mtypes, _ = prepare_modalities(df, subset_size=512, binary=False,
+                                         sort_by_uploaded=True,
+                                         noise_rate=0.4, seed=1)
+    a = _serve_all(mods, mtypes, 512, _cfg("DBSCAN_incr", wpb=1))
+    b = _serve_all(mods, mtypes, 512, _cfg("DBSCAN_incr", wpb=4))
+    assert len(a) == len(b) == 4
+    assert any(len(np.unique(w.clusters)) > 1 for w in a)  # real labels
+    for x, y in zip(a, b):
+        assert np.array_equal(x.clusters, y.clusters)

@@ -64,9 +64,9 @@ def test_fast_invalidity_rates():
 
 
 def test_auto_threshold_routing(monkeypatch):
-    """fast=None routes STRICTLY past 20k rows to the vectorized generator
-    (exactly-20k callers keep the loop path so recorded seeded streams stay
-    reproducible); assert the routing itself, not wall clock."""
+    """fast=None routes n_rows >= 20k to the vectorized generator (the
+    threshold has been part of the data contract since commit 872169a);
+    assert the routing itself, not wall clock."""
     from mused_tpu.data import synthetic as syn
     calls = []
 
@@ -79,9 +79,9 @@ def test_auto_threshold_routing(monkeypatch):
     syn.synthetic_events_dataframe(n_rows=500, n_events=3, noise_rate=0.5,
                                    seed=0)   # small: loop path, no spy
     assert calls == []
-    syn.synthetic_events_dataframe(n_rows=20_001, n_events=3, noise_rate=0.5,
-                                   seed=0)   # strictly past 20k: fast path
-    assert calls == [20_001]
+    syn.synthetic_events_dataframe(n_rows=20_000, n_events=3, noise_rate=0.5,
+                                   seed=0)   # at the threshold: fast path
+    assert calls == [20_000]
 
 
 def test_fast_feeds_pipeline():
