@@ -670,13 +670,15 @@ class StreamingEngine:
                         mesh=self.mesh, topology=cfg.merge_topology,
                         mode=cfg.fd_shrink,
                         approx_knn=cfg.huge_window_approx_knn,
-                        select=select, nbins=nbins)
+                        select=select, nbins=nbins,
+                        cand_fold=cfg.huge_window_cand_fold)
                 else:
                     sk, sq_fro, _loss = ba.blocked_fd_sketch(
                         cols, ell=ell, block=block, k_basis=cfg.k_basis,
                         mode=cfg.fd_shrink,
                         approx_knn=cfg.huge_window_approx_knn,
-                        select=select, nbins=nbins)
+                        select=select, nbins=nbins,
+                        cand_fold=cfg.huge_window_cand_fold)
                 # the padded columns are invalid -> their adjacency columns
                 # are zero; slice the sketch back to d=n
                 reduced = sk.T[:n]
@@ -1099,7 +1101,8 @@ def process_streaming_data(results, data_modalities, modality_types,
                            windows_per_batch: int | None = None,
                            k_estimate: str = "labels",
                            huge_window_layout: str = "rows",
-                           huge_window_col_shards: int = 0):
+                           huge_window_col_shards: int = 0,
+                           huge_window_cand_fold: bool | None = None):
     """Drop-in equivalent of reference main.py:13-130.
 
     New over the reference: pass ``checkpoint_dir`` to checkpoint the full
@@ -1125,7 +1128,8 @@ def process_streaming_data(results, data_modalities, modality_types,
             verbose=verbose, matching=matching,
             windows_per_batch=windows_per_batch, k_estimate=k_estimate,
             huge_window_layout=huge_window_layout,
-            huge_window_col_shards=huge_window_col_shards)
+            huge_window_col_shards=huge_window_col_shards,
+            huge_window_cand_fold=huge_window_cand_fold)
 
     engine = StreamingEngine(cfg)
     all_clusters: list[np.ndarray] = []

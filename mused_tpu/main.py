@@ -268,6 +268,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="grid layout: how many of data-shards shard the "
                         "feature columns (must divide it; 0 = balanced "
                         "auto factorization)")
+    p.add_argument("--huge-window-cand-fold",
+                   choices=["auto", "on", "off"], default="auto",
+                   help="huge-window SWFDMC: absorb candidate-form blocks "
+                        "(the dense adjacency block never reaches HBM; "
+                        "ops/pallas/cand_matvec).  auto = ON on TPU when "
+                        "every modality is binned-eligible")
     p.add_argument("--windows-per-batch", type=int, default=None,
                    help="dispatch this many tumbling windows per device call "
                         "(one lax.scan; numerically identical to per-window "
@@ -367,6 +373,10 @@ def cli(argv=None) -> int:
                                                args.huge_window_layout,
                                            "huge_window_col_shards":
                                                args.huge_window_col_shards,
+                                           "huge_window_cand_fold":
+                                               {"auto": None, "on": True,
+                                                "off": False}[
+                                                   args.huge_window_cand_fold],
                                            "verbose": args.verbose,
                                            "matching": args.matching,
                                            "windows_per_batch":

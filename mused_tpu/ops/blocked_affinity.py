@@ -214,6 +214,88 @@ def _rows(t, start, size):
     return jax.lax.dynamic_slice_in_dim(t, start, size, axis=0)
 
 
+def _modality_candidates(t, tr, valid, vr, k, metric, *, start, block: int,
+                         n: int, nbins: int, tn: int, use_kernel: bool,
+                         row_sums=None, sim_fn=None):
+    """(keep, grp) stride-binned candidates for one modality's row block —
+    kernel on TPU, bit-equal XLA emulation elsewhere (the CPU path and the
+    test oracle).  ``sim_fn`` builds the emulation's (block, n) sim strip
+    for the non-dot metrics (chord3/l1).  Returns None at k == 0 (the
+    modality contributes no edges)."""
+    from mused_tpu.ops.pallas import blocked_select as bs
+    k = max(0, min(k, n - 1))
+    if k == 0:
+        return None
+    if use_kernel:
+        vals, grp = bs.binned_candidates_pallas(
+            t, tr, valid, start, metric=metric, nbins=nbins,
+            block=block, row_sums=row_sums, tn=tn)
+    else:
+        if sim_fn is not None:
+            sim = sim_fn()
+        elif metric == "jaccard":
+            inter = jnp.dot(tr, t.T, preferred_element_type=jnp.float32)
+            s_r = (_rows(row_sums, start, block)[:, None]
+                   .astype(jnp.float32))
+            sim = inter / jnp.maximum(
+                s_r + row_sums[None, :].astype(jnp.float32) - inter,
+                1e-9)
+        elif metric == "chord":
+            sq_r = _rows(row_sums, start, block)
+            sim = -jnp.maximum(
+                sq_r[:, None] + row_sums[None, :]
+                - 2.0 * jnp.dot(tr, t.T,
+                                preferred_element_type=jnp.float32),
+                0.0)
+        else:
+            sim = jnp.dot(tr, t.T, preferred_element_type=jnp.float32)
+        vals, grp = bs.binned_candidates_reference(sim, valid, start, nbins)
+    return bs.budgeted_keep(vals, vr, k), grp
+
+
+def _kind_cand_spec(kind: str, t, valid, k_basis: int, start, block: int,
+                    n: int, extra=None):
+    """Per-modality candidate-kernel route: (t, tr, k, metric, row_sums,
+    sim_fn) kwargs for :func:`_modality_candidates`, or None when ``kind``
+    has no binned route (caller falls back to the dense strip).  ``extra``
+    is the kind's hoisted row statistic (tags row sums / default_safe
+    squared norms).  The ONE place the kind -> metric/k mapping lives —
+    shared by fused_rowblock (dense OR-fusion) and candidate_rowblock
+    (candidate-native fold), so the two paths select identical edges."""
+    if kind in ("location", "location_xyz"):
+        xc = _unit_xyz(t, valid) if kind == "location" else t
+        xr = _rows(xc, start, block)
+        return dict(
+            t=xc, tr=xr, k=k_basis, metric="chord3",
+            sim_fn=lambda: -(
+                (xr[:, 0][:, None] - xc[:, 0][None, :]) ** 2
+                + (xr[:, 1][:, None] - xc[:, 1][None, :]) ** 2
+                + (xr[:, 2][:, None] - xc[:, 2][None, :]) ** 2))
+    if kind == "time":
+        tr = _rows(t, start, block)
+        return dict(
+            t=t, tr=tr, k=3 * k_basis, metric="l1",
+            sim_fn=lambda: -(jnp.abs(tr[:, :1] - t[:, 0][None, :])
+                             + jnp.abs(tr[:, 1:2] - t[:, 1][None, :])))
+    if kind == "tags":
+        if t.shape[1] % 128:
+            return None
+        sums = (jnp.sum(t.astype(jnp.float32), axis=1) if extra is None
+                else extra)
+        return dict(t=t, tr=_rows(t, start, block), k=k_basis,
+                    metric="jaccard", row_sums=sums)
+    if kind in ("text_bf16", "embedding_split"):
+        if t.shape[1] % 128:
+            return None
+        return dict(t=t, tr=_rows(t, start, block), k=k_basis, metric="dot")
+    if kind == "default_safe":
+        if t.shape[1] % 128:
+            return None
+        return dict(t=t, tr=_rows(t, start, block),
+                    k=max(1, k_basis) - 1, metric="chord", row_sums=extra)
+    return None
+
+
 def fused_rowblock(cols: Columns, start, block: int,
                    k_basis: int, approx: bool = False,
                    select: str = "strip", nbins: int = 0,
@@ -244,35 +326,10 @@ def fused_rowblock(cols: Columns, start, block: int,
     use_kernel = binned and jax.default_backend() == "tpu"
     tn = bs.pick_tn(n, nbins) if binned else 0
 
-    def _binned_cands(t, tr, valid, vr, k, metric, row_sums=None,
-                      sim_fn=None):
-        """(keep, grp) candidate mask + group ids via the stride-binned
-        candidates; kernel on TPU, bit-equal emulation elsewhere.
-        ``sim_fn`` builds the emulation's (block, n) sim strip for the
-        non-dot metrics (chord3/l1)."""
-        k = max(0, min(k, n - 1))
-        if k == 0:
-            return None
-        if use_kernel:
-            vals, grp = bs.binned_candidates_pallas(
-                t, tr, valid, start, metric=metric, nbins=nbins,
-                block=block, row_sums=row_sums, tn=tn)
-        else:
-            if sim_fn is not None:
-                sim = sim_fn()
-            elif metric == "jaccard":
-                inter = jnp.dot(tr, t.T,
-                                preferred_element_type=jnp.float32)
-                s_r = (_rows(row_sums, start, block)[:, None]
-                       .astype(jnp.float32))
-                sim = inter / jnp.maximum(
-                    s_r + row_sums[None, :].astype(jnp.float32) - inter,
-                    1e-9)
-            else:
-                sim = jnp.dot(tr, t.T, preferred_element_type=jnp.float32)
-            vals, grp = bs.binned_candidates_reference(sim, valid, start,
-                                                       nbins)
-        return bs.budgeted_keep(vals, vr, k), grp
+    def _binned_cands(spec, vr, valid):
+        return _modality_candidates(valid=valid, vr=vr, start=start,
+                                    block=block, n=n, nbins=nbins, tn=tn,
+                                    use_kernel=use_kernel, **spec)
 
     cand_cols = []
     mats = []
@@ -284,6 +341,13 @@ def fused_rowblock(cols: Columns, start, block: int,
             t, def_sq = t         # (masked rows, hoisted squared norms)
         tr = _rows(t, start, block)
         vr = _rows(valid, start, block)
+        if binned and kind != "username":
+            extra = tags_sum if tags_sum is not None else def_sq
+            spec = _kind_cand_spec(kind, t, valid, k_basis, start, block, n,
+                                   extra)
+            if spec is not None:
+                cand_cols.append(_binned_cands(spec, vr, valid))
+                continue
         if kind in ("location", "location_xyz"):
             # chord-distance ranking on 3D unit vectors: |a-b| is monotone
             # in the central angle, so the kNN sets equal haversine's — and
@@ -300,26 +364,11 @@ def fused_rowblock(cols: Columns, start, block: int,
                 xr = _rows(xc, start, block)
             else:
                 xc, xr = t, tr
-            if binned:
-                cand_cols.append(_binned_cands(
-                    xc, xr, valid, vr, k_basis, "chord3",
-                    sim_fn=lambda: -(
-                        (xr[:, 0][:, None] - xc[:, 0][None, :]) ** 2
-                        + (xr[:, 1][:, None] - xc[:, 1][None, :]) ** 2
-                        + (xr[:, 2][:, None] - xc[:, 2][None, :]) ** 2)))
-                continue
             sim = -((xr[:, 0][:, None] - xc[:, 0][None, :]) ** 2
                     + (xr[:, 1][:, None] - xc[:, 1][None, :]) ** 2
                     + (xr[:, 2][:, None] - xc[:, 2][None, :]) ** 2)
             mats.append(knn_b(sim, vr, valid, k_basis, start, approx))
         elif kind == "time":
-            if binned:
-                cand_cols.append(_binned_cands(
-                    t, tr, valid, vr, 3 * k_basis, "l1",
-                    sim_fn=lambda: -(
-                        jnp.abs(tr[:, :1] - t[:, 0][None, :])
-                        + jnp.abs(tr[:, 1:2] - t[:, 1][None, :]))))
-                continue
             sim = -(jnp.abs(tr[:, :1] - t[:, 0][None, :])
                     + jnp.abs(tr[:, 1:2] - t[:, 1][None, :]))
             mats.append(knn_b(sim, vr, valid, 3 * k_basis, start, approx))
@@ -331,10 +380,6 @@ def fused_rowblock(cols: Columns, start, block: int,
         elif kind == "tags":
             sums = (jnp.sum(t.astype(jnp.float32), axis=1)
                     if tags_sum is None else tags_sum)
-            if binned and t.shape[1] % 128 == 0:
-                cand_cols.append(_binned_cands(t, tr, valid, vr, k_basis,
-                                               "jaccard", row_sums=sums))
-                continue
             # DEFAULT precision (TPU: bf16 operands, f32 accumulate): EXACT
             # for the multi-hot count tensors (small ints <= token cap are
             # bf16-representable) at ~6x the f32-HIGHEST MXU rate — this dot
@@ -352,10 +397,6 @@ def fused_rowblock(cols: Columns, start, block: int,
                                       1e-9)
             mats.append(knn_b(sim, vr, valid, k_basis, start, approx))
         elif kind == "text_bf16":
-            if binned and t.shape[1] % 128 == 0:
-                cand_cols.append(_binned_cands(t, tr, valid, vr, k_basis,
-                                               "dot"))
-                continue
             # pre-scaled/normalized bf16 columns (see standard_columns):
             # one DEFAULT-precision dot — bf16 operands multiply exactly on
             # the MXU with f32 accumulation; measured rank-identical to the
@@ -399,10 +440,6 @@ def fused_rowblock(cols: Columns, start, block: int,
             # rows pre-normalized AND split-packed in generic_columns (see
             # split_bf16: the 4-term bf16 product == f32 dot of ~16-bit-
             # rounded inputs, identical ranking on strip/kernel/emulation)
-            if binned and t.shape[1] % 128 == 0:
-                cand_cols.append(_binned_cands(t, tr, valid, vr, k_basis,
-                                               "dot"))
-                continue
             sim = jnp.dot(tr, t.T, preferred_element_type=jnp.float32)
             mats.append(knn_b(sim, vr, valid, k_basis, start, approx))
         elif kind == "embedding_unit":
@@ -427,16 +464,6 @@ def fused_rowblock(cols: Columns, start, block: int,
             # old f32 norms-minus-dot cancellation error was a constant
             # ~1e-7|x|^2 floor, so nearby-neighbor ranking is no worse
             kk = max(1, k_basis) - 1
-            if binned and t.shape[1] % 128 == 0:
-                sq_r = _rows(def_sq, start, block)
-                cand_cols.append(_binned_cands(
-                    t, tr, valid, vr, kk, "chord", row_sums=def_sq,
-                    sim_fn=lambda: -jnp.maximum(
-                        sq_r[:, None] + def_sq[None, :]
-                        - 2.0 * jnp.dot(tr, t.T,
-                                        preferred_element_type=jnp.float32),
-                        0.0)))
-                continue
             d2 = (_rows(def_sq, start, block)[:, None] + def_sq[None, :]
                   - 2.0 * jnp.dot(tr, t.T,
                                   preferred_element_type=jnp.float32))
@@ -469,6 +496,99 @@ def fused_rowblock(cols: Columns, start, block: int,
     # the fold's G-applications are HBM-bound on re-reading this block —
     # half the bytes is pure bandwidth (fd.shrink_rr_pair)
     return fused.astype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# candidate-form row blocks (the dense block never materializes)
+# ---------------------------------------------------------------------------
+
+
+def cand_fold_supported(kinds, tensors, nbins: int, n: int) -> bool:
+    """True when EVERY modality of the window either has a stride-binned
+    candidate route (_kind_cand_spec) or is the username equality modality
+    (evaluated inside the matvec kernels) — the precondition for the
+    candidate-native FD fold, which has no dense strip to OR into."""
+    if nbins <= 0 or n % nbins or (n // nbins) > 127:
+        return False
+    for kind, t in zip(kinds, tensors):
+        if kind == "username":
+            continue
+        tt = t[0] if isinstance(t, tuple) else t
+        if kind in ("location", "location_xyz", "time"):
+            continue
+        if kind in ("tags", "text_bf16", "embedding_split", "default_safe"):
+            if tt.shape[1] % 128:
+                return False
+            continue
+        return False
+    return True
+
+
+def candidate_rowblock(cols: Columns, start, block: int, k_basis: int,
+                       nbins: int, tn: int, use_kernel: bool):
+    """Candidate-form fused adjacency rows [start, start+block): the same
+    edges as ``fused_rowblock(select="binned")`` — same candidate kernels,
+    same budgeted_keep, username via uid equality — packed as int8 slabs
+    (ops/pallas/cand_matvec.CandBlock) instead of a dense (block, n) block.
+    Callers must have checked :func:`cand_fold_supported`."""
+    from mused_tpu.ops.pallas import cand_matvec as cm
+    n = cols.n
+    slabs, uid_rows, uid_cols = [], None, None
+    for kind, t, valid in zip(cols.kinds, cols.tensors, cols.valids):
+        extra = None
+        if isinstance(t, tuple):
+            t, extra = t
+        if kind == "username":
+            uid_rows, uid_cols = cm.mask_uids(t, valid, nbins, start, block)
+            continue
+        spec = _kind_cand_spec(kind, t, valid, k_basis, start, block, n,
+                               extra)
+        assert spec is not None, f"kind {kind!r} has no candidate route"
+        res = _modality_candidates(
+            valid=valid, vr=_rows(valid, start, block), start=start,
+            block=block, n=n, nbins=nbins, tn=tn, use_kernel=use_kernel,
+            **spec)
+        if res is None:          # k == 0 — modality contributes no edges
+            continue
+        keep, grp = res
+        slabs.append(cm.pack_slab(keep, grp))
+    if not slabs:                # username-only (or all-k=0) windows
+        slabs = [jnp.full((block, nbins), -1, jnp.int8)]
+    if uid_cols is None:
+        uid_cols = jnp.full((n // nbins, nbins), -2, jnp.int32)
+    return cm.CandBlock(jnp.stack(slabs), uid_rows, uid_cols,
+                        jnp.asarray(start, jnp.int32))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("kinds", "ell", "block", "k_basis",
+                                    "nbins", "tn", "use_kernel"))
+def _blocked_fd_cands_impl(tensors, valids, idf, *, kinds, ell: int,
+                           block: int, k_basis: int, nbins: int, tn: int,
+                           use_kernel: bool):
+    """Candidate-native huge-window FD fold: each scan step builds the
+    block's candidates and absorbs them via fd.shrink_rr_cands — the fold's
+    G-applications run straight off the int8 slabs (ops/pallas/cand_matvec),
+    so the (block, n) dense adjacency block never exists in HBM."""
+    from mused_tpu.ops import fd
+    cols = Columns(kinds=kinds, tensors=tensors, valids=valids, idf=idf)
+    n = cols.n
+    assert n % block == 0, "choose block dividing n (pad rows upstream)"
+
+    def body(st, i):
+        start = i * block
+        cand = candidate_rowblock(cols, start, block, k_basis, nbins, tn,
+                                  use_kernel)
+        b, delta, edges = fd.shrink_rr_cands(st.sketch, cand, ell,
+                                             use_kernel=use_kernel)
+        return fd.FDState(
+            sketch=b,
+            sq_frobenius=st.sq_frobenius + edges,
+            shrink_loss=st.shrink_loss + delta,
+            count=st.count + jnp.int32(block)), None
+
+    state, _ = jax.lax.scan(body, fd.init(ell, n), jnp.arange(n // block))
+    return state.sketch, state.sq_frobenius, state.shrink_loss
 
 
 # ---------------------------------------------------------------------------
@@ -526,7 +646,7 @@ def _scan_blocks(cols: Columns, block: int, k_basis: int, f, init,
 def blocked_fd_sketch(cols: Columns, *, ell: int, block: int,
                       k_basis: int, mode: str = "subspace",
                       approx_knn: bool = False, select: str = "strip",
-                      nbins: int = 0):
+                      nbins: int = 0, cand_fold: bool | None = None):
     """FD sketch (ell, n) of the implicit fused adjacency's rows, one
     rematerialized sweep (the huge-window SWFDMC regime, BASELINE.md #3:
     windows too large to materialize even once).
@@ -539,11 +659,40 @@ def blocked_fd_sketch(cols: Columns, *, ell: int, block: int,
     shrink tuned for huge d.  "eigh" keeps classic FD; "rr"/"subspace_ns"
     select explicitly.
 
+    ``cand_fold``: absorb CANDIDATE-form blocks (fd.shrink_rr_cands +
+    ops/pallas/cand_matvec) — the fold's G-applications run off the int8
+    candidate slabs and the dense (block, n) adjacency block never reaches
+    HBM.  Requires the rr shrink, binned selection, and every modality
+    binned-eligible (cand_fold_supported).  None = auto: ON on TPU when
+    eligible, OFF elsewhere (the XLA emulation saves nothing on CPU);
+    explicit True forces the per-group XLA reference products on CPU (the
+    test oracle).  Edges are identical to the dense binned path by
+    construction (same candidate kernels + budgeted_keep); products differ
+    only in f32 summation order and bf16 operand rounding of the
+    probe/bound vectors (docs/DESIGN.md §8.4).
+
     Returns (sketch, sq_frobenius, shrink_loss) — feed to swfd.absorb_summary
     exactly like fd.fold_sketch's output.
     """
     from mused_tpu.ops import fd
+    from mused_tpu.ops.pallas import blocked_select as bs
     mode = fd.resolve_fold_mode(mode)
+    eligible = (mode == "rr" and select == "binned" and cols.n % block == 0
+                and cand_fold_supported(cols.kinds, cols.tensors, nbins,
+                                        cols.n))
+    if cand_fold is None:
+        cand_fold = eligible and jax.default_backend() == "tpu"
+    elif cand_fold and not eligible:
+        raise ValueError(
+            "cand_fold=True needs the rr shrink, select='binned', "
+            "block | n, and every modality binned-eligible "
+            "(cand_fold_supported)")
+    if cand_fold:
+        return _blocked_fd_cands_impl(
+            cols.tensors, cols.valids, cols.idf, kinds=cols.kinds, ell=ell,
+            block=block, k_basis=k_basis, nbins=nbins,
+            tn=bs.pick_tn(cols.n, nbins),
+            use_kernel=jax.default_backend() == "tpu")
     return _blocked_fd_impl(cols.tensors, cols.valids, cols.idf,
                             kinds=cols.kinds, ell=ell, block=block,
                             k_basis=k_basis, mode=mode,

@@ -311,6 +311,91 @@ def shrink_rr_pair(sketch: jax.Array, rows: jax.Array, ell: int, *,
     return b.astype(sketch.dtype), delta.astype(sketch.dtype)
 
 
+def shrink_rr_cands(sketch: jax.Array, cand, ell: int, *,
+                    oversample: int = 16, power_iters: int = 1,
+                    use_kernel: bool = True, interpret: bool = False):
+    """shrink_rr_pair where the rows live in stride-binned CANDIDATE form
+    (ops/pallas/cand_matvec.CandBlock) — the implicit stack is
+    [sketch; fused-adjacency rows] and every product with the rows runs
+    straight off the int8 candidate slabs; the dense (block, n) 0/1 block
+    never exists.
+
+    Precisions mirror shrink_rr_pair's measured tuning: the power products
+    only pick the probe direction (the QR re-orthonormalizes exactly), so
+    their row products are single bf16 MXU passes — exactly what DEFAULT
+    precision does to f32 operands on TPU.  The bound-carrying final
+    y = S^T Q splits the rows' operand into the bf16 [hi | lo] pair (two
+    passes on one shared mask build): the 0/1 masks are bf16-exact, so the
+    product equals the f32 product of Q rounded to ~16 mantissa bits —
+    between Precision.HIGH and HIGHEST of the dense path; the sketch's
+    contribution stays HIGHEST.  delta is the same exact trace residual
+    (sum of dense edges — an integer — minus ||B'||_F^2), so the telescoped
+    FD bound argument of shrink_rr applies unchanged.
+
+    Returns (B' (ell, d), delta, edges) with edges == ||rows||_F^2 (the
+    exact fused edge count, for sq_frobenius bookkeeping).
+
+    All-empty blocks (no kept candidate in any modality AND no valid uid
+    row — fully-padded row blocks on padded meshes) are an exact FD no-op
+    and skip the products/QR/eigh entirely via lax.cond, mirroring
+    update_block's zero-block skip on the dense path: sketch unchanged,
+    delta == edges == 0.
+    """
+    from mused_tpu.ops.pallas import cand_matvec as cm
+    ellr, d = sketch.shape
+    m = cand.block
+    m2 = ellr + m
+    r = min(ell + oversample, m2)
+    rp = -(-r // 128) * 128          # kernel sublane/lane padding
+    hi = jax.lax.Precision.HIGHEST
+
+    def _pad_rows(x, rows):
+        return jnp.pad(x, ((0, rows - x.shape[0]), (0, 0)))
+
+    def at_rows(v_r):     # probe-precision rows^T v_r: (m, r) -> (d, r)
+        x_t = _pad_rows(v_r.T.astype(jnp.bfloat16), rp)
+        out_t, _ = cm.matvec_t(cand, x_t, use_kernel, interpret)
+        return out_t[:r].T
+
+    def a_rows(y):        # probe-precision rows @ y: (d, r) -> (m, r)
+        yb = jnp.pad(y, ((0, 0), (0, rp - r))).astype(jnp.bfloat16)
+        return cm.matvec(cand, yb, use_kernel, interpret)[:, :r]
+
+    def _absorb(sketch):
+        v = jax.random.normal(jax.random.key(7), (m2, r), jnp.float32)
+        for _ in range(power_iters):
+            y0 = jnp.dot(sketch.T, v[:ellr]) + at_rows(v[ellr:])
+            z = jnp.concatenate([jnp.dot(sketch, y0), a_rows(y0)], axis=0)
+            v = jnp.linalg.qr(z)[0]
+        v_r = v[ellr:]
+        v_hi = v_r.astype(jnp.bfloat16)
+        v_lo = (v_r - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        x_t = jnp.concatenate([_pad_rows(v_hi.T, rp), _pad_rows(v_lo.T, rp)],
+                              axis=0)
+        out_t, edges = cm.matvec_t(cand, x_t, use_kernel, interpret)
+        y = (jnp.dot(sketch.T, v[:ellr], precision=hi)
+             + (out_t[:r] + out_t[rp:rp + r]).T)               # (d, r)
+        h = jnp.dot(y.T, y, precision=hi)
+        h = 0.5 * (h + h.T)
+        _, p = jnp.linalg.eigh(h)
+        b = jnp.dot(p[:, ::-1][:, :ell].T, y.T, precision=hi)  # (ell, d)
+        sq = jnp.sum(sketch * sketch) + edges
+        delta = jnp.maximum(sq - jnp.sum(b * b), 0.0)
+        return (b.astype(sketch.dtype), delta.astype(jnp.float32),
+                edges.astype(jnp.float32))
+
+    def _skip(sketch):
+        return sketch, jnp.float32(0.0), jnp.float32(0.0)
+
+    # no kept candidate + no valid uid row -> every implicit adjacency row
+    # is zero (candidates are per-valid-row budgeted, so a nonzero row
+    # always keeps one); skipping is the dense path's exact no-op
+    nonzero = jnp.any(cand.slabs != jnp.int8(-1))
+    if cand.uid_rows is not None:
+        nonzero = nonzero | jnp.any(cand.uid_rows >= 0)
+    return jax.lax.cond(nonzero, _absorb, _skip, sketch)
+
+
 _SHRINKS = {"eigh": shrink, "subspace": shrink_fast,
             "subspace_ns": shrink_fast, "rr": shrink_rr}
 

@@ -456,7 +456,8 @@ def sharded_blocked_fd_sketch(cols, *, ell: int, block: int, k_basis: int,
                               mesh, topology: str = "allgather",
                               mode: str = "subspace",
                               approx_knn: bool = False,
-                              select: str = "strip", nbins: int = 0):
+                              select: str = "strip", nbins: int = 0,
+                              cand_fold: bool | None = None):
     """Multi-chip FD sketch of the implicit fused adjacency of a HUGE window.
 
     The single-chip huge-window path (ops/blocked_affinity.blocked_fd_sketch,
@@ -473,30 +474,45 @@ def sharded_blocked_fd_sketch(cols, *, ell: int, block: int, k_basis: int,
     """
     n = cols.n
     p = mesh.shape["data"]
-    if n % block:
-        raise ValueError(f"block={block} must divide n={n} (pad upstream)")
-    if (n // block) % p:
-        raise ValueError(
-            f"row blocks ({n // block}) must split evenly over "
-            f"data_shards={p}; choose block so that (n/block) % p == 0")
+    _check_row_blocks(n, block, p)
     # "subspace" at fold scale routes to the Rayleigh-Ritz shrink, matching
     # the single-chip blocked fold (see fd.resolve_fold_mode)
     mode = fd.resolve_fold_mode(mode)
+    # candidate-native fold (ops/pallas/cand_matvec): same gating as the
+    # single-chip path — per-shard sweeps are independent, so each chip
+    # absorbs its own candidate blocks; only the final merge communicates
+    from mused_tpu.ops import blocked_affinity as ba
+    from mused_tpu.ops.pallas import blocked_select as bs
+    eligible = (mode == "rr" and select == "binned"
+                and ba.cand_fold_supported(cols.kinds, cols.tensors, nbins,
+                                           n))
+    if cand_fold is None:
+        cand_fold = eligible and jax.default_backend() == "tpu"
+    elif cand_fold and not eligible:
+        raise ValueError(
+            "cand_fold=True needs the rr shrink, select='binned', "
+            "block | n, and every modality binned-eligible "
+            "(blocked_affinity.cand_fold_supported)")
     return _sharded_blocked_fd_impl(
         cols.tensors, cols.valids, cols.idf, kinds=cols.kinds, ell=ell,
         block=block, k_basis=k_basis, mesh=mesh, topology=topology,
-        mode=mode, approx_knn=approx_knn, select=select, nbins=nbins)
+        mode=mode, approx_knn=approx_knn, select=select, nbins=nbins,
+        cand_fold=cand_fold, tn=bs.pick_tn(n, nbins) if cand_fold else 0,
+        use_kernel=jax.default_backend() == "tpu")
 
 
 @functools.partial(jax.jit,
                    static_argnames=("kinds", "ell", "block", "k_basis",
                                     "mesh", "topology", "mode",
-                                    "approx_knn", "select", "nbins"))
+                                    "approx_knn", "select", "nbins",
+                                    "cand_fold", "tn", "use_kernel"))
 def _sharded_blocked_fd_impl(tensors, valids, idf, *, kinds, ell: int,
                              block: int, k_basis: int, mesh,
                              topology: str, mode: str = "subspace",
                              approx_knn: bool = False,
-                             select: str = "strip", nbins: int = 0):
+                             select: str = "strip", nbins: int = 0,
+                             cand_fold: bool = False, tn: int = 0,
+                             use_kernel: bool = False):
     from mused_tpu.ops import blocked_affinity as ba
     t0 = tensors[0]
     n = (t0[0] if isinstance(t0, tuple) else t0).shape[0]
@@ -507,6 +523,18 @@ def _sharded_blocked_fd_impl(tensors, valids, idf, *, kinds, ell: int,
                           idf=idf)
 
         def step(state, start):
+            if cand_fold:
+                # candidate-native absorb: the dense (block, n) block
+                # never materializes (ops/pallas/cand_matvec)
+                cand = ba.candidate_rowblock(cols, start, block, k_basis,
+                                             nbins, tn, use_kernel)
+                b, delta, edges = fd.shrink_rr_cands(
+                    state.sketch, cand, ell, use_kernel=use_kernel)
+                return fd.FDState(
+                    sketch=b,
+                    sq_frobenius=state.sq_frobenius + edges,
+                    shrink_loss=state.shrink_loss + delta,
+                    count=state.count + jnp.int32(block)), None
             # bf16 0/1 edges for rr folds (see blocked_affinity): the
             # split-operand absorb re-reads the block; half the bytes
             out_dt = jnp.bfloat16 if mode == "rr" else jnp.float32

@@ -110,6 +110,16 @@ class PipelineConfig:
     # contiguous neighbor runs in near-sorted streams never collide).
     # None = auto: ON on TPU, OFF elsewhere (the XLA emulation is bit-equal
     # but saves nothing on CPU).  Explicit True/False wins.
+    huge_window_cand_fold: bool | None = None
+    # huge-window SWFDMC (single-chip AND row-sharded): absorb
+    # CANDIDATE-form blocks —
+    # the FD fold's G-applications run straight off the int8 candidate slabs
+    # (ops/pallas/cand_matvec) and the dense (block, n) adjacency block
+    # never reaches HBM.  Same edges as the dense binned path by
+    # construction.  Needs fd_shrink subspace/rr + fused select + every
+    # modality binned-eligible (blocked_affinity.cand_fold_supported);
+    # None = auto (ON on TPU when eligible), False = dense fold, True =
+    # force (CPU runs the per-group XLA reference products — test oracle).
     fd_shrink: str = "subspace"  # "subspace": matmul-only adaptive shrink
                                  # (gated eigh fallback; ~4.5x faster sketch
                                  # streams) | "eigh": guaranteed classic FD.
