@@ -39,6 +39,8 @@ def _load_lib(target: str, src_name: str, configure):
     argtypes.  Returns the configured lib or None (AttributeError: a stale
     .so predating the current ABI — fall back to Python rather than crash).
     """
+    if os.environ.get("MUSED_TPU_NO_NATIVE"):
+        return None   # global kill switch: pure-Python fallbacks everywhere
     lib_path = os.path.join(_DIR, target)
     try:
         src = os.path.join(_DIR, src_name)

@@ -20,10 +20,37 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 import pytest
 
-# Persistent compilation cache: eigh/scan recompiles dominate test wall time.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
+# Persistent compilation cache: DO NOT enable it for the test suite.
+# The full suite segfaults at whole-suite scale (~86-88%, always inside
+# test_swfd.py's scan-heavy jits) during cache writes — the crash site is
+# `executable.serialize()` in compilation_cache.put_executable_and_time
+# (jax 0.9.0, CPU backend, 8 virtual devices).  It reproduces with the
+# default zstd codec AND with the pure-zlib fallback, and with
+# jax_persistent_cache_enable_xla_caches on or off, so the corruption is in
+# XLA's executable serialization after hundreds of compilations, not in the
+# compression codec.  Individual files pass with the cache on; only the
+# whole suite crashes.  CPU compiles are cheap — run without the cache.
+# Crucially the env var below also stops mused_tpu.main.cli() (under
+# test_driver.py) from calling utils.runtime.enable_compilation_cache and
+# switching the cache ON mid-suite — exactly how the crash kept coming back
+# after the conftest itself stopped configuring a cache dir.
+os.environ["MUSED_TPU_NO_COMPILE_CACHE"] = "1"
+
+# Second whole-suite-scale crash mode: even with every cache disabled, XLA's
+# CPU backend segfaults INSIDE backend_compile_and_load at ~86-88% of the
+# suite (again test_swfd.py's scan jits; reproduced with the native C++
+# extensions force-disabled via MUSED_TPU_NO_NATIVE=1, so it is not our
+# code corrupting the heap).  The trigger is accumulation — hundreds of
+# live compiled executables in one process.  Bound it: drop every compiled
+# function periodically; recompiles are cheap on CPU.
+_FLUSH_EVERY = 48
+_done = {"n": 0}
+
+
+def pytest_runtest_teardown(item, nextitem):
+    _done["n"] += 1
+    if _done["n"] % _FLUSH_EVERY == 0:
+        jax.clear_caches()
 
 
 @pytest.fixture
