@@ -299,6 +299,18 @@ def test_windows_per_batch_auto_resolution():
     kw = dict(standard_types=False)
     assert resolve_windows_per_batch(base, backend="tpu", **kw) == 4
     assert resolve_windows_per_batch(base, backend="cpu", **kw) == 1
+    # a known-long stream widens auto to 8 (offline loop passes n_windows;
+    # serving doesn't and stays at 4 — its label lag is W-1+max_lag)
+    assert resolve_windows_per_batch(base, backend="tpu", n_windows=8,
+                                     **kw) == 8
+    assert resolve_windows_per_batch(base, backend="tpu", n_windows=7,
+                                     **kw) == 4
+    assert resolve_windows_per_batch(base, backend="cpu", n_windows=64,
+                                     **kw) == 1
+    # n_windows never widens an EXPLICIT W
+    assert resolve_windows_per_batch(
+        base.replace(windows_per_batch=4), backend="tpu", n_windows=64,
+        **kw) == 4
     # explicit opt-out / explicit W win on any backend
     assert resolve_windows_per_batch(
         base.replace(windows_per_batch=1), backend="tpu", **kw) == 1
