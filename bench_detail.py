@@ -99,7 +99,11 @@ def config1b_e2e_stream():
 
     for batch_w, key in ((1, "1b_e2e_windows_per_sec_perwindow"),
                          (4, "1b_e2e_windows_per_sec_scanned4"),
-                         (8, "1b_e2e_windows_per_sec_scanned8")):
+                         (8, "1b_e2e_windows_per_sec_scanned8"),
+                         # what a flag-less user gets: auto scanned dispatch
+                         # (engine.resolve_windows_per_batch — W=8 here since
+                         # the 24-window stream length is known offline)
+                         (None, "1b_e2e_windows_per_sec_default_auto")):
         run(batch_w)                         # compile/warm
         RESULTS[key] = round(max(run(batch_w), run(batch_w)), 1)
 
