@@ -289,11 +289,15 @@ def resolve_windows_per_batch(cfg: PipelineConfig, *, standard_types: bool,
     20.6 -> 59.7 windows/s at W=4), so eligible TPU runs get it by default
     (VERDICT r2 next #4); ``windows_per_batch=1`` opts out.  When the
     caller knows the stream length (``n_windows`` — the offline loop does,
-    serving does not), auto widens to W=8 for streams of >= 8 windows:
-    scanned-8 beat scanned-4 in every BENCH_DETAIL regen (63.7 vs 39.7-59.7
-    and 35.7 vs 33.3 windows/s across tunnel-load conditions), and only a
-    known-long stream can amortize the wider group (the leftover
-    n_windows % W tail dispatches per-window).  Serving keeps auto-4: its
+    serving does not), auto widens to W=8: scanned-8 beat scanned-4 in
+    every BENCH_DETAIL regen (63.7 vs 39.7-59.7 and 35.7 vs 33.3 windows/s
+    across tunnel-load conditions).  The tail group is PADDED to the static
+    W by repeating the last window and runs scanned like every other group
+    (_run_batched group_at; extra outputs dropped), so widening is gated
+    tail-aware: only when ceil(n/8)*8 <= ceil(n/4)*4 — i.e. when the wider
+    group does not add padded window-steps (a 9-window stream would pay 16
+    padded steps at W=8 vs 12 at W=4 and stays at 4; ADVICE r3 #2).
+    Serving keeps auto-4: its
     effective label lag is W-1+max_lag windows.  Checkpointing
     and verbose stay per-window under auto: batched saves land only at
     group boundaries, and the scanned body has no per-window debug oracles
@@ -317,7 +321,11 @@ def resolve_windows_per_batch(cfg: PipelineConfig, *, standard_types: bool,
     if batch_w is None:
         backend = backend or jax.default_backend()
         if n_windows is not None and n_windows >= 2 * auto_w:
-            auto_w = 2 * auto_w
+            wide = 2 * auto_w
+            # tail-aware: the tail group is padded to the static W and
+            # scanned, so widen only when it costs no extra padded steps
+            if -(-n_windows // wide) * wide <= -(-n_windows // auto_w) * auto_w:
+                auto_w = wide
         batch_w = auto_w if (backend == "tpu" and hard_eligible
                              and not checkpoint_dir
                              and not cfg.verbose) else 1

@@ -292,7 +292,9 @@ def test_k_estimate_validation(modalities):
 
 def test_windows_per_batch_auto_resolution():
     """windows_per_batch=None resolves to scanned-4 only on TPU backends for
-    eligible configs (VERDICT r2 next #4); explicit values always win."""
+    eligible configs (VERDICT r2 next #4); known-long streams (n_windows
+    passed) widen auto to 8 when the padded tail costs no extra window-steps
+    (ADVICE r3 #2); explicit values always win."""
     from mused_tpu.engine.streaming import resolve_windows_per_batch
     from mused_tpu.utils.config import PipelineConfig
     base = PipelineConfig(approach="SWFDMC", window_size=64)
@@ -305,6 +307,16 @@ def test_windows_per_batch_auto_resolution():
                                      **kw) == 8
     assert resolve_windows_per_batch(base, backend="tpu", n_windows=7,
                                      **kw) == 4
+    # tail-aware widening: 9 windows would pad to 16 steps at W=8 vs 12 at
+    # W=4 — stay at 4; 16 windows pad-free at both — widen (fewer dispatches)
+    assert resolve_windows_per_batch(base, backend="tpu", n_windows=9,
+                                     **kw) == 4
+    assert resolve_windows_per_batch(base, backend="tpu", n_windows=12,
+                                     **kw) == 4
+    assert resolve_windows_per_batch(base, backend="tpu", n_windows=13,
+                                     **kw) == 8
+    assert resolve_windows_per_batch(base, backend="tpu", n_windows=16,
+                                     **kw) == 8
     assert resolve_windows_per_batch(base, backend="cpu", n_windows=64,
                                      **kw) == 1
     # n_windows never widens an EXPLICIT W
