@@ -53,6 +53,16 @@ def pytest_runtest_teardown(item, nextitem):
         jax.clear_caches()
 
 
+def pytest_collection_modifyitems(config, items):
+    """`-m fast` = everything not marked slow: a < 3 min sweep touching every
+    module, so the full (~15 min) suite stays a deliberate choice rather
+    than the only option (VERDICT r3 next #8).  Durations that justified
+    each slow mark are recorded in STATUS.md per round."""
+    for item in items:
+        if "slow" not in item.keywords:
+            item.add_marker(pytest.mark.fast)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
