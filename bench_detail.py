@@ -12,6 +12,9 @@ are visible (VERDICT r1 next #4):
   #4 d=4096 affinity: Pallas fused kernel GFLOP/s vs the XLA path
   #5 8-virtual-device CPU mesh: merged-sketch (data_shards=8) F1/NMI delta
      vs single-chip (run in a subprocess so the host platform can be forced)
+  #6 serving surface: StreamDetector sustained rows/s vs the offline engine
+     on the same crisis stream, push p50/p99, label lag, save/load cost, and
+     the label-free (eigengap + centroid) quality record
 
 Timing uses in-graph repetition + scalar materialization where the remote
 tunnel's ~25ms round trip would otherwise dominate (CLAUDE.md quirks).
@@ -201,19 +204,32 @@ def config3b_stream_1m():
     REAL engine (SWFDMC, auto huge-window blocked path) — featurization,
     transfer, FD fold, query, clustering, matching and metrics all included
     (VERDICT r2 next #2; experiments/exp_stream_1m.py is the standalone
-    probe).  Generator note: rows come from the vectorized synthetic path
-    (auto past 20k rows since commit 872169a), so F1/NMI here are not
-    comparable to pre-872169a records."""
+    probe).
+
+    FIXTURE (round 4, VERDICT r3 next #1 — the huge-window accuracy
+    oracle): time-localized planted events on a SORTED stream with all-ids
+    labels, so per-window clustering has recoverable structure and the
+    cross-window id chains are meaningful — NMI_e / f1_aligned become
+    quality signals that MOVE if the candidate-fold/binned-selection
+    numerics break (the previous binary/unsorted fixture scored NMI 0.0 by
+    construction: 24 spatially-distinct events collapsed into one class at
+    per-window k=2).  n_events=120 at noise 0.95 keeps each event ~410 rows
+    — cliquish under the k_basis=50 kNN (bigger events score WORSE:
+    exp_oracle_fixture measured noise 0.5's 2048-row events at NMI_e 0.48
+    vs 0.78 here) — and ~12 events live per 98k window.  Committed floors:
+    3b_stream1m_nmi_e >= 0.5, f1_aligned >= 0.6 (quality_floor_ok below);
+    tests/test_cand_fold.py pins fold-ON == fold-OFF end metrics on the
+    same fixture at test scale."""
     from mused_tpu import api
     from mused_tpu.data.synthetic import synthetic_events_dataframe
     from mused_tpu.data.sed2012 import prepare_modalities
     n_windows, window = 10, 98_304
     total = n_windows * window
-    df = synthetic_events_dataframe(n_rows=total + 64, n_events=24,
-                                    noise_rate=0.9, seed=0)
+    df = synthetic_events_dataframe(n_rows=2 * total, n_events=120,
+                                    noise_rate=0.5, seed=0)
     mods, mtypes, labels = prepare_modalities(
-        df, subset_size=total, binary=True, sort_by_uploaded=False,
-        noise_rate=0.9, seed=0)
+        df, subset_size=total, binary=False, event_types=False,
+        sort_by_uploaded=True, noise_rate=0.95, seed=0)
 
     def run(n_rows):
         results, _ = api.get_initial_results()
@@ -221,9 +237,9 @@ def config3b_stream_1m():
         results = api.process_streaming_data(
             results=results, data_modalities=[m[:n_rows] for m in mods],
             modality_types=mtypes, window_size=window, reduced_dim=50,
-            k_basis=50, n_clusters_total=2, seed=0, approach="SWFDMC",
+            k_basis=50, n_clusters_total=150, seed=0, approach="SWFDMC",
             complete_true_labels=labels[:n_rows], step_window_ratio=1,
-            noise_rate=0.9, label_mode="binary", sorting=False, eps=1.5,
+            noise_rate=0.95, label_mode="all", sorting=True, eps=1.5,
             min_samples=2)
         return time.perf_counter() - t0, results
 
@@ -233,7 +249,11 @@ def config3b_stream_1m():
     RESULTS["3b_stream1m_rows_per_sec_e2e"] = round(total / dt, 1)
     RESULTS["3b_stream1m_seconds_per_window_e2e"] = round(dt / n_windows, 2)
     RESULTS["3b_stream1m_f1"] = round(results["f1_score"][0], 4)
+    RESULTS["3b_stream1m_f1_aligned"] = round(results["f1_aligned"][0], 4)
     RESULTS["3b_stream1m_nmi"] = round(results["nmi_score"][0], 4)
+    RESULTS["3b_stream1m_nmi_e"] = round(results["nmi_e_score"][0], 4)
+    RESULTS["3b_quality_floor_ok"] = bool(
+        results["nmi_e_score"][0] >= 0.5 and results["f1_aligned"][0] >= 0.6)
 
 
 def config4_affinity_gflops():
@@ -269,6 +289,102 @@ def config4_affinity_gflops():
     RESULTS["4_affinity_xla_gflops"] = round(flops / t_xla / 1e9, 1)
     RESULTS["4_affinity_pallas_gflops"] = round(flops / t_pl / 1e9, 1)
     RESULTS["4_affinity_pallas_speedup_vs_xla"] = round(t_xla / t_pl, 2)
+
+
+def config6_serving():
+    """Serving-surface benchmark (VERDICT r3 next #4): StreamDetector on the
+    crisis stream — sustained rows/s vs the offline engine on the SAME
+    stream, push-call p50/p99 latency, observed label lag, save/load cost,
+    and the label-free quality record (k_estimate="eigengap" + centroid
+    matching: no ground truth anywhere in the serving path; VERDICT r3
+    weak #5)."""
+    import os
+    import tempfile
+    from mused_tpu import api
+    from mused_tpu.serving import StreamDetector
+    from mused_tpu.data.synthetic import crisis_embedding_stream
+    from mused_tpu.utils.config import PipelineConfig
+    from mused_tpu.utils import metrics as m
+    window, subset, chunk = 512, 8192, 64
+    mods, mtypes, labels = crisis_embedding_stream(
+        n_rows=subset, n_events=5, noise_rate=0.3, d_text=256, d_image=256,
+        seed=0)
+    det_kw = dict(window_size=window, approach="sSpectral", reduced_dim=128,
+                  k_basis=8, max_events=32, k_estimate="eigengap",
+                  matching="centroid", max_lag=2)
+
+    def stream_through(det, timed):
+        lat, results, max_lag_w = [], [], 0
+        t0 = time.perf_counter()
+        for lo in range(0, subset, chunk):
+            rows = [mm[lo:lo + chunk] for mm in mods]
+            t1 = time.perf_counter()
+            results.extend(det.push(rows))
+            lat.append(time.perf_counter() - t1)
+            fired = (lo + chunk) // window
+            max_lag_w = max(max_lag_w, fired - len(results))
+        results.extend(det.flush())
+        wall = time.perf_counter() - t0
+        return wall, lat, results, max_lag_w
+
+    stream_through(StreamDetector(mtypes, window, **det_kw), timed=False)
+    wall, lat, results, max_lag_w = stream_through(
+        StreamDetector(mtypes, window, **det_kw), timed=True)
+    lat_ms = np.sort(np.array(lat) * 1e3)
+    RESULTS["6_serving_rows_per_sec"] = round(subset / wall, 1)
+    RESULTS["6_serving_push_p50_ms"] = round(
+        float(lat_ms[len(lat_ms) // 2]), 2)
+    RESULTS["6_serving_push_p99_ms"] = round(
+        float(lat_ms[int(len(lat_ms) * 0.99) - 1]), 2)
+    RESULTS["6_serving_observed_label_lag_windows"] = int(max_lag_w)
+
+    # label-free quality: score the emitted windows against the (held-back)
+    # truth — the detector itself never sees labels
+    order = np.argsort([r.window_index for r in results])
+    clus = np.concatenate([results[i].clusters for i in order])
+    truth = labels[:len(clus)]
+    RESULTS["6_serving_nmi"] = round(m.nmi(truth, clus), 4)
+    RESULTS["6_serving_nmi_e"] = round(m.nmi_events_only(truth, clus), 4)
+    RESULTS["6_serving_f1_aligned"] = round(m.aligned_f1(truth, clus), 4)
+
+    # offline engine on the SAME stream/config (auto scanned dispatch)
+    cfg = PipelineConfig(window_size=window, reduced_dim=128, k_basis=8,
+                         approach="sSpectral", label_mode="all",
+                         n_clusters_override=32, matching="centroid",
+                         k_estimate="eigengap")
+
+    def offline():
+        r, _ = api.get_initial_results()
+        t0 = time.perf_counter()
+        api.process_streaming_data(
+            results=r, data_modalities=mods, modality_types=mtypes,
+            window_size=window, reduced_dim=128, k_basis=8,
+            n_clusters_total=32, seed=0, approach="sSpectral",
+            complete_true_labels=labels, step_window_ratio=1, noise_rate=0.3,
+            label_mode="all", sorting=False, eps=1.5, min_samples=2, cfg=cfg)
+        return subset / (time.perf_counter() - t0)
+
+    offline()
+    off_rps = max(offline(), offline())
+    RESULTS["6_serving_offline_rows_per_sec_same_stream"] = round(off_rps, 1)
+    RESULTS["6_serving_vs_offline"] = round(
+        RESULTS["6_serving_rows_per_sec"] / off_rps, 3)
+
+    # save/load cost (flushes pending windows first — measured as the user
+    # sees it mid-stream)
+    det = StreamDetector(mtypes, window, **det_kw)
+    for lo in range(0, subset // 2, chunk):
+        det.push([mm[lo:lo + chunk] for mm in mods])
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "det.npz")
+        t0 = time.perf_counter()
+        det.save(path)
+        RESULTS["6_serving_save_ms"] = round(
+            (time.perf_counter() - t0) * 1e3, 1)
+        t0 = time.perf_counter()
+        StreamDetector.load(path)
+        RESULTS["6_serving_load_ms"] = round(
+            (time.perf_counter() - t0) * 1e3, 1)
 
 
 _SHARDED_SNIPPET = r"""
@@ -353,7 +469,8 @@ def main():
                      ("config3", config3_huge_window),
                      ("config3b", config3b_stream_1m),
                      ("config4", config4_affinity_gflops),
-                     ("config5", config5_merged_sketch_delta)]:
+                     ("config5", config5_merged_sketch_delta),
+                     ("config6", config6_serving)]:
         try:
             t0 = time.perf_counter()
             fn()

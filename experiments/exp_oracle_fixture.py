@@ -64,14 +64,16 @@ def run(label_mode, sorting, noise, n_events, force_blocked=True,
 
 if __name__ == "__main__":
     cases = [
-        ("current 3b analog: binary unsorted n24",
-         dict(label_mode="binary", sorting=False, noise=0.9, n_events=24)),
-        ("sorted binary n24",
-         dict(label_mode="binary", sorting=True, noise=0.9, n_events=24)),
-        ("sorted ALL labels n8",
-         dict(label_mode="all", sorting=True, noise=0.9, n_events=8)),
-        ("sorted ALL labels n8 noise .5",
-         dict(label_mode="all", sorting=True, noise=0.5, n_events=8)),
+        ("sorted ALL n16",
+         dict(label_mode="all", sorting=True, noise=0.9, n_events=16)),
+        ("sorted ALL n24",
+         dict(label_mode="all", sorting=True, noise=0.9, n_events=24)),
+        ("sorted ALL n16 dense (non-blocked)",
+         dict(label_mode="all", sorting=True, noise=0.9, n_events=16,
+              force_blocked=False)),
+        ("sorted ALL n16 cand-fold+binned ON",
+         dict(label_mode="all", sorting=True, noise=0.9, n_events=16,
+              cand_fold=True, fused_select=True)),
     ]
     for name, kw in cases:
         print(f"== {name}: {run(**kw)}", flush=True)

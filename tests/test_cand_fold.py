@@ -202,37 +202,51 @@ def test_cand_fold_generic_kinds():
 
 
 def test_engine_huge_window_cand_fold_metric_parity():
-    """Engine-level: a forced-blocked SWFDMC stream with the cand fold
-    matches the dense-fold stream at the metric level (same config
-    otherwise; randomized shrinks differ only in probe rounding)."""
+    """Engine-level end-metric oracle (VERDICT r3 next #1): a forced-blocked
+    SWFDMC stream over a fixture with RECOVERABLE planted events (sorted
+    stream + all-ids labels, the BENCH_DETAIL 3b oracle config at test
+    scale) must score the SAME with the candidate-native fold ON and OFF —
+    and must actually recover the events, so a numerics regression in
+    cand_matvec / shrink_rr_cands / binned selection moves a real metric
+    instead of perturbing seed-luck noise (the old binary/unsorted fixture
+    sat at NMI ~= 0 where the fold's numerics were invisible).
+
+    Measured on this fixture: NMI 0.515, NMI_e 0.857, identical ON vs OFF
+    to 4 decimals (experiments/exp_oracle_fixture.py probe)."""
     from mused_tpu import api
     from mused_tpu.utils.config import PipelineConfig
     from mused_tpu.data.synthetic import synthetic_events_dataframe
     from mused_tpu.data.sed2012 import prepare_modalities
-    df = synthetic_events_dataframe(n_rows=1100, n_events=4, noise_rate=0.5,
+    df = synthetic_events_dataframe(n_rows=4096, n_events=6, noise_rate=0.5,
                                     seed=0)
     mods, mtypes, labels = prepare_modalities(
-        df, subset_size=1024, binary=True, sort_by_uploaded=False,
-        noise_rate=0.5, seed=0)
+        df, subset_size=2048, binary=False, event_types=False,
+        sort_by_uploaded=True, noise_rate=0.8, seed=0)
 
     def run(cand_fold):
         cfg = PipelineConfig(
-            window_size=512, reduced_dim=16, k_basis=5, approach="SWFDMC",
-            label_mode="binary", n_clusters_override=2,
+            window_size=512, reduced_dim=16, k_basis=8, approach="SWFDMC",
+            label_mode="all", n_clusters_override=150,
             force_blocked_window=True, huge_window_fused_select=True,
             huge_window_cand_fold=cand_fold)
         results, _ = api.get_initial_results()
         return api.process_streaming_data(
             results=results, data_modalities=mods, modality_types=mtypes,
-            window_size=512, reduced_dim=16, k_basis=5, n_clusters_total=2,
+            window_size=512, reduced_dim=16, k_basis=8, n_clusters_total=150,
             seed=0, approach="SWFDMC", complete_true_labels=labels,
-            step_window_ratio=1, noise_rate=0.5, label_mode="binary",
-            sorting=False, eps=1.5, min_samples=2, cfg=cfg)
+            step_window_ratio=1, noise_rate=0.8, label_mode="all",
+            sorting=True, eps=1.5, min_samples=2, cfg=cfg)
 
     r_d, r_c = run(False), run(True)
-    assert abs(r_d["nmi_score"][0] - r_c["nmi_score"][0]) < 0.15, \
+    # the fold is a different factorization of the same absorb: end metrics
+    # agree tightly (identical on this fixture; tolerance covers future
+    # benign reorderings)
+    assert abs(r_d["nmi_score"][0] - r_c["nmi_score"][0]) < 0.02, \
         (r_d["nmi_score"], r_c["nmi_score"])
-    assert abs(r_d["f1_score"][0] - r_c["f1_score"][0]) < 0.2
+    assert abs(r_d["nmi_e_score"][0] - r_c["nmi_e_score"][0]) < 0.02
+    # ... and both actually recover the planted events (the oracle part)
+    assert r_d["nmi_e_score"][0] > 0.5, r_d["nmi_e_score"]
+    assert r_c["nmi_e_score"][0] > 0.5, r_c["nmi_e_score"]
 
 
 def test_sharded_cand_fold_matches_single_chip():
