@@ -1,10 +1,12 @@
 """Generate SOAK.md from a completed soak run (experiments/soak_driver.py).
 
 Parses the driver stdout log (wall minutes, peak RSS, per-experiment wall)
-and the structured per-experiment results files under logs/soak_r3/ into
-the committed soak record (VERDICT r2 next #1).
+and the structured per-experiment results files under experiments/soak_r4/
+into the committed soak record (VERDICT r2 next #1; r3 next #3 moved the
+artifacts into the tree and added f1_aligned + the eigengap pass).
 
-Usage: python experiments/soak_report.py /tmp/soak_r3.log logs/soak_r3 SOAK.md
+Usage: python experiments/soak_report.py /tmp/soak_r4.log \
+           experiments/soak_r4 SOAK.md
 """
 import ast
 import os
@@ -28,9 +30,34 @@ def parse_results_file(path):
     return out
 
 
+def emit_tables(lines, log_dir, title):
+    if not os.path.isdir(log_dir):
+        return
+    lines += [f"## {title}", ""]
+    for fname in sorted(os.listdir(log_dir)):
+        if not fname.startswith("exp="):
+            continue
+        res = parse_results_file(os.path.join(log_dir, fname))
+        if not res:
+            continue
+        lines += [f"### {fname[:-4]}", "",
+                  "| approach | mean F1 | mean F1-aligned | mean NMI | "
+                  "mean NMI_e | mean engine s |", "|---|---|---|---|---|---|"]
+        for ap, r in res.items():
+            def mean(key):
+                vals = r.get(key) or []
+                return sum(vals) / len(vals) if vals else float("nan")
+            lines.append(
+                f"| {ap} | {mean('f1_score'):.3f} "
+                f"| {mean('f1_aligned'):.3f} | {mean('nmi_score'):.3f} "
+                f"| {mean('nmi_e_score'):.3f} "
+                f"| {mean('processing_time'):.1f} |")
+        lines.append("")
+
+
 def main():
-    log_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/soak_r3.log"
-    log_dir = sys.argv[2] if len(sys.argv) > 2 else "logs/soak_r3"
+    log_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/soak_r4.log"
+    base_dir = sys.argv[2] if len(sys.argv) > 2 else "experiments/soak_r4"
     out_path = sys.argv[3] if len(sys.argv) > 3 else "SOAK.md"
     log = open(log_path).read()
 
@@ -40,15 +67,19 @@ def main():
     n_points = len(times)
 
     lines = [
-        "# SOAK — reference-default sweep, end-to-end on TPU (round 3)",
+        "# SOAK — reference-default sweep, end-to-end on TPU (round 4)",
         "",
         "The L5 driver's reference-default grid "
         "(`/root/reference/main.py:258-313`: subset up to 150k rows x "
         "experiments subset_size/label_mode/noise_rate/sorting x 6 "
         "approaches x 2 label passes), run to completion on the v5e via "
         "`python experiments/soak_driver.py` (`--dataset synthetic`, pool "
-        "2x subset).  Engine defaults as shipped (auto scanned-4 dispatch "
-        "on eligible approaches).",
+        "2x subset).  Engine defaults as shipped (auto scanned dispatch on "
+        "eligible approaches).  Per-point tables are COMMITTED under "
+        "`experiments/soak_r4/logs*/exp=*.txt` (verify with `git ls-files "
+        "experiments/soak_r4`); every point carries `f1_aligned`; a second "
+        "label-free pass (k_estimate=eigengap, the serving default) covers "
+        "the noise_rate sweep.",
         "",
     ]
     if wall:
@@ -66,29 +97,13 @@ def main():
               "logging/plots)", "", "| experiment | minutes |", "|---|---|"]
     for name, mins in finished:
         lines.append(f"| {name} | {float(mins):.1f} |")
+    lines.append("")
 
-    lines += ["", "## Per-point metrics",
-              "",
-              "Full per-point tables live in `logs/soak_r3/exp=*.txt` "
-              "(committed); summary F1/NMI per approach below is the mean "
-              "over that experiment's sweep values.", ""]
-    for fname in sorted(os.listdir(log_dir)):
-        if not fname.startswith("exp="):
-            continue
-        res = parse_results_file(os.path.join(log_dir, fname))
-        if not res:
-            continue
-        lines += [f"### {fname[:-4]}", "",
-                  "| approach | mean F1 | mean NMI | mean NMI_e | "
-                  "mean engine s |", "|---|---|---|---|---|"]
-        for ap, r in res.items():
-            f1 = sum(r["f1_score"]) / len(r["f1_score"])
-            nm = sum(r["nmi_score"]) / len(r["nmi_score"])
-            ne = sum(r["nmi_e_score"]) / len(r["nmi_e_score"])
-            pt = sum(r["processing_time"]) / len(r["processing_time"])
-            lines.append(f"| {ap} | {f1:.3f} | {nm:.3f} | {ne:.3f} | "
-                         f"{pt:.1f} |")
-        lines.append("")
+    emit_tables(lines, os.path.join(base_dir, "logs"),
+                "Per-point metrics (reference-default, labels-quirk k)")
+    emit_tables(lines, os.path.join(base_dir, "logs_eigengap"),
+                "Label-free pass (k_estimate=eigengap — the serving "
+                "default; no ground-truth k anywhere)")
 
     with open(out_path, "w") as f:
         f.write("\n".join(lines) + "\n")

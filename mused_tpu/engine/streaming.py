@@ -671,7 +671,8 @@ class StreamingEngine:
                         k_basis=cfg.k_basis, mesh=self.mesh,
                         mode=cfg.fd_shrink,
                         tags_dim=cfg.features.tags_hash_dim,
-                        text_dim=cfg.features.text_hash_dim)
+                        text_dim=cfg.features.text_hash_dim,
+                        cand_fold=cfg.huge_window_cand_fold)
                 elif self.mesh is not None:
                     # row-sharded blocked sweep + ICI sketch merge: each chip
                     # rematerializes its own range of adjacency row blocks

@@ -102,15 +102,18 @@ def standard_columns(wf, features_cfg=None) -> Columns:
     # (XLA does not LICM-hoist the reduction out of the scan; measured
     # 28.5 -> 19.7 ms/block with the sum precomputed).  A tuple leaf flows
     # through every jit/shard_map boundary as an ordinary pytree.
-    # tags store bf16: the multi-hot counts are small ints (bf16-exact), the
-    # MXU consumes bf16 operands anyway, and the (n, H_tags) column panel is
-    # the sweep's second-biggest read — halving it is pure bandwidth.  The
-    # Jaccard sums are computed in f32 FIRST (sums up to H exceed bf16's
-    # exact-integer range).
+    # tags store int8 (round 4; was bf16): the multi-hot counts are small
+    # ints <= the token cap (24 < 127), so int8 is exact like bf16 was —
+    # and the Jaccard intersection becomes an int8 MXU dot at 2x the bf16
+    # rate (probe: 7.25 -> 5.62 ms/block at the BASELINE #3 shape) with the
+    # (n, H_tags) column panel at half the bf16 bytes besides.  inter is
+    # the same integer either way, so sims are BIT-IDENTICAL across the
+    # kernel, the strip path, and the CPU emulation.  The Jaccard sums are
+    # computed in f32 FIRST (sums up to H exceed int8's range).
     return Columns(
         kinds=("location_xyz", "time", "username", "tags", "text_bf16"),
         tensors=(_unit_xyz(loc, loc_valid), tim, uid,
-                 (tags.astype(jnp.bfloat16), jnp.sum(tags, axis=1)),
+                 (tags.astype(jnp.int8), jnp.sum(tags, axis=1)),
                  text_bf16),
         valids=(loc_valid,
                 jnp.all(jnp.isfinite(tim), axis=1)
@@ -214,6 +217,17 @@ def _rows(t, start, size):
     return jax.lax.dynamic_slice_in_dim(t, start, size, axis=0)
 
 
+def _count_dot(a, b):
+    """f32 intersection counts a @ b.T for exact small-int count tensors —
+    int8 operands take the 2x-rate int8 MXU path (exact int32 accumulate),
+    everything else the bf16/f32 DEFAULT path; the result is the same
+    integer either way (counts and their products are exact in both)."""
+    if a.dtype == jnp.int8:
+        return jnp.dot(a, b.T,
+                       preferred_element_type=jnp.int32).astype(jnp.float32)
+    return jnp.dot(a, b.T, preferred_element_type=jnp.float32)
+
+
 def _modality_candidates(t, tr, valid, vr, k, metric, *, start, block: int,
                          n: int, nbins: int, tn: int, use_kernel: bool,
                          row_sums=None, sim_fn=None):
@@ -234,7 +248,7 @@ def _modality_candidates(t, tr, valid, vr, k, metric, *, start, block: int,
         if sim_fn is not None:
             sim = sim_fn()
         elif metric == "jaccard":
-            inter = jnp.dot(tr, t.T, preferred_element_type=jnp.float32)
+            inter = _count_dot(tr, t)
             s_r = (_rows(row_sums, start, block)[:, None]
                    .astype(jnp.float32))
             sim = inter / jnp.maximum(
@@ -250,6 +264,41 @@ def _modality_candidates(t, tr, valid, vr, k, metric, *, start, block: int,
         else:
             sim = jnp.dot(tr, t.T, preferred_element_type=jnp.float32)
         vals, grp = bs.binned_candidates_reference(sim, valid, start, nbins)
+    return bs.budgeted_keep(vals, vr, k), grp
+
+
+def _pair_loc_time(cols: Columns, start, block: int, n: int, nbins: int,
+                   tn: int, use_kernel: bool, k_basis: int) -> dict:
+    """Precomputed {kind: (vals, grp)} for the location_xyz + time pair via
+    ONE kernel launch (blocked_select.binned_candidates_pair_pallas) — the
+    two cheap VPU metrics each pay a near-constant per-sweep cost, so
+    pairing lands at ~max of the singles (9.07 -> 6.51 ms/block probe).
+    Kernel path only ({} elsewhere — the XLA emulation runs per-modality
+    and is the bit-parity oracle for the pair's outputs too)."""
+    from mused_tpu.ops.pallas import blocked_select as bs
+    if (not use_kernel or "location_xyz" not in cols.kinds
+            or "time" not in cols.kinds):
+        return {}
+    if min(k_basis, n - 1) <= 0 or min(3 * k_basis, n - 1) <= 0:
+        return {}
+    iL = cols.kinds.index("location_xyz")
+    iT = cols.kinds.index("time")
+    tL, vL = cols.tensors[iL], cols.valids[iL]
+    tT, vT = cols.tensors[iT], cols.valids[iT]
+    vaL, grL, vaT, grT = bs.binned_candidates_pair_pallas(
+        tL, tT, _rows(tL, start, block), _rows(tT, start, block), vL, vT,
+        start, metricA="chord3", metricB="l1", nbins=nbins, block=block,
+        tn=tn)
+    return {"location_xyz": (vaL, grL), "time": (vaT, grT)}
+
+
+def _pair_keep(kind: str, pair: dict, vr, k_basis: int, n: int):
+    """(keep, grp) from the precomputed pair results, with the same k
+    clamp budgeted_keep semantics as _modality_candidates."""
+    from mused_tpu.ops.pallas import blocked_select as bs
+    vals, grp = pair[kind]
+    k = k_basis if kind == "location_xyz" else 3 * k_basis
+    k = max(0, min(k, n - 1))
     return bs.budgeted_keep(vals, vr, k), grp
 
 
@@ -331,6 +380,8 @@ def fused_rowblock(cols: Columns, start, block: int,
                                     block=block, n=n, nbins=nbins, tn=tn,
                                     use_kernel=use_kernel, **spec)
 
+    pair = (_pair_loc_time(cols, start, block, n, nbins, tn, use_kernel,
+                           k_basis) if binned else {})
     cand_cols = []
     mats = []
     for kind, t, valid in zip(cols.kinds, cols.tensors, cols.valids):
@@ -342,6 +393,9 @@ def fused_rowblock(cols: Columns, start, block: int,
         tr = _rows(t, start, block)
         vr = _rows(valid, start, block)
         if binned and kind != "username":
+            if kind in pair:
+                cand_cols.append(_pair_keep(kind, pair, vr, k_basis, n))
+                continue
             extra = tags_sum if tags_sum is not None else def_sq
             spec = _kind_cand_spec(kind, t, valid, k_basis, start, block, n,
                                    extra)
@@ -380,11 +434,11 @@ def fused_rowblock(cols: Columns, start, block: int,
         elif kind == "tags":
             sums = (jnp.sum(t.astype(jnp.float32), axis=1)
                     if tags_sum is None else tags_sum)
-            # DEFAULT precision (TPU: bf16 operands, f32 accumulate): EXACT
-            # for the multi-hot count tensors (small ints <= token cap are
-            # bf16-representable) at ~6x the f32-HIGHEST MXU rate — this dot
-            # is the (block, n) sweep's biggest FLOP bucket at 100k windows
-            inter = jnp.dot(tr, t.T, preferred_element_type=jnp.float32)
+            # exact count dot (int8 MXU path when the columns store int8;
+            # bf16/f32 DEFAULT otherwise — same integers either way); this
+            # dot is the (block, n) sweep's biggest FLOP bucket at 100k
+            # windows
+            inter = _count_dot(tr, t)
             s_r = (jnp.sum(tr.astype(jnp.float32), axis=1)
                    if tags_sum is None else _rows(tags_sum, start, block))
             # one fused elementwise pass: inter <= min(s_r, s_c) exactly
@@ -533,6 +587,8 @@ def candidate_rowblock(cols: Columns, start, block: int, k_basis: int,
     Callers must have checked :func:`cand_fold_supported`."""
     from mused_tpu.ops.pallas import cand_matvec as cm
     n = cols.n
+    pair = _pair_loc_time(cols, start, block, n, nbins, tn, use_kernel,
+                          k_basis)
     slabs, uid_rows, uid_cols = [], None, None
     for kind, t, valid in zip(cols.kinds, cols.tensors, cols.valids):
         extra = None
@@ -540,6 +596,11 @@ def candidate_rowblock(cols: Columns, start, block: int, k_basis: int,
             t, extra = t
         if kind == "username":
             uid_rows, uid_cols = cm.mask_uids(t, valid, nbins, start, block)
+            continue
+        if kind in pair:
+            keep, grp = _pair_keep(kind, pair,
+                                   _rows(valid, start, block), k_basis, n)
+            slabs.append(cm.pack_slab(keep, grp))
             continue
         spec = _kind_cand_spec(kind, t, valid, k_basis, start, block, n,
                                extra)

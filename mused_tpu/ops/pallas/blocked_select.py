@@ -58,9 +58,17 @@ def _sim_tile(ar, bc, metric: str, s_r, s_c):
     if metric == "dot":
         return jnp.dot(ar, bc.T, preferred_element_type=jnp.float32)
     if metric == "jaccard":
-        inter = jnp.dot(ar, bc.T, preferred_element_type=jnp.float32)
-        # counts and sums are exact (bf16 ints, f32 sums): union >= 0, and
-        # == 0 only where inter == 0 -> clamped quotient 0 (matches the
+        if ar.dtype == jnp.int8:
+            # int8 MXU dot at 2x the bf16 rate (probe: tags 7.25 -> 5.62
+            # ms/block); counts <= token cap are int8-exact, so inter is
+            # the SAME integer either way — sims bit-identical
+            inter = jnp.dot(ar, bc.T,
+                            preferred_element_type=jnp.int32
+                            ).astype(jnp.float32)
+        else:
+            inter = jnp.dot(ar, bc.T, preferred_element_type=jnp.float32)
+        # counts and sums are exact (bf16/int8 ints, f32 sums): union >= 0,
+        # and == 0 only where inter == 0 -> clamped quotient 0 (matches the
         # where(union > 0) guard of the strip path)
         return inter / jnp.maximum(s_r + s_c - inter, 1e-9)
     if metric == "chord":
@@ -211,6 +219,116 @@ def binned_candidates_pallas(cols: jax.Array, rows: jax.Array,
         interpret=interpret,
     )(start_arr, cols, rows, colv, s_r, s_c)
     return vals, grp
+
+
+def _pair_kernel(start_ref, colsA_ref, colsB_ref, rowsA_ref, rowsB_ref,
+                 colvA_ref, colvB_ref, valsA_ref, grpA_ref, valsB_ref,
+                 grpB_ref, *, metricA: str, metricB: str, tm: int, tn: int,
+                 nbins: int):
+    """Two cheap VPU metrics in ONE grid sweep (location chord3 + time l1
+    on the standard window): the sims are sub-ms at these widths, so each
+    separate sweep pays a near-constant per-sweep cost — sharing the grid,
+    DMA machinery, and the row/col-id masks lands the pair at ~max of the
+    singles, not their sum (probe: 9.07 -> 6.51 ms/block at the BASELINE
+    #3 shape).  Per-modality outputs are identical to two
+    binned_candidates_pallas calls (same formulas, same mask semantics,
+    same accumulator updates) — the per-modality XLA emulation stays the
+    bit-parity oracle."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    wraps = nbins // tn
+    g = j // wraps
+    slot0 = (j % wraps) * tn
+
+    @pl.when(j == 0)
+    def _():
+        valsA_ref[:] = jnp.full((tm, nbins), NEG, jnp.float32)
+        grpA_ref[:] = jnp.zeros((tm, nbins), jnp.int8)
+        valsB_ref[:] = jnp.full((tm, nbins), NEG, jnp.float32)
+        grpB_ref[:] = jnp.zeros((tm, nbins), jnp.int8)
+
+    simA = _sim_tile(rowsA_ref[:], colsA_ref[:], metricA, None, None)
+    simB = _sim_tile(rowsB_ref[:], colsB_ref[:], metricB, None, None)
+
+    start = start_ref[0, 0]
+    col0 = j * tn
+    col_ids = col0 + jax.lax.broadcasted_iota(jnp.int32, (tm, tn), 1)
+    row_ids = (start + i * tm
+               + jax.lax.broadcasted_iota(jnp.int32, (tm, tn), 0))
+    not_self = row_ids != col_ids
+    simA = jnp.where((colvA_ref[:] > 0) & not_self, simA, NEG)
+    simB = jnp.where((colvB_ref[:] > 0) & not_self, simB, NEG)
+
+    slot = pl.multiple_of(slot0, tn)
+    for vals_ref, grp_ref, sim in ((valsA_ref, grpA_ref, simA),
+                                   (valsB_ref, grpB_ref, simB)):
+        old = vals_ref[:, pl.ds(slot, tn)]
+        take = sim > old                 # strict: lowest group wins ties
+        vals_ref[:, pl.ds(slot, tn)] = jnp.where(take, sim, old)
+        grp_ref[:, pl.ds(slot, tn)] = jnp.where(
+            take, jnp.int8(g), grp_ref[:, pl.ds(slot, tn)])
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("metricA", "metricB", "nbins", "tn",
+                                    "tm", "block", "interpret"))
+def binned_candidates_pair_pallas(colsA: jax.Array, colsB: jax.Array,
+                                  rowsA: jax.Array, rowsB: jax.Array,
+                                  colvA: jax.Array, colvB: jax.Array,
+                                  start, *, metricA: str, metricB: str,
+                                  nbins: int, block: int, tn: int = 512,
+                                  tm: int = 2048, interpret: bool = False):
+    """Stride-binned candidates for TWO stat-free metrics (chord3/l1/dot)
+    over the same row range in one kernel launch.  Returns
+    (valsA, grpA, valsB, grpB) — each pair identical to the single-metric
+    binned_candidates_pallas outputs."""
+    n = colsA.shape[0]
+    tm = min(tm, block)
+    assert colsB.shape[0] == n, (colsA.shape, colsB.shape)
+    assert n % tn == 0 and nbins % tn == 0 and n % nbins == 0, \
+        (n, tn, nbins)
+    assert block % tm == 0, (block, tm)
+    assert n // nbins <= 127, "int8 group ids"
+    assert metricA not in ("jaccard", "chord") \
+        and metricB not in ("jaccard", "chord"), "stat metrics not paired"
+    start_arr = jnp.asarray(start, jnp.int32).reshape(1, 1)
+    cvA = colvA.astype(jnp.float32).reshape(1, n)
+    cvB = colvB.astype(jnp.float32).reshape(1, n)
+
+    def isz(x):
+        return 2 if x.dtype == jnp.bfloat16 else 4
+    est = (tm * (colsA.shape[1] * isz(colsA) + colsB.shape[1] * isz(colsB))
+           + 2 * tn * (colsA.shape[1] * isz(colsA)
+                       + colsB.shape[1] * isz(colsB))
+           + 2 * tm * tn * 4
+           + 2 * tm * nbins * 5)
+    est = est + est // 2 + (1 << 24)
+    outs = pl.pallas_call(
+        functools.partial(_pair_kernel, metricA=metricA, metricB=metricB,
+                          tm=tm, tn=tn, nbins=nbins),
+        grid=(block // tm, n // tn),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),               # start
+            pl.BlockSpec((tn, colsA.shape[1]), lambda i, j: (j, 0)),
+            pl.BlockSpec((tn, colsB.shape[1]), lambda i, j: (j, 0)),
+            pl.BlockSpec((tm, rowsA.shape[1]), lambda i, j: (i, 0)),
+            pl.BlockSpec((tm, rowsB.shape[1]), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, tn), lambda i, j: (0, j)),          # colv A
+            pl.BlockSpec((1, tn), lambda i, j: (0, j)),          # colv B
+        ],
+        out_specs=[pl.BlockSpec((tm, nbins), lambda i, j: (i, 0))
+                   for _ in range(4)],
+        out_shape=[
+            jax.ShapeDtypeStruct((block, nbins), jnp.float32),
+            jax.ShapeDtypeStruct((block, nbins), jnp.int8),
+            jax.ShapeDtypeStruct((block, nbins), jnp.float32),
+            jax.ShapeDtypeStruct((block, nbins), jnp.int8),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(120 << 20, max(est, 32 << 20))),
+        interpret=interpret,
+    )(start_arr, colsA, colsB, rowsA, rowsB, cvA, cvB)
+    return tuple(outs)
 
 
 def binned_candidates_reference(sim: jax.Array, col_valid: jax.Array,

@@ -52,12 +52,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 class CandBlock(NamedTuple):
     """Candidate-form fused adjacency rows [start, start+block) of an
-    implicit (n, n) fused kNN adjacency (n = groups * nbins)."""
+    implicit (n, n) fused kNN adjacency (n = groups * nbins).
 
-    slabs: jax.Array            # (M, block, nbins) int8: grp or -1
+    ``g0`` is the GLOBAL id of local group 0 (column c of local group g is
+    globally (g0 + g) * nbins + s): 0 on the single-chip path; on the
+    column-sharded layout (parallel/colsharded) each chip folds only the
+    groups it owns, with slabs re-encoded to LOCAL ids and g0 = its global
+    group offset — the username col ids and the self-column compare stay
+    globally correct while slab compares stay int8."""
+
+    slabs: jax.Array            # (M, block, nbins) int8: LOCAL grp or -1
     uid_rows: jax.Array | None  # (block, 1) int32, -1 where invalid
     uid_cols: jax.Array | None  # (groups, nbins) int32, -2 where invalid
     start: jax.Array            # () int32 — global row offset
+    g0: jax.Array | int = 0     # () int32 — global group offset
 
     @property
     def block(self) -> int:
@@ -88,11 +96,12 @@ def mask_uids(uid: jax.Array, valid: jax.Array, nbins: int,
     return urow.reshape(-1, 1), ucol
 
 
-def _mask_tile(slabs_ref, uidr_ref, uidc_ref, g, start, tm: int, nbins: int,
-               n_mod: int, has_user: bool):
-    """(tm, nbins) bool fused-adjacency tile for column group ``g``.
-    uidc_ref is the (1, nbins) slice of the FLAT (1, n) column-uid row
-    (column c = g*nbins + s lives at flat index c)."""
+def _mask_tile(slabs_ref, uidr_ref, uidc_ref, g, start, g0, tm: int,
+               nbins: int, n_mod: int, has_user: bool):
+    """(tm, nbins) bool fused-adjacency tile for LOCAL column group ``g``
+    (global group g0 + g).  uidc_ref is the (1, nbins) slice of the FLAT
+    (1, n_local) column-uid row (local column c = g*nbins + s lives at
+    flat index c)."""
     # slabs are int8 in HBM (bandwidth) but compare in i32: the v5e VPU
     # rejects sub-word compares ("Target does not support this comparison")
     mask = slabs_ref[0].astype(jnp.int32) == g
@@ -102,7 +111,7 @@ def _mask_tile(slabs_ref, uidr_ref, uidc_ref, g, start, tm: int, nbins: int,
         same = uidr_ref[:] == uidc_ref[:]          # (tm,1) vs (1,nbins)
         row_ids = (start
                    + jax.lax.broadcasted_iota(jnp.int32, (tm, nbins), 0))
-        col_ids = (g * nbins
+        col_ids = ((g0 + g) * nbins
                    + jax.lax.broadcasted_iota(jnp.int32, (tm, nbins), 1))
         mask = mask | (same & (row_ids != col_ids))
     return mask
@@ -115,7 +124,7 @@ def _matvec_t_kernel(start_ref, slabs_ref, uidr_ref, uidc_ref, x_ref,
     edges accumulates the exact fused edge count (= ||rows||_F^2 for 0/1)."""
     g = pl.program_id(0)
     mask = _mask_tile(slabs_ref, uidr_ref, uidc_ref, g, start_ref[0, 0],
-                      tm, nbins, n_mod, has_user)
+                      start_ref[0, 1], tm, nbins, n_mod, has_user)
     w = mask.astype(jnp.bfloat16)
     out_ref[:] = jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
 
@@ -131,7 +140,7 @@ def _matvec_kernel(start_ref, slabs_ref, uidr_ref, uidc_ref, y_ref,
     """out (tm, r) += W_g @ y[g*nbins:(g+1)*nbins]  accumulated over g."""
     g = pl.program_id(0)
     mask = _mask_tile(slabs_ref, uidr_ref, uidc_ref, g, start_ref[0, 0],
-                      tm, nbins, n_mod, has_user)
+                      start_ref[0, 1], tm, nbins, n_mod, has_user)
     w = mask.astype(jnp.bfloat16)
 
     @pl.when(g == 0)
@@ -147,7 +156,9 @@ def _operands(cand: CandBlock):
     has_user = cand.uid_rows is not None
     uidr = (cand.uid_rows if has_user
             else jnp.full((cand.block, 1), -1, jnp.int32))
-    start = jnp.asarray(cand.start, jnp.int32).reshape(1, 1)
+    start = jnp.stack([jnp.asarray(cand.start, jnp.int32).reshape(()),
+                       jnp.asarray(cand.g0, jnp.int32).reshape(())]
+                      ).reshape(1, 2)
     return has_user, uidr, start
 
 
@@ -251,7 +262,8 @@ def dense_tile_reference(cand: CandBlock, g: int | jax.Array) -> jax.Array:
     if cand.uid_rows is not None:
         same = cand.uid_rows == cand.uid_cols[g][None, :]
         row_ids = cand.start + jnp.arange(tm)[:, None]
-        col_ids = jnp.asarray(g, jnp.int32) * nbins + jnp.arange(nbins)
+        col_ids = ((jnp.asarray(cand.g0, jnp.int32) + g) * nbins
+                   + jnp.arange(nbins))
         mask = mask | (same & (row_ids != col_ids[None, :]))
     return mask
 

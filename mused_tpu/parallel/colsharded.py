@@ -126,6 +126,9 @@ def _bcast_rows(x_local: jax.Array, start, block: int,
     if sl.dtype == jnp.bool_:
         contrib = jnp.where(me == owner, sl, False).astype(jnp.int32)
         return jax.lax.psum(contrib, axis_name).astype(jnp.bool_)
+    if sl.dtype == jnp.int8:     # sub-word all-reduce support varies by
+        contrib = jnp.where(me == owner, sl, 0).astype(jnp.int32)   # backend
+        return jax.lax.psum(contrib, axis_name).astype(jnp.int8)
     contrib = jnp.where(me == owner, sl, jnp.zeros((), sl.dtype))
     return jax.lax.psum(contrib, axis_name)
 
@@ -219,7 +222,9 @@ def _prep_local_modalities(feat_shards: tuple, types: tuple, k_basis: int,
         ("chord3", _unit_xyz(loc, loc_valid), loc_valid, None, k_basis),
         ("l1", tim, tim_valid, None, 3 * k_basis),
         ("username", uid, uid >= 0, None, 0),
-        ("jaccard", bs.pad_features_128(tags.astype(jnp.bfloat16)),
+        # int8 tag counts (round 4, like standard_columns): exact up to the
+        # token cap, 2x MXU rate, half the panel bytes — sims bit-identical
+        ("jaccard", bs.pad_features_128(tags.astype(jnp.int8)),
          tags_valid, tags_sums, k_basis),
         ("dot", bs.pad_features_128(text.astype(jnp.bfloat16)),
          text_valid, None, k_basis),
@@ -269,7 +274,7 @@ def _sim_strip(metric: str, t, tr, s_c, s_r):
     if metric == "dot":
         return jnp.dot(tr, t.T, preferred_element_type=jnp.float32)
     if metric == "jaccard":
-        inter = jnp.dot(tr, t.T, preferred_element_type=jnp.float32)
+        inter = ba._count_dot(tr, t)      # int8 MXU path for int8 counts
         return inter / jnp.maximum(
             s_r[:, None] + s_c[None, :] - inter, 1e-9)
     if metric == "chord3":
@@ -286,12 +291,15 @@ def _sim_strip(metric: str, t, tr, s_c, s_r):
     raise ValueError(f"unknown metric {metric}")
 
 
-def _fused_block_local(mods: list, start, block: int, n: int, nbins: int,
-                       use_kernel: bool, tn: int,
-                       axis_name: str = _AXIS) -> jax.Array:
-    """This chip's (block, n/p) slice of fused adjacency rows
-    [start, start+block) — OR of the per-modality kNN adjacencies
-    (reference matrix_operations.py:134-141)."""
+def _select_candidates_local(mods: list, start, block: int, n: int,
+                             nbins: int, use_kernel: bool, tn: int,
+                             axis_name: str = _AXIS):
+    """Globally-merged kNN candidates for rows [start, start+block):
+    [(keep, gwin)] per kNN modality (replicated (block, nbins) kept-mask +
+    winning GLOBAL group ids), plus the username modality's local
+    (uid, valid) pair when present.  The one candidate-selection loop
+    shared by the dense assembly (_fused_block_local) and the
+    candidate-native fold (_cand_block_local)."""
     n_local = mods[0][1].shape[0]
     groups_local = n_local // nbins
     me = jax.lax.axis_index(axis_name)
@@ -299,20 +307,15 @@ def _fused_block_local(mods: list, start, block: int, n: int, nbins: int,
     # (start_adj + local row) == local column  <=>  global row == global col
     start_adj = start - me * n_local
 
-    keeps, gwins, dense = [], [], []
+    cands, user = [], None
     for metric, t, valid, stats, k in mods:
-        vr = _bcast_rows(valid, start, block, axis_name)
         if metric == "username":
-            # connects ALL same-user rows, k ignored (ref :55-72)
-            tr = _bcast_rows(t, start, block, axis_name)
-            same = (tr[:, None] == t[None, :]) & vr[:, None] & valid[None, :]
-            not_self = ((start + jnp.arange(block))[:, None]
-                        != (me * n_local + jnp.arange(n_local))[None, :])
-            dense.append(same & not_self)
+            user = (t, valid)           # k ignored (ref :55-72)
             continue
         k_eff = max(0, min(k, n - 1))
         if k_eff == 0:
             continue
+        vr = _bcast_rows(valid, start, block, axis_name)
         tr = _bcast_rows(t, start, block, axis_name)
         sr = (_bcast_rows(stats, start, block, axis_name)
               if stats is not None else None)
@@ -325,21 +328,75 @@ def _fused_block_local(mods: list, start, block: int, n: int, nbins: int,
             vals, grp = bs.binned_candidates_reference(sim, valid,
                                                        start_adj, nbins)
         vmax, gwin = _merge_candidates(vals, grp, groups_local, axis_name)
-        keeps.append(bs.budgeted_keep(vmax, vr, k_eff))
-        gwins.append(gwin)
+        cands.append((bs.budgeted_keep(vmax, vr, k_eff), gwin))
+    return cands, user
 
-    if keeps:
-        fused = _adjacency_local(keeps, gwins, groups_local, nbins, axis_name)
-        for m in dense:
-            fused = fused | m
-    elif dense:
-        fused = dense[0]
-        for m in dense[1:]:
-            fused = fused | m
-    else:   # every modality skipped (k_eff == 0 everywhere): zero edges,
-            # matching the single-chip path's knn_adjacency_block k=0 case
+
+def _fused_block_local(mods: list, start, block: int, n: int, nbins: int,
+                       use_kernel: bool, tn: int,
+                       axis_name: str = _AXIS) -> jax.Array:
+    """This chip's (block, n/p) slice of fused adjacency rows
+    [start, start+block) — OR of the per-modality kNN adjacencies
+    (reference matrix_operations.py:134-141)."""
+    n_local = mods[0][1].shape[0]
+    groups_local = n_local // nbins
+    me = jax.lax.axis_index(axis_name)
+    cands, user = _select_candidates_local(mods, start, block, n, nbins,
+                                           use_kernel, tn, axis_name)
+    if cands:
+        fused = _adjacency_local([kp for kp, _ in cands],
+                                 [gw for _, gw in cands],
+                                 groups_local, nbins, axis_name)
+    else:   # every kNN modality skipped (k_eff == 0 everywhere): zero
+            # edges, matching the single-chip knn_adjacency_block k=0 case
         fused = jnp.zeros((block, n_local), jnp.bool_)
+    if user is not None:
+        # username connects ALL same-user rows (ref :55-72)
+        uid, valid = user
+        tr = _bcast_rows(uid, start, block, axis_name)
+        vr = _bcast_rows(valid, start, block, axis_name)
+        same = (tr[:, None] == uid[None, :]) & vr[:, None] & valid[None, :]
+        not_self = ((start + jnp.arange(block))[:, None]
+                    != (me * n_local + jnp.arange(n_local))[None, :])
+        fused = fused | (same & not_self)
     return fused
+
+
+def _cand_block_local(cands: list, user, start, block: int, n_local: int,
+                      nbins: int, axis_name: str = _AXIS):
+    """This chip's candidate-form slice of the fused adjacency rows: the
+    column-sharded mirror of blocked_affinity.candidate_rowblock.
+
+    The merged candidates carry GLOBAL group ids; each chip re-encodes the
+    winners that land in ITS column range to LOCAL int8 ids (everything
+    else -> -1) and records its global group offset in CandBlock.g0, so
+    cand_matvec's kernels walk only the local groups while the username
+    col ids / self-column compare stay globally correct.  The implicit
+    matrix equals _fused_block_local's dense slice bit-for-bit (same
+    budgeted_keep winners, same uid equality; oracle-tested)."""
+    from mused_tpu.ops.pallas import cand_matvec as cm
+    groups_local = n_local // nbins
+    me = jax.lax.axis_index(axis_name)
+    g0 = (me * groups_local).astype(jnp.int32)
+    slabs = []
+    for keep, gwin in cands:
+        lg = gwin - g0
+        local = keep & (lg >= 0) & (lg < groups_local)
+        slabs.append(jnp.where(local, lg, -1).astype(jnp.int8))
+    if not slabs:               # username-only (or all-k=0) windows
+        slabs = [jnp.full((block, nbins), -1, jnp.int8)]
+    if user is not None:
+        uid, valid = user
+        urow = _bcast_rows(jnp.where(valid, uid, -1).astype(jnp.int32),
+                           start, block, axis_name)
+        uid_rows = urow.reshape(block, 1)
+        uid_cols = jnp.where(valid, uid, -2).astype(jnp.int32).reshape(
+            groups_local, nbins)
+    else:
+        uid_rows = None
+        uid_cols = jnp.full((groups_local, nbins), -2, jnp.int32)
+    return cm.CandBlock(jnp.stack(slabs), uid_rows, uid_cols,
+                        jnp.asarray(start, jnp.int32), g0)
 
 
 # ---------------------------------------------------------------------------
@@ -478,6 +535,98 @@ def _absorb_colsharded(state: fd.FDState, rows_l: jax.Array, mode: str,
     )
 
 
+def _shrink_rr_cands_psum(sketch_l: jax.Array, cand, ell: int,
+                          axis_name: str = _AXIS, oversample: int = 16,
+                          power_iters: int = 1):
+    """fd.shrink_rr_cands on a column-sharded implicit stack: the sketch is
+    (ellr, n/p) local, the rows live as this chip's candidate slice
+    (_cand_block_local), and — exactly like _shrink_rr_pair_psum — every
+    contraction over the sharded d axis psums its shard partials while the
+    iterate v / Rayleigh quotient stay replicated.  The G-applications run
+    straight off the int8 slabs (ops/pallas/cand_matvec with the chip's
+    group offset); the dense (block, n/p) slice never exists.  delta keeps
+    the exact trace-residual accounting: edges is the psum of per-chip
+    integer edge counts, so the telescoped FD bound argument of
+    fd.shrink_rr applies unchanged.
+
+    Returns (B' (ell, n/p), delta, edges) — edges GLOBAL (replicated), for
+    the caller's sq_frobenius bookkeeping."""
+    from mused_tpu.ops.pallas import cand_matvec as cm
+    use_kernel = jax.default_backend() == "tpu"
+    hi = jax.lax.Precision.HIGHEST
+    ellr = sketch_l.shape[0]
+    m = cand.block
+    m2 = ellr + m
+    r = min(ell + oversample, m2)
+    rp = -(-r // 128) * 128          # kernel sublane/lane padding
+
+    def _pad_rows(x, rows):
+        return jnp.pad(x, ((0, rows - x.shape[0]), (0, 0)))
+
+    def at_rows(v_r):     # probe-precision rows^T v_r: (m, r) -> (d/p, r)
+        x_t = _pad_rows(v_r.T.astype(jnp.bfloat16), rp)
+        out_t, _ = cm.matvec_t(cand, x_t, use_kernel)
+        return out_t[:r].T                        # local slice — no psum
+
+    def a_rows(y_l):      # probe-precision rows @ y: (d/p, r) -> (m, r)
+        yb = jnp.pad(y_l, ((0, 0), (0, rp - r))).astype(jnp.bfloat16)
+        return jax.lax.psum(cm.matvec(cand, yb, use_kernel)[:, :r],
+                            axis_name)
+
+    v = jax.random.normal(jax.random.key(7), (m2, r), jnp.float32)
+    for _ in range(power_iters):
+        y0 = jnp.dot(sketch_l.T, v[:ellr]) + at_rows(v[ellr:])
+        z = jnp.concatenate(
+            [jax.lax.psum(jnp.dot(sketch_l, y0), axis_name), a_rows(y0)],
+            axis=0)
+        v = jnp.linalg.qr(z)[0]                   # replicated
+    v_r = v[ellr:]
+    v_hi = v_r.astype(jnp.bfloat16)
+    v_lo = (v_r - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    x_t = jnp.concatenate([_pad_rows(v_hi.T, rp), _pad_rows(v_lo.T, rp)],
+                          axis=0)
+    out_t, edges_l = cm.matvec_t(cand, x_t, use_kernel)
+    edges = jax.lax.psum(edges_l, axis_name)
+    y = (jnp.dot(sketch_l.T, v[:ellr], precision=hi)
+         + (out_t[:r] + out_t[rp:rp + r]).T)      # (d/p, r) local
+    h = jax.lax.psum(jnp.dot(y.T, y, precision=hi), axis_name)
+    h = 0.5 * (h + h.T)
+    _, p = jnp.linalg.eigh(h)
+    b = jnp.dot(p[:, ::-1][:, :ell].T, y.T, precision=hi)   # (ell, d/p)
+    sq = jax.lax.psum(jnp.sum(sketch_l * sketch_l), axis_name) + edges
+    bsq = jax.lax.psum(jnp.sum(b * b), axis_name)
+    delta = jnp.maximum(sq - bsq, 0.0)
+    return (b.astype(sketch_l.dtype), delta.astype(jnp.float32),
+            edges.astype(jnp.float32))
+
+
+def _absorb_colsharded_cand(state: fd.FDState, cand,
+                            axis_name: str = _AXIS) -> fd.FDState:
+    """fd-update on a candidate-form column-sharded block: the skip test
+    reduces over the mesh so every chip takes the same branch (a chip's
+    LOCAL slab may be empty while the global block has edges); all-empty
+    blocks are an exact FD no-op, mirroring shrink_rr_cands's skip."""
+    nonzero_l = jnp.any(cand.slabs != jnp.int8(-1))
+    if cand.uid_rows is not None:
+        nonzero_l = nonzero_l | jnp.any(cand.uid_rows >= 0)
+    nonzero = jax.lax.psum(nonzero_l.astype(jnp.float32), axis_name) > 0
+
+    def _absorb(sk):
+        return _shrink_rr_cands_psum(sk, cand, state.ell, axis_name)
+
+    def _skip(sk):
+        return sk, jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32)
+
+    new_sketch, delta, edges = jax.lax.cond(nonzero, _absorb, _skip,
+                                            state.sketch)
+    return fd.FDState(
+        sketch=new_sketch,
+        sq_frobenius=state.sq_frobenius + edges,   # == psum of ||rows||_F^2
+        shrink_loss=state.shrink_loss + delta,
+        count=state.count + jnp.int32(cand.block),
+    )
+
+
 # ---------------------------------------------------------------------------
 # entry points
 # ---------------------------------------------------------------------------
@@ -544,7 +693,8 @@ def colsharded_blocked_fd_sketch(feats: tuple, types: tuple, *, ell: int,
                                  block: int, k_basis: int, mesh,
                                  mode: str = "subspace",
                                  tags_dim: int = 2048, text_dim: int = 4096,
-                                 nbins: int | None = None):
+                                 nbins: int | None = None,
+                                 cand_fold: bool | None = None):
     """FD sketch (ell, n) of the implicit fused adjacency of a HUGE window,
     with the window's FEATURES column-sharded over the mesh.
 
@@ -561,6 +711,17 @@ def colsharded_blocked_fd_sketch(feats: tuple, types: tuple, *, ell: int,
     pd ways over "data" (throughput), with one final merge shrink over the
     gathered per-group sketches (its delta joins the honest loss).
 
+    ``cand_fold``: absorb CANDIDATE-form slices (_cand_block_local +
+    _shrink_rr_cands_psum) — each chip's dense (block, n/pm) adjacency
+    slice never materializes; the fold's d-contractions run off the int8
+    slabs and psum exactly like the dense colsharded fold.  Needs the rr
+    shrink (every colsharded modality is binned-eligible by construction —
+    this layout has no strip path).  None = auto: ON on TPU, OFF elsewhere
+    (the per-group XLA emulation saves nothing on CPU); explicit True
+    forces the emulation products (the mesh-test oracle).  Composes with
+    the GRID layout unchanged: per-group sweeps absorb candidates, the
+    cross-group merge shrink consumes sketches and stays dense.
+
     Requirements: pm | n, block | n/pm, pd | (n/block), and a binnable
     structure (default_nbins_colsharded) — this layout has no strip
     fallback since a (block, n) strip is exactly what cannot exist on one
@@ -573,20 +734,25 @@ def colsharded_blocked_fd_sketch(feats: tuple, types: tuple, *, ell: int,
     if mode not in ("eigh", "rr"):
         raise ValueError(f"colsharded fold supports 'eigh'/'rr' (via "
                          f"'subspace'), got {mode!r}")
+    if cand_fold is None:
+        cand_fold = mode == "rr" and jax.default_backend() == "tpu"
+    elif cand_fold and mode != "rr":
+        raise ValueError("colsharded cand_fold=True needs the rr shrink "
+                         "(mode='subspace'/'rr')")
     feats = _place_row_sharded(feats, mesh, col_axis)
     return _colsharded_fd_impl(feats, types=types, ell=ell, block=block,
                                k_basis=k_basis, mesh=mesh, mode=mode,
                                tags_dim=tags_dim, text_dim=text_dim,
-                               nbins=nbins)
+                               nbins=nbins, cand_fold=bool(cand_fold))
 
 
 @functools.partial(jax.jit,
                    static_argnames=("types", "ell", "block", "k_basis",
                                     "mesh", "mode", "tags_dim", "text_dim",
-                                    "nbins"))
+                                    "nbins", "cand_fold"))
 def _colsharded_fd_impl(feats: tuple, *, types: tuple, ell: int, block: int,
                         k_basis: int, mesh, mode: str, tags_dim: int,
-                        text_dim: int, nbins: int):
+                        text_dim: int, nbins: int, cand_fold: bool = False):
     n = feats[0].shape[0]
     col_axis, row_axis, pm, pd = _mesh_axes(mesh)
     n_local = n // pm
@@ -600,6 +766,12 @@ def _colsharded_fd_impl(feats: tuple, *, types: tuple, ell: int, block: int,
         out_dt = jnp.bfloat16 if mode == "rr" else jnp.float32
 
         def step(state, start):
+            if cand_fold:
+                cands, user = _select_candidates_local(
+                    mods, start, block, n, nbins, use_kernel, tn, col_axis)
+                cand = _cand_block_local(cands, user, start, block, n_local,
+                                         nbins, col_axis)
+                return _absorb_colsharded_cand(state, cand, col_axis), None
             fused = _fused_block_local(mods, start, block, n, nbins,
                                        use_kernel, tn, col_axis)
             return _update_colsharded(state, fused.astype(out_dt), mode,

@@ -423,3 +423,97 @@ def test_engine_columns_layout_validation(engine_stream):
                                        force_blocked_window=True,
                                        approach="SWFDMC",
                                        huge_window_layout="grid"))
+
+
+def test_colsharded_cand_fold_matches_dense(rng, mesh4):
+    """Candidate-native colsharded fold (VERDICT r3 next #6): forced
+    cand_fold=True (XLA reference products on the CPU mesh) vs the dense
+    colsharded fold on the SAME merged candidates — identical edge
+    bookkeeping (sq is the exact integer edge count both ways), covariance
+    agreement to probe rounding (same relationship as the single-chip
+    cand-vs-dense fold), and the honest bound holds.  Also pins colsharded
+    cand vs SINGLE-CHIP cand fold: same algorithm, psum order only."""
+    wf = _standard_window(rng, n=512)
+    cols = ba.standard_columns(wf)
+    nbins, block, ell, kb = 128, 64, 16, 3
+    sk_c, sq_c, loss_c = cs.colsharded_blocked_fd_sketch(
+        tuple(wf), ("standard",), ell=ell, block=block, k_basis=kb,
+        mesh=mesh4, mode="subspace", nbins=nbins, cand_fold=True)
+    sk_d, sq_d, loss_d = cs.colsharded_blocked_fd_sketch(
+        tuple(wf), ("standard",), ell=ell, block=block, k_basis=kb,
+        mesh=mesh4, mode="subspace", nbins=nbins, cand_fold=False)
+    sk_1, sq_1, _ = ba.blocked_fd_sketch(
+        cols, ell=ell, block=block, k_basis=kb, mode="subspace",
+        select="binned", nbins=nbins, cand_fold=True)
+    # exact integer edge-count bookkeeping, all three ways
+    assert float(sq_c) == pytest.approx(float(sq_d), rel=1e-6)
+    assert float(sq_c) == pytest.approx(float(sq_1), rel=1e-6)
+
+    g_c = np.asarray(sk_c, np.float64).T @ np.asarray(sk_c, np.float64)
+    g_d = np.asarray(sk_d, np.float64).T @ np.asarray(sk_d, np.float64)
+    g_1 = np.asarray(sk_1, np.float64).T @ np.asarray(sk_1, np.float64)
+    scale = max(np.abs(g_d).max(), 1.0)
+    np.testing.assert_allclose(g_c, g_d, atol=5e-2 * scale)
+    np.testing.assert_allclose(g_c, g_1, atol=5e-2 * scale)
+
+    # honest bound for the candidate-native colsharded sketch on its own
+    full = np.concatenate(
+        [np.asarray(ba.fused_rowblock(cols, jnp.int32(s), block, kb,
+                                      select="binned", nbins=nbins))
+         for s in range(0, 512, block)])
+    err = float(fd.covariance_error(jnp.asarray(full), sk_c))
+    bound = min(float(loss_c), float(sq_c) / ell)
+    assert err <= bound * 1.01 + 1e-3
+
+
+def test_grid_cand_fold(rng):
+    """Cand fold on the GRID layout (2 row groups x 4 column shards): the
+    per-group sweeps absorb candidates, the cross-group merge shrink stays
+    dense.  Edge bookkeeping matches the dense grid fold exactly; the
+    sketches themselves are compared on what matters — both satisfy the
+    honest FD bound and land at comparable covariance error vs the TRUE
+    dense adjacency (at this toy scale loss/sq ~ 0.75, so the retained
+    signal is tiny and elementwise covariance closeness is dominated by
+    probe rounding: measured cand 173.3 vs dense 178.9 at bound 852)."""
+    from mused_tpu.parallel.mesh import make_mesh
+    mesh_grid = make_mesh(n_data=2, n_model=4)
+    wf = _standard_window(rng, n=512)
+    cols = ba.standard_columns(wf)
+    nbins, block, ell, kb = 128, 64, 16, 3
+    kw = dict(ell=ell, block=block, k_basis=kb, mesh=mesh_grid,
+              mode="subspace", nbins=nbins)
+    sk_c, sq_c, loss_c = cs.colsharded_blocked_fd_sketch(
+        tuple(wf), ("standard",), cand_fold=True, **kw)
+    sk_d, sq_d, loss_d = cs.colsharded_blocked_fd_sketch(
+        tuple(wf), ("standard",), cand_fold=False, **kw)
+    assert float(sq_c) == pytest.approx(float(sq_d), rel=1e-6)
+    full = np.concatenate(
+        [np.asarray(ba.fused_rowblock(cols, jnp.int32(s), block, kb,
+                                      select="binned", nbins=nbins))
+         for s in range(0, 512, block)])
+    err_c = float(fd.covariance_error(jnp.asarray(full), sk_c))
+    err_d = float(fd.covariance_error(jnp.asarray(full), sk_d))
+    bound = min(float(loss_c), float(sq_c) / ell)
+    assert err_c <= bound * 1.01 + 1e-3
+    assert err_c <= err_d * 1.10 + 1e-3, (err_c, err_d)
+
+
+def test_colsharded_cand_fold_generic_no_user(rng, mesh4):
+    """Generic embedding streams (no username modality) run the colsharded
+    cand fold: dummy uid_cols carry the geometry; edges match dense."""
+    n, block, kb = 256, 64, 4
+    emb = rng.normal(size=(n, 32)).astype(np.float32)
+    feats = (emb,)
+    types = ("embedding",)
+    nbins = cs.default_nbins_colsharded(n, 4, k_max=3 * kb)
+    kw = dict(ell=16, block=block, k_basis=kb, mesh=mesh4, nbins=nbins,
+              mode="subspace")
+    sk_c, sq_c, _ = cs.colsharded_blocked_fd_sketch(
+        feats, types, cand_fold=True, **kw)
+    sk_d, sq_d, _ = cs.colsharded_blocked_fd_sketch(
+        feats, types, cand_fold=False, **kw)
+    assert float(sq_c) == pytest.approx(float(sq_d), rel=1e-6)
+    g_c = np.asarray(sk_c, np.float64).T @ np.asarray(sk_c, np.float64)
+    g_d = np.asarray(sk_d, np.float64).T @ np.asarray(sk_d, np.float64)
+    scale = max(np.abs(g_d).max(), 1.0)
+    np.testing.assert_allclose(g_c, g_d, atol=5e-2 * scale)
