@@ -309,9 +309,9 @@ def config6_serving():
     mods, mtypes, labels = crisis_embedding_stream(
         n_rows=subset, n_events=5, noise_rate=0.3, d_text=256, d_image=256,
         seed=0)
-    det_kw = dict(window_size=window, approach="sSpectral", reduced_dim=128,
-                  k_basis=8, max_events=32, k_estimate="eigengap",
-                  matching="centroid", max_lag=2)
+    det_kw = dict(approach="sSpectral", reduced_dim=128, k_basis=8,
+                  max_events=32, k_estimate="eigengap", matching="centroid",
+                  max_lag=2)
 
     def stream_through(det, timed):
         lat, results, max_lag_w = [], [], 0
@@ -453,6 +453,13 @@ def config5_merged_sketch_delta():
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="rerun just these configs (e.g. config6), merging "
+                         "into the existing BENCH_DETAIL.json")
+    args = ap.parse_args()
+
     from mused_tpu.utils.runtime import enable_compilation_cache
     enable_compilation_cache()
     import jax
@@ -461,6 +468,12 @@ def main():
         # errored OR hung tunnel (probed in a subprocess — in-process init
         # would wedge on the hang mode and pin the platform besides)
         jax.config.update("jax_platforms", "cpu")
+    if args.only:
+        try:
+            with open("BENCH_DETAIL.json") as f:
+                RESULTS.update(json.load(f))
+        except FileNotFoundError:
+            pass
     RESULTS["backend"] = jax.default_backend()
 
     for name, fn in [("config1", config1_sketch),
@@ -471,8 +484,11 @@ def main():
                      ("config4", config4_affinity_gflops),
                      ("config5", config5_merged_sketch_delta),
                      ("config6", config6_serving)]:
+        if args.only and name not in args.only:
+            continue
         try:
             t0 = time.perf_counter()
+            RESULTS.pop(f"{name}_error", None)
             fn()
             print(f"{name}: ok ({time.perf_counter() - t0:.1f}s)")
         except Exception as e:   # noqa: BLE001 — record, keep benching

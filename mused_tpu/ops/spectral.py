@@ -50,7 +50,8 @@ def _njw_embedding(vecs_desc: jax.Array, n_components,
 
 def eigengap_k_from_spectrum(lam_desc: jax.Array, *, k_max: int,
                              k_min: int = 1,
-                             floor: float = 1e-3) -> jax.Array:
+                             floor: float = 1e-3,
+                             rel_floor: float = 0.2) -> jax.Array:
     """Label-free cluster count from the normalized-affinity spectrum.
 
     For c well-separated clusters the normalized affinity has c eigenvalues
@@ -60,12 +61,25 @@ def eigengap_k_from_spectrum(lam_desc: jax.Array, *, k_max: int,
     graph's spectrum keeps decaying smoothly past the cluster block and
     the biggest absolute drop often sits deep in that tail (measured: a
     planted-2-cluster window put λ₇−λ₈ = 0.38 against the true cluster gap
-    λ₂−λ₃ = 0.18).  ``floor`` clamps μ so ratios between the near-zero
-    within-cluster values (pure noise) cannot compete with the cluster
-    jump.  The spectral counterpart of ops/reduction.eigengap_k (which
-    works on singular-value energies of the reduced window)."""
+    λ₂−λ₃ = 0.18).
+
+    The clamp on μ must be DATA-SCALED, not absolute: any connected graph
+    has μ₁ = 0 exactly (the trivial eigenvalue), so with a tiny absolute
+    floor the i=1 ratio μ₂/floor measures connectivity, not structure — on
+    realistic noisy windows where within-cluster μ's are small-but-nonzero
+    it reached ~120 and the estimate locked to k=1 (crisis stream: every
+    window answered 1 against 5 planted events).  Clamping every μ at
+    ``rel_floor`` × the spectrum's tail scale μ_m makes near-zero values —
+    trivial OR structural — mutually ratio-1, so k=1 wins only when μ₂ is
+    genuinely tail-sized (no nontrivial near-null direction).  Measured on
+    crisis windows (5 events + noise class): noise 0.05/0.3 → k=5, 2
+    events → 2, 12 events → 12, structureless all-noise window → 1.
+    ``floor`` remains the absolute backstop for degenerate all-zero tails.
+    The spectral counterpart of ops/reduction.eigengap_k (which works on
+    singular-value energies of the reduced window)."""
     m = min(k_max + 1, lam_desc.shape[0])
-    mu = jnp.maximum(1.0 - lam_desc[:m], floor)
+    mu = 1.0 - lam_desc[:m]
+    mu = jnp.maximum(mu, jnp.maximum(floor, rel_floor * mu[m - 1]))
     ratios = mu[1:] / mu[:-1]
     k = jnp.argmax(ratios) + 1
     return jnp.clip(k, k_min, k_max).astype(jnp.int32)

@@ -80,3 +80,25 @@ def test_eigengap_k_ignores_rank_cutoff(rng):
     e = np.array([100.0, 98.0, 95.0, 5, 4, 3, 2, 1] + [0.0] * 24, np.float32)
     reduced = jnp.asarray(np.diag(np.sqrt(e)))       # column energies == e
     assert int(reduction.eigengap_k(reduced, k_max=30)) == 3
+
+
+def test_eigengap_k_perron_inflated_leader():
+    """A noise-inflated leading (Perron/degree) energy must not hijack the
+    count when a strong structural gap exists later.  Profile shaped like a
+    measured planted-6-event window at noise 0.65 (plus the noise class —
+    7 structural directions): before the strong-secondary-gap rule the
+    estimator answered k=1 there (the e1/e2 ratio beats every real gap)."""
+    e = np.array([2231.0, 1059, 975, 924, 891, 862, 759]
+                 + list(np.linspace(558, 300, 13)), np.float32)
+    reduced = jnp.asarray(np.diag(np.sqrt(e)))
+    assert int(reduction.eigengap_k(reduced, k_max=19)) == 7
+
+
+def test_eigengap_k_structureless_stays_one():
+    """With no strong secondary gap anywhere (structureless window: smooth
+    tail decay after the Perron direction) the i=1 gap stands and the
+    estimate stays 1."""
+    e = np.array([2680.0, 708, 624, 586, 553, 531, 515, 467, 448, 424]
+                 + list(np.linspace(410, 300, 11)), np.float32)
+    reduced = jnp.asarray(np.diag(np.sqrt(e)))
+    assert int(reduction.eigengap_k(reduced, k_max=20)) == 1

@@ -232,12 +232,17 @@ def test_scanned_serving_chunk_invariance_and_save_load(stream, tmp_path):
     for x, y in zip(a, b):
         assert np.array_equal(x.clusters, y.clusters)
 
-    # save after 5 windows (one full group dispatched + 1 buffered)
+    # save after 5 windows (one full group dispatched + 1 buffered) plus a
+    # 7-row partial buffer.  The pre-save pushes must stop exactly at the
+    # cut: an earlier version pushed m[lo:lo+128] past it, double-feeding
+    # 121 rows after resume — invisible while the old eigengap estimator
+    # collapsed every window to k=1 (all-one-cluster labels compare equal
+    # for ANY rows), caught the moment the estimator produced real counts.
     det = StreamDetector(mtypes, 128, cfg=_cfg(wpb=4), max_lag=2)
     out = []
     cut = 5 * 128 + 7
     for lo in range(0, cut, 128):
-        out.extend(det.push([m[lo:lo + 128] for m in mods]))
+        out.extend(det.push([m[lo:min(lo + 128, cut)] for m in mods]))
     path = str(tmp_path / "det.ckpt")
     out.extend(det.save(path))
     det2 = StreamDetector.load(path)

@@ -91,3 +91,27 @@ def test_dense_spectral_eigengap_recovers_planted_count(rng):
             fused, jnp.int32(1), jax.random.key(2), k_max=8,
             k_source="eigengap")   # the given count (1) must be ignored
         assert len(np.unique(np.asarray(labels))) == c
+
+
+def test_spectral_eigengap_trivial_eigenvalue_not_k1():
+    """lambda_1 = 1 exactly (mu_1 = 0) for ANY connected normalized
+    affinity; with an absolute floor the i=1 ratio mu_2/floor measured
+    ~120x on realistic noisy windows and locked the estimate to k=1
+    (crisis stream: every window answered 1 against 5 planted events).
+    The data-scaled clamp makes near-zero mu's — trivial or structural —
+    mutually ratio-1, so the planted count wins.  Profile shaped like a
+    measured crisis window (5 events, noise 0.3)."""
+    lam = np.array([1.0, 0.88, 0.87, 0.866, 0.847, 0.459, 0.419, 0.412,
+                    0.40, 0.395] + list(np.linspace(0.39, 0.30, 23)),
+                   np.float32)
+    k = int(spectral.eigengap_k_from_spectrum(jnp.asarray(lam), k_max=32))
+    assert k == 5, k
+
+
+def test_spectral_eigengap_structureless_stays_k1():
+    """A structureless window (no nontrivial near-null direction: mu_2
+    already tail-sized) must still answer 1 under the data-scaled clamp."""
+    lam = np.array([1.0, 0.467, 0.453, 0.451, 0.45, 0.443, 0.436, 0.433]
+                   + list(np.linspace(0.43, 0.30, 25)), np.float32)
+    k = int(spectral.eigengap_k_from_spectrum(jnp.asarray(lam), k_max=32))
+    assert k == 1, k
