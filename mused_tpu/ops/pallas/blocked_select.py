@@ -222,18 +222,22 @@ def binned_candidates_pallas(cols: jax.Array, rows: jax.Array,
 
 
 def _pair_kernel(start_ref, colsA_ref, colsB_ref, rowsA_ref, rowsB_ref,
-                 colvA_ref, colvB_ref, valsA_ref, grpA_ref, valsB_ref,
+                 colvA_ref, colvB_ref, srA_ref, scA_ref, srB_ref, scB_ref,
+                 valsA_ref, grpA_ref, valsB_ref,
                  grpB_ref, *, metricA: str, metricB: str, tm: int, tn: int,
                  nbins: int):
-    """Two cheap VPU metrics in ONE grid sweep (location chord3 + time l1
-    on the standard window): the sims are sub-ms at these widths, so each
-    separate sweep pays a near-constant per-sweep cost — sharing the grid,
-    DMA machinery, and the row/col-id masks lands the pair at ~max of the
-    singles, not their sum (probe: 9.07 -> 6.51 ms/block at the BASELINE
-    #3 shape).  Per-modality outputs are identical to two
-    binned_candidates_pallas calls (same formulas, same mask semantics,
-    same accumulator updates) — the per-modality XLA emulation stays the
-    bit-parity oracle."""
+    """Two metrics in ONE grid sweep: each separate sweep pays a
+    near-constant per-sweep cost (grid setup, DMA machinery, the row/col-id
+    mask epilogue), so sharing the sweep lands the pair near max of the
+    singles, not their sum.  Measured at the BASELINE #3 shape: location
+    chord3 + time l1 9.07 -> 6.51 ms/block (the VPU sims are sub-ms at
+    these widths), tags jaccard + text dot 17.1 -> 13.3 ms/block (the two
+    MXU dots share one epilogue).  Stat metrics (jaccard/chord) take their
+    hoisted row/col statistics via the sr/sc operands — dummy tiny tensors
+    for stat-free metrics, exactly like the single kernel.  Per-modality
+    outputs are identical to two binned_candidates_pallas calls (same
+    formulas, same mask semantics, same accumulator updates) — the
+    per-modality XLA emulation stays the bit-parity oracle."""
     i = pl.program_id(0)
     j = pl.program_id(1)
     wraps = nbins // tn
@@ -247,8 +251,14 @@ def _pair_kernel(start_ref, colsA_ref, colsB_ref, rowsA_ref, rowsB_ref,
         valsB_ref[:] = jnp.full((tm, nbins), NEG, jnp.float32)
         grpB_ref[:] = jnp.zeros((tm, nbins), jnp.int8)
 
-    simA = _sim_tile(rowsA_ref[:], colsA_ref[:], metricA, None, None)
-    simB = _sim_tile(rowsB_ref[:], colsB_ref[:], metricB, None, None)
+    statsA = metricA in ("jaccard", "chord")
+    statsB = metricB in ("jaccard", "chord")
+    simA = _sim_tile(rowsA_ref[:], colsA_ref[:], metricA,
+                     srA_ref[:] if statsA else None,
+                     scA_ref[:] if statsA else None)
+    simB = _sim_tile(rowsB_ref[:], colsB_ref[:], metricB,
+                     srB_ref[:] if statsB else None,
+                     scB_ref[:] if statsB else None)
 
     start = start_ref[0, 0]
     col0 = j * tn
@@ -276,12 +286,19 @@ def binned_candidates_pair_pallas(colsA: jax.Array, colsB: jax.Array,
                                   rowsA: jax.Array, rowsB: jax.Array,
                                   colvA: jax.Array, colvB: jax.Array,
                                   start, *, metricA: str, metricB: str,
-                                  nbins: int, block: int, tn: int = 512,
+                                  nbins: int, block: int,
+                                  row_sumsA: jax.Array | None = None,
+                                  row_statsA: jax.Array | None = None,
+                                  row_sumsB: jax.Array | None = None,
+                                  row_statsB: jax.Array | None = None,
+                                  tn: int = 512,
                                   tm: int = 2048, interpret: bool = False):
-    """Stride-binned candidates for TWO stat-free metrics (chord3/l1/dot)
-    over the same row range in one kernel launch.  Returns
-    (valsA, grpA, valsB, grpB) — each pair identical to the single-metric
-    binned_candidates_pallas outputs."""
+    """Stride-binned candidates for TWO metrics over the same row range in
+    one kernel launch.  Stat metrics (jaccard/chord) pass their hoisted
+    per-column statistics via row_sums{A,B} (and optionally pre-sliced
+    row-side stats via row_stats{A,B}, the colsharded contract of the
+    single kernel).  Returns (valsA, grpA, valsB, grpB) — each pair
+    identical to the single-metric binned_candidates_pallas outputs."""
     n = colsA.shape[0]
     tm = min(tm, block)
     assert colsB.shape[0] == n, (colsA.shape, colsB.shape)
@@ -289,14 +306,29 @@ def binned_candidates_pair_pallas(colsA: jax.Array, colsB: jax.Array,
         (n, tn, nbins)
     assert block % tm == 0, (block, tm)
     assert n // nbins <= 127, "int8 group ids"
-    assert metricA not in ("jaccard", "chord") \
-        and metricB not in ("jaccard", "chord"), "stat metrics not paired"
     start_arr = jnp.asarray(start, jnp.int32).reshape(1, 1)
     cvA = colvA.astype(jnp.float32).reshape(1, n)
     cvB = colvB.astype(jnp.float32).reshape(1, n)
 
+    def stats_for(metric, row_sums, row_stats):
+        if metric in ("jaccard", "chord"):
+            assert row_sums is not None, metric
+            if row_stats is not None:
+                s_r = row_stats.astype(jnp.float32).reshape(block, 1)
+            else:
+                s_r = jax.lax.dynamic_slice_in_dim(
+                    row_sums, start, block).astype(
+                        jnp.float32).reshape(block, 1)
+            return s_r, row_sums.astype(jnp.float32).reshape(1, n)
+        return (jnp.zeros((block, 1), jnp.float32),
+                jnp.zeros((1, n), jnp.float32))
+
+    srA, scA = stats_for(metricA, row_sumsA, row_statsA)
+    srB, scB = stats_for(metricB, row_sumsB, row_statsB)
+
     def isz(x):
-        return 2 if x.dtype == jnp.bfloat16 else 4
+        return 2 if x.dtype == jnp.bfloat16 else (1 if x.dtype == jnp.int8
+                                                  else 4)
     est = (tm * (colsA.shape[1] * isz(colsA) + colsB.shape[1] * isz(colsB))
            + 2 * tn * (colsA.shape[1] * isz(colsA)
                        + colsB.shape[1] * isz(colsB))
@@ -315,6 +347,10 @@ def binned_candidates_pair_pallas(colsA: jax.Array, colsB: jax.Array,
             pl.BlockSpec((tm, rowsB.shape[1]), lambda i, j: (i, 0)),
             pl.BlockSpec((1, tn), lambda i, j: (0, j)),          # colv A
             pl.BlockSpec((1, tn), lambda i, j: (0, j)),          # colv B
+            pl.BlockSpec((tm, 1), lambda i, j: (i, 0)),          # s_r A
+            pl.BlockSpec((1, tn), lambda i, j: (0, j)),          # s_c A
+            pl.BlockSpec((tm, 1), lambda i, j: (i, 0)),          # s_r B
+            pl.BlockSpec((1, tn), lambda i, j: (0, j)),          # s_c B
         ],
         out_specs=[pl.BlockSpec((tm, nbins), lambda i, j: (i, 0))
                    for _ in range(4)],
@@ -327,7 +363,7 @@ def binned_candidates_pair_pallas(colsA: jax.Array, colsB: jax.Array,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(120 << 20, max(est, 32 << 20))),
         interpret=interpret,
-    )(start_arr, colsA, colsB, rowsA, rowsB, cvA, cvB)
+    )(start_arr, colsA, colsB, rowsA, rowsB, cvA, cvB, srA, scA, srB, scB)
     return tuple(outs)
 
 

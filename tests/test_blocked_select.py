@@ -286,3 +286,41 @@ def test_jaccard_int8_bitexact_vs_f32():
         valid, jnp.int32(start), **kw)
     np.testing.assert_array_equal(np.asarray(v8), np.asarray(vf))
     np.testing.assert_array_equal(np.asarray(g8), np.asarray(gf))
+
+
+def test_pair_kernel_stat_metrics_match_singles():
+    """The generalized pair kernel accepts STAT metrics (jaccard via
+    hoisted sums) next to stat-free ones: tags jaccard (int8) + text dot
+    (bf16) in one sweep must bit-equal the two single-metric kernels.
+    (Measured at the BASELINE #3 shape the pairing saves only ~0.8
+    ms/block — the MXU dots dominate and only the epilogue is shared — so
+    production keeps separate sweeps; the capability is tested here.)"""
+    rng = np.random.default_rng(2)
+    n, block, start, tn, nbins = 512, 128, 256, 128, 128
+    tags = (rng.random((n, 256)) < 0.05).astype(np.int8)
+    text = rng.standard_normal((n, 256)).astype(np.float32)
+    text /= np.maximum(np.linalg.norm(text, axis=1, keepdims=True), 1e-9)
+    tags_j = jnp.asarray(tags)
+    text_j = jnp.asarray(text, jnp.bfloat16)
+    sums = jnp.sum(tags_j.astype(jnp.float32), axis=1)
+    vA = jnp.asarray(rng.random(n) > 0.1)
+    vB = jnp.asarray(rng.random(n) > 0.2)
+
+    va, ga, vb, gb = bs.binned_candidates_pair_pallas(
+        tags_j, text_j, tags_j[start:start + block],
+        text_j[start:start + block], vA, vB, jnp.int32(start),
+        metricA="jaccard", metricB="dot", nbins=nbins, block=block,
+        row_sumsA=sums, tn=tn, interpret=True)
+
+    sA = bs.binned_candidates_pallas(
+        tags_j, tags_j[start:start + block], vA, jnp.int32(start),
+        metric="jaccard", nbins=nbins, block=block, row_sums=sums, tn=tn,
+        interpret=True)
+    sB = bs.binned_candidates_pallas(
+        text_j, text_j[start:start + block], vB, jnp.int32(start),
+        metric="dot", nbins=nbins, block=block, tn=tn, interpret=True)
+
+    np.testing.assert_array_equal(np.asarray(va), np.asarray(sA[0]))
+    np.testing.assert_array_equal(np.asarray(ga), np.asarray(sA[1]))
+    np.testing.assert_array_equal(np.asarray(vb), np.asarray(sB[0]))
+    np.testing.assert_array_equal(np.asarray(gb), np.asarray(sB[1]))
