@@ -40,10 +40,14 @@ def main():
         "run head-to-head with mused_tpu on IDENTICAL modality arrays at the",
         "reference's own CPU-feasible regime (small_subset_sizes",
         "8000..16000, reference main.py:262; window 500-1000, main.py:267;",
-        "reduced_dim=50, k_basis=50).  One table per stream config; parity",
-        "is at the metric level (SURVEY.md §7.3) and NMI is the",
-        "permutation-robust headline.  Regenerate:",
-        "`python experiments/refparity_driver.py` then",
+        "reduced_dim=50, k_basis=50).  Coverage: the 6 default approaches on",
+        "the full noise x sorting grid, plus the 4 DBSCAN-family approaches",
+        "(commented out of the reference's own list, main.py:296-300 —",
+        "DBSCAN_batch/HDBSCAN_batch at 8000x500, DBSCAN_incr/DBSCAN_centr",
+        "at both scales).  One table per stream config; parity is at the",
+        "metric level (SURVEY.md §7.3) and NMI is the permutation-robust",
+        "headline.  Regenerate: `python experiments/refparity_driver.py`",
+        "(add --approaches DBSCAN_batch ... for the extension grid) then",
         "`python experiments/refparity_report.py`.",
         "",
     ]
@@ -52,13 +56,12 @@ def main():
     for cfg in sorted(groups):
         subset, window, noise, sorting = cfg
         rows = groups[cfg]
+        order = ("SVDMC_batch SWFDMC sSVDMC sSVDMC_hung sSVDMC_pot "
+                 "sSVDMC_mini DBSCAN_batch HDBSCAN_batch DBSCAN_incr "
+                 "DBSCAN_centr").split()
         approaches = sorted({a for a, _ in rows},
-                            key=lambda a: ("SVDMC_batch SWFDMC sSVDMC "
-                                           "sSVDMC_hung sSVDMC_pot "
-                                           "sSVDMC_mini").split().index(a)
-                            if a in ("SVDMC_batch SWFDMC sSVDMC sSVDMC_hung "
-                                     "sSVDMC_pot sSVDMC_mini").split()
-                            else 99)
+                            key=lambda a: (order.index(a)
+                                           if a in order else 99))
         lines.append(f"## subset={subset} window={window} noise={noise} "
                      f"sorted={sorting}")
         lines.append("")
@@ -105,6 +108,20 @@ def main():
             "threshold, matrix_operations.py:198-201, destabilizes id "
             "chains at mid-scale), so our fixed-iteration Sinkhorn is "
             "faithful; it is the algorithm, not the port.")
+        if any(a == "DBSCAN_centr" and s == "ref" and not r.get("ok")
+               for (a, s), r in
+               ((k, v) for g in groups.values() for k, v in g.items())):
+            lines.append(
+                "- DBSCAN_centr ref-side failures are the REFERENCE'S OWN "
+                "BUG, reproduced faithfully: main.py:94 unpacks the label "
+                "UNIQUES into prev_clusters, and match_clusters then "
+                "broadcasts (k,) against (window,) labels "
+                "(matrix_operations.py:171) — it raises at the first "
+                "window, which is presumably why the approach is commented "
+                "out of the reference's own list (main.py:300).  Our side "
+                "implements the documented centroid-re-map semantics "
+                "(ops/dbscan.dbscan_centroid_incremental) with the re-map "
+                "as the matching, the evident intent.")
         lines.append("")
 
     with open(OUT, "w") as f:

@@ -474,7 +474,18 @@ def match_centroids(data: np.ndarray, labels: np.ndarray, previous_centroids,
 def dbscan_centroid_incremental(data, previous_centroids, previous_labels,
                                 eps: float = 0.5, min_samples: int = 5):
     """Per-window DBSCAN + centroid matching to the previous window
-    (reference matrix_operations.py:265-298)."""
+    (reference matrix_operations.py:265-298).
+
+    The reference's own DBSCAN_centr dispatch cannot actually run: it
+    overwrites ``prev_clusters`` with the (k,) label UNIQUES
+    (main.py:94 unpacks new_labels into prev_clusters) and then feeds
+    them to the outer ``match_clusters`` against the (window,) labels —
+    ``(prev_clusters == p) & (new_clusters == n)`` broadcasts (k,) vs
+    (window,) and raises at the first window (verified head-to-head,
+    REFPARITY.md; the approach is commented out of the reference's own
+    list, main.py:300).  We reproduce the documented centroid-re-map
+    semantics and skip the outer matcher for this approach (the re-map IS
+    the matching), which is the evident intent."""
     data = np.asarray(data, np.float32)
     if data.ndim != 2:
         return None, previous_centroids, previous_labels
