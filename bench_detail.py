@@ -297,7 +297,13 @@ def config6_serving():
     stream, push-call p50/p99 latency, observed label lag, save/load cost,
     and the label-free quality record (k_estimate="eigengap" + centroid
     matching: no ground truth anywhere in the serving path; VERDICT r3
-    weak #5)."""
+    weak #5).
+
+    6_serving_vs_offline < 1 is partly STRUCTURAL, not waste: the offline
+    loop knows the stream length and auto-widens to scanned-8 dispatch,
+    while serving holds W=4 because its label lag is W-1+max_lag — the
+    ratio buys a 5-window lag instead of 9.  p99 push latency is the
+    window-dispatch call itself (every window_size/chunk-th push)."""
     import os
     import tempfile
     from mused_tpu import api
