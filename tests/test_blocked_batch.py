@@ -19,6 +19,7 @@ def stream():
                               binary=True, noise_rate=0.5, seed=0)
 
 
+@pytest.mark.slow
 def test_fused_rowblock_matches_dense(stream):
     """Rematerialized row blocks must reproduce the dense fused adjacency.
 
@@ -109,6 +110,7 @@ def test_blocked_path_with_padding():
     assert results["nmi_score"][0] > 0.4
 
 
+@pytest.mark.slow
 def test_no_batch_approach_is_capped(stream):
     """Every batch approach now has a beyond-dense-cap path (blocked SVD /
     DBSCAN / HDBSCAN / spectral) — the forced-blocked route must succeed for
@@ -128,6 +130,7 @@ def test_no_batch_approach_is_capped(stream):
 
 
 @pytest.mark.parametrize("approach", ["SWFDMC", "sSVDMC"])
+@pytest.mark.slow
 def test_huge_window_streaming_path(stream, approach):
     """The rematerialized huge-window streaming path (forced at small scale)
     matches the dense path's quality (BASELINE.md config #3 regime)."""
@@ -150,6 +153,7 @@ def test_huge_window_streaming_path(stream, approach):
 
 
 @pytest.mark.parametrize("approach", ["sSpectral", "DBSCAN_centr"])
+@pytest.mark.slow
 def test_huge_window_density_and_spectral(stream, approach):
     """sSpectral and DBSCAN_centr also run on the forced huge-window path
     (blocked spectral / blocked DBSCAN kernels)."""
@@ -168,6 +172,7 @@ def test_huge_window_density_and_spectral(stream, approach):
     assert len(results["f1_score"]) == 1
 
 
+@pytest.mark.slow
 def test_standard_columns_honors_nondefault_hash_dims(stream):
     """Regression (ADVICE r1): standard_columns must size the sparse->dense
     scatter from the pipeline's FeatureConfig, not a default one — ids hashed

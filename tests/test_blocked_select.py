@@ -199,6 +199,7 @@ def test_split_packing_matches_exact_f32_ranking():
     assert agree.sum() / union.sum() >= 0.99, (agree.sum(), union.sum())
 
 
+@pytest.mark.slow
 def test_spectral_blocked_select_consistency():
     """spectral_embedding_blocked now honors select/nbins: at nbins == n the
     binned sweeps are exact, so labels must equal the strip path's exactly —

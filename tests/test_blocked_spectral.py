@@ -10,6 +10,7 @@ from mused_tpu.ops import blocked_affinity as ba
 from mused_tpu.ops.blocked_spectral import spectral_clustering_blocked
 
 
+@pytest.mark.slow
 def test_matches_dense_partition(rng):
     n, k = 192, 3
     centers = rng.normal(size=(k, 6)) * 8
@@ -41,6 +42,7 @@ def test_with_padding_rows(rng):
     assert adjusted_rand_score(truth, got) == 1.0
 
 
+@pytest.mark.slow
 def test_batch_engine_blocked_spectral(monkeypatch):
     from mused_tpu.engine import batch as batch_mod
     from mused_tpu.data.synthetic import crisis_embedding_stream

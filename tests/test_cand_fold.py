@@ -92,6 +92,7 @@ def test_reference_products_match_dense():
     np.testing.assert_array_equal(np.asarray(got), dense @ y)
 
 
+@pytest.mark.slow
 def test_candidate_rowblock_matches_fused_rowblock():
     """Candidate blocks expand to EXACTLY the dense binned fused block
     (same kernels, same budgeted_keep, username equality included)."""
@@ -110,6 +111,7 @@ def test_candidate_rowblock_matches_fused_rowblock():
             np.asarray(dense) > 0)
 
 
+@pytest.mark.slow
 def test_cand_fold_matches_dense_fold():
     """Full blocked_fd_sketch: forced cand_fold vs the dense rr fold —
     identical edge mass (sq_frobenius is an integer edge count) and close
@@ -170,6 +172,7 @@ def test_cand_fold_gating():
                              cand_fold=True)
 
 
+@pytest.mark.slow
 def test_cand_fold_generic_kinds():
     """Generic numeric streams (embedding/default, no username): the cand
     fold must route, select EXACTLY the dense fold's edges, and keep the
@@ -201,6 +204,7 @@ def test_cand_fold_generic_kinds():
     assert float(loss_c) <= 1.5 * float(loss_d) + 1.0
 
 
+@pytest.mark.slow
 def test_engine_huge_window_cand_fold_metric_parity():
     """Engine-level end-metric oracle (VERDICT r3 next #1): a forced-blocked
     SWFDMC stream over a fixture with RECOVERABLE planted events (sorted
@@ -249,6 +253,7 @@ def test_engine_huge_window_cand_fold_metric_parity():
     assert r_c["nmi_e_score"][0] > 0.5, r_c["nmi_e_score"]
 
 
+@pytest.mark.slow
 def test_sharded_cand_fold_matches_single_chip():
     """Row-sharded SPMD sweep with the candidate-native fold: per-shard
     absorbs run off the slabs (forced True -> XLA reference products on the

@@ -53,6 +53,7 @@ def test_default_nbins_colsharded():
 
 
 @pytest.mark.parametrize("start", [0, 192, 448])
+@pytest.mark.slow
 def test_colsharded_fused_rows_bitexact(rng, mesh4, start):
     """The column-sharded fused adjacency rows equal the single-chip binned
     path bit-for-bit: identical sims (contraction over the unsharded K),
@@ -71,6 +72,7 @@ def test_colsharded_fused_rows_bitexact(rng, mesh4, start):
 
 
 @pytest.mark.parametrize("mode", ["eigh", "subspace"])
+@pytest.mark.slow
 def test_colsharded_fd_matches_singlechip(rng, mesh4, mode):
     """Column-sharded FD fold vs the single-chip blocked sketch on the SAME
     (bit-identical) adjacency blocks: the Frobenius bookkeeping is exact
@@ -104,6 +106,7 @@ def test_colsharded_fd_matches_singlechip(rng, mesh4, mode):
     assert err <= bound * 1.01 + 1e-3
 
 
+@pytest.mark.slow
 def test_colsharded_generic_modalities(rng, mesh4):
     """Generic numeric streams (embedding + default euclidean) run on the
     columns layout; edges recall the exact strip path's at the reduced bin
@@ -131,6 +134,7 @@ def test_colsharded_generic_modalities(rng, mesh4):
 
 
 @pytest.mark.parametrize("mode", ["eigh", "subspace"])
+@pytest.mark.slow
 def test_grid_fd_matches_singlechip(rng, mode):
     """GRID layout (2 row groups x 4 column shards): per-group column-sharded
     folds + one merge shrink.  The adjacency blocks are still bit-exact, so
@@ -191,6 +195,7 @@ def test_colsharded_all_modalities_skipped(rng, mesh4):
     assert out.shape == (64, 256) and not out.any()
 
 
+@pytest.mark.slow
 def test_sharded_blocked_svd_matches_singlechip(rng, mesh4):
     """Row-sharded blocked randomized SVD (parallel/sharded): same omega
     stream and sweep recipe as the single-chip path — the reduced Gram
@@ -208,6 +213,7 @@ def test_sharded_blocked_svd_matches_singlechip(rng, mesh4):
                                atol=1e-3 * scale)
 
 
+@pytest.mark.slow
 def test_colsharded_blocked_svd_matches_singlechip(rng, mesh4):
     """Column-sharded blocked randomized SVD: bit-identical fused blocks
     (binned select), so the reduced Gram matches the single-chip binned
@@ -227,6 +233,7 @@ def test_colsharded_blocked_svd_matches_singlechip(rng, mesh4):
                                atol=1e-3 * scale)
 
 
+@pytest.mark.slow
 def test_sharded_spectral_matches_singlechip(rng, mesh4):
     """Row-sharded spectral embedding + the shared NJW tail clusters like
     the single-chip blocked spectral (same sweeps, psum rounding)."""
@@ -246,6 +253,7 @@ def test_sharded_spectral_matches_singlechip(rng, mesh4):
     assert nmi(ref, ours) >= 0.9
 
 
+@pytest.mark.slow
 def test_colsharded_spectral_runs(rng, mesh4):
     import jax
     from mused_tpu.ops import blocked_spectral as bspec
@@ -260,6 +268,7 @@ def test_colsharded_spectral_runs(rng, mesh4):
     assert np.all(np.diff(np.asarray(lam)) <= 1e-5)   # descending spectrum
 
 
+@pytest.mark.slow
 def test_spectral_eigengap_recovers_planted_count(rng):
     """Label-free cluster counts at huge windows: the Ritz spectrum the
     blocked sweep already computes recovers a planted cluster count via
@@ -280,6 +289,7 @@ def test_spectral_eigengap_recovers_planted_count(rng):
         assert k == c, (c, k, np.asarray(lam)[:8])
 
 
+@pytest.mark.slow
 def test_colsharded_grid_svd_runs(rng):
     from mused_tpu.parallel.mesh import make_mesh
     wf = _standard_window(rng, n=512)
@@ -342,6 +352,7 @@ def _run_engine_blocked(engine_stream, shards, layout="rows", col_shards=0,
         sorting=True, eps=1.5, min_samples=2, cfg=cfg)
 
 
+@pytest.mark.slow
 def test_engine_huge_window_columns_layout(engine_stream):
     """SWFDMC on the forced-blocked path with the features column-sharded
     over 4 chips: runs end-to-end and clusters comparably to the
@@ -355,6 +366,7 @@ def test_engine_huge_window_columns_layout(engine_stream):
 @pytest.mark.parametrize("layout,shards,col_shards",
                          [("rows", 4, 0), ("columns", 4, 0),
                           ("grid", 4, 2)])
+@pytest.mark.slow
 def test_engine_huge_window_sharded_svd(engine_stream, layout, shards,
                                         col_shards):
     """sSVDMC (randomized-SVD reduction) on the forced-blocked path across
@@ -369,6 +381,7 @@ def test_engine_huge_window_sharded_svd(engine_stream, layout, shards,
 
 @pytest.mark.parametrize("layout,col_shards", [("rows", 0), ("columns", 0),
                                                ("grid", 2)])
+@pytest.mark.slow
 def test_engine_huge_window_sharded_spectral(engine_stream, layout,
                                              col_shards):
     """sSpectral (blocked normalized cuts) on the forced-blocked path
@@ -380,6 +393,7 @@ def test_engine_huge_window_sharded_spectral(engine_stream, layout,
     assert sh["f1_score"][0] >= one["f1_score"][0] - 0.15
 
 
+@pytest.mark.slow
 def test_engine_huge_window_grid_layout(engine_stream):
     """The grid composition end-to-end: 2 row groups x 2 column shards."""
     one = _run_engine_blocked(engine_stream, 1)
@@ -425,6 +439,7 @@ def test_engine_columns_layout_validation(engine_stream):
                                        huge_window_layout="grid"))
 
 
+@pytest.mark.slow
 def test_colsharded_cand_fold_matches_dense(rng, mesh4):
     """Candidate-native colsharded fold (VERDICT r3 next #6): forced
     cand_fold=True (XLA reference products on the CPU mesh) vs the dense
@@ -466,6 +481,7 @@ def test_colsharded_cand_fold_matches_dense(rng, mesh4):
     assert err <= bound * 1.01 + 1e-3
 
 
+@pytest.mark.slow
 def test_grid_cand_fold(rng):
     """Cand fold on the GRID layout (2 row groups x 4 column shards): the
     per-group sweeps absorb candidates, the cross-group merge shrink stays
@@ -498,6 +514,7 @@ def test_grid_cand_fold(rng):
     assert err_c <= err_d * 1.10 + 1e-3, (err_c, err_d)
 
 
+@pytest.mark.slow
 def test_colsharded_cand_fold_generic_no_user(rng, mesh4):
     """Generic embedding streams (no username modality) run the colsharded
     cand fold: dummy uid_cols carry the geometry; edges match dense."""

@@ -74,6 +74,7 @@ def test_tee_roundtrip(tmp_path, capsys):
     assert sys.stdout is before
 
 
+@pytest.mark.slow
 def test_cli_demo_sweep(tmp_path, monkeypatch):
     """python -m mused_tpu.main --dataset demo runs the reference's demo
     config end-to-end (2 label modes x approaches) and writes logs+plots."""
@@ -132,6 +133,7 @@ def test_batch_dense_cap_routes_to_blocked(monkeypatch):
     assert len(results["f1_score"]) == 1
 
 
+@pytest.mark.slow
 def test_parallel_sweep_driver_matches_sequential(tmp_path, monkeypatch):
     """--parallel-sweep: the concurrent (approach, value) grid merges into
     the same per-approach results as the sequential driver (SURVEY.md §5.8)

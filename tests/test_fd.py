@@ -187,6 +187,7 @@ class TestShrinkRR:
         err = float(fd.covariance_error(jnp.asarray(a), st.sketch))
         assert err <= float(fd.error_bound(st)) + 1e-3
 
+    @pytest.mark.slow
     def test_beats_or_matches_subspace_on_adjacency_fold(self, rng):
         """The huge-window fold regime: big absorb blocks + exact
         orthonormalization should match or beat the NS subspace shrink."""

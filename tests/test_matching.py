@@ -173,6 +173,7 @@ def test_centroid_matching_recovers_global_nmi_on_unsorted_stream():
     assert scores["centroid"] > scores["auto"] + 0.2
 
 
+@pytest.mark.slow
 def test_centroid_matching_batched_dispatch_matches_sequential():
     """matching='centroid' + windows_per_batch>1: the scanned dispatch feeds
     the centroid registry from host modality slices — results must equal the

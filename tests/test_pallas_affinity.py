@@ -71,6 +71,7 @@ def test_fewer_valid_than_k(rng):
     assert got[:, ~valid].sum() == 0
 
 
+@pytest.mark.slow
 def test_engine_pallas_path_runs():
     """use_pallas_affinity routes the generic engine through the fused kernel
     (interpret mode on CPU) and produces equivalent metrics."""

@@ -72,6 +72,7 @@ def test_global_max_row_norm(rng, mesh8):
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_sharded_fused_adjacency_matches_single_chip(rng, mesh8):
     """The explicitly-collective row-sharded adjacency must equal the
     single-device fused adjacency bit-for-bit (same masks, same top-k)."""
@@ -137,6 +138,7 @@ def test_sharded_kmeans_matches_single_chip(rng, mesh8):
     assert np.asarray(l2).max() < 4
 
 
+@pytest.mark.slow
 def test_parallel_sweep_matches_sequential(rng, mesh8):
     """Sweep points mapped across the 8 virtual devices reproduce the
     sequential results (each point is an independent pipeline run)."""
@@ -206,6 +208,7 @@ def _run_engine(engine_stream, approach, shards, **kw):
 
 
 @pytest.mark.parametrize("approach", ["sSVDMC", "sSVDMC_pot", "sSpectral"])
+@pytest.mark.slow
 def test_engine_sharded_metrics_match_single_chip(engine_stream, approach):
     """Deterministic-reduction approaches: the 8-device engine reproduces the
     single-chip metrics exactly (same randomized-SVD subspace up to fp
@@ -221,6 +224,7 @@ def test_engine_sharded_metrics_match_single_chip(engine_stream, approach):
                                                ("sSVDMC_mini", "allgather"),
                                                ("DBSCAN_centr", "allgather"),
                                                ("DBSCAN_incr", "allgather")])
+@pytest.mark.slow
 def test_engine_sharded_all_approaches_run(engine_stream, approach, topology):
     """Sketch/stateful approaches: per-shard FD + ICI merge is a different
     (equally valid) FD sketch structure than single-chip, so parity is at the
@@ -231,6 +235,7 @@ def test_engine_sharded_all_approaches_run(engine_stream, approach, topology):
     assert np.isfinite(r["f1_score"][0]) and np.isfinite(r["nmi_score"][0])
 
 
+@pytest.mark.slow
 def test_engine_sharded_checkpoint_resume(tmp_path, engine_stream):
     """Crash + auto-resume under sharded mode == uninterrupted sharded run
     (device SWFD state, host matching state, metrics all restored)."""
@@ -275,6 +280,7 @@ def test_engine_sharded_rejects_bad_config(engine_stream):
 # ---------------------------------------------------------------------------
 
 @pytest.mark.parametrize("topology", ["allgather", "ring"])
+@pytest.mark.slow
 def test_sharded_blocked_fd_sketch_quality(rng, mesh8, topology):
     """Row-sharded blocked FD sweep + ICI merge: the merged sketch covers the
     implicit fused adjacency within the FD merge bound, and matches the
@@ -342,6 +348,7 @@ def _run_engine_blocked(engine_stream, approach, shards):
         sorting=True, eps=1.5, min_samples=2, cfg=cfg)
 
 
+@pytest.mark.slow
 def test_engine_huge_window_sharded(engine_stream):
     """SWFDMC on the forced-blocked (huge-window) path under data_shards=4:
     runs end-to-end on the mesh and clusters comparably to the single-chip
@@ -360,6 +367,7 @@ def test_engine_huge_window_sharded_rejects_incr_dbscan(engine_stream):
         _run_engine_blocked(engine_stream, "DBSCAN_incr", 4)
 
 
+@pytest.mark.slow
 def test_elastic_resume_across_mesh_sizes(tmp_path, engine_stream):
     """Elastic recovery (SURVEY.md §5.3): a stream checkpointed under an
     8-device mesh resumes under a 4-device mesh (or single-chip).  For a
@@ -425,6 +433,7 @@ def test_elastic_resume_across_mesh_sizes(tmp_path, engine_stream):
 
 
 @pytest.mark.parametrize("approach", ["SWFDMC", "sSVDMC", "sSVDMC_mini"])
+@pytest.mark.slow
 def test_engine_sharded_scanned_dispatch_matches_per_window(engine_stream,
                                                             approach):
     """windows_per_batch composed with data_shards: the scanned SPMD
@@ -439,6 +448,7 @@ def test_engine_sharded_scanned_dispatch_matches_per_window(engine_stream,
                                                  abs=1e-6)
 
 
+@pytest.mark.slow
 def test_engine_sharded_scanned_matches_single_chip_scanned(engine_stream):
     """Deterministic reductions: 8-device scanned == single-chip scanned."""
     one = _run_engine(engine_stream, "sSVDMC", 1, windows_per_batch=2)
@@ -447,6 +457,7 @@ def test_engine_sharded_scanned_matches_single_chip_scanned(engine_stream):
     assert eight["nmi_score"] == pytest.approx(one["nmi_score"], abs=1e-6)
 
 
+@pytest.mark.slow
 def test_sharded_eigengap_matches_single_chip():
     """k_estimate='eigengap' on the 8-device SPMD engine == single-chip for a
     deterministic-reduction approach: the estimate runs on the replicated

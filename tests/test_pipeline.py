@@ -73,6 +73,7 @@ def test_streaming_detects_planted_events():
     assert results["nmi_score"][0] > 0.15
 
 
+@pytest.mark.slow
 def test_swfd_vs_svd_comparable_quality():
     """SWFDMC's sketch-based reduction should land in the same quality
     ballpark as exact SVD reduction on the same stream."""
@@ -128,6 +129,7 @@ def test_sliding_window_mode(modalities):
     assert len(results["f1_score"]) == 1
 
 
+@pytest.mark.slow
 def test_reference_opslevel_api(modalities):
     """The matrix_operations-level API surface also works standalone."""
     mods, mtypes, _ = modalities
@@ -177,6 +179,7 @@ def test_sspectral_skips_unused_reduction():
 
 @pytest.mark.parametrize("approach",
                          ["SWFDMC", "sSVDMC", "sSVDMC_mini", "sSpectral"])
+@pytest.mark.slow
 def test_batched_windows_match_sequential(modalities, approach):
     """windows_per_batch > 1 must reproduce the sequential engine's metrics
     exactly: the scanned dispatch threads the real device state (SWFD ring,
@@ -209,6 +212,7 @@ def test_batched_windows_match_sequential(modalities, approach):
     dict(window_size=256),            # subset == exactly one window
     dict(k_basis=1, reduced_dim=2),   # degenerate small graph
 ])
+@pytest.mark.slow
 def test_streaming_edge_configs_no_crash(modalities, kw):
     """Odd-but-legal configurations must run to completion (the reference's
     probe list: window_size > subset -> zero-window metrics, no crash;
@@ -256,6 +260,7 @@ def test_batched_mode_records_swfd_R(modalities, monkeypatch):
 
 
 @pytest.mark.parametrize("k_estimate", ["fixed", "eigengap"])
+@pytest.mark.slow
 def test_label_free_k_estimate(modalities, k_estimate):
     """k_estimate='fixed'/'eigengap' runs the stream without consulting
     ground truth for the per-window cluster count (the reference leaks truth

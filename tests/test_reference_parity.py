@@ -154,6 +154,7 @@ def test_metric_parity_streaming(reference_modules, shared_stream, approach,
     assert b >= a - 0.1, f"{approach} nmi: ref={a:.3f} ours={b:.3f}"
 
 
+@pytest.mark.slow
 def test_batch_parity(reference_modules, shared_stream, capsys):
     ref_main, ref_metrics = reference_modules
     from mused_tpu import api

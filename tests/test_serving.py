@@ -40,6 +40,7 @@ def _run(mods, mtypes, chunk, **kw):
     return det, out
 
 
+@pytest.mark.slow
 def test_chunking_invariance(stream):
     """Identical windows/results however the stream is chopped into pushes."""
     mods, mtypes, _ = stream
@@ -136,6 +137,7 @@ def test_rejects_label_leak_and_bad_shapes(stream):
         det.push([m[:3] for m in mods[:-1]] + [mods[-1][:2]])
 
 
+@pytest.mark.slow
 def test_serving_composes_with_data_shards(stream):
     """Production serving on a mesh: a detector configured with
     data_shards=4 runs every window step SPMD and — for a deterministic-
@@ -162,6 +164,7 @@ def test_serving_composes_with_data_shards(stream):
         assert np.array_equal(x.new_events, y.new_events)
 
 
+@pytest.mark.slow
 def test_serving_huge_window_columns_layout(stream):
     """Serving on the rematerialized huge-window path with the features
     column-sharded (the capacity layout) — runs end-to-end and detects."""
@@ -197,6 +200,7 @@ def _cfg(approach="sSVDMC", wpb=1):
                           windows_per_batch=wpb)
 
 
+@pytest.mark.slow
 def test_scanned_serving_matches_per_window(stream):
     """windows_per_batch>1 in serving: one scanned dispatch per W ready
     windows (VERDICT r2 next #5) must reproduce per-window serving exactly —

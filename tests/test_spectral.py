@@ -76,6 +76,7 @@ def test_crisis_stream_spectral_batch():
     assert results["nmi_score"][0] > 0.5
 
 
+@pytest.mark.slow
 def test_dense_spectral_eigengap_recovers_planted_count(rng):
     """k_source="eigengap" estimates the count from the normalized-affinity
     spectrum inside the same eigh the embedding needs — consistent with the

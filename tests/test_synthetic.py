@@ -12,6 +12,7 @@ import numpy as np
 import pandas as pd
 
 from mused_tpu.data.synthetic import synthetic_events_dataframe
+import pytest
 
 
 def _pair(n=4000, **kw):
@@ -57,6 +58,7 @@ def test_fast_event_geography_and_timing_match_loop():
     assert np.max(np.abs((t_b - t_a).values)) < 4000.0
 
 
+@pytest.mark.slow
 def test_fast_invalidity_rates():
     _, b = _pair(n=20000, n_events=6, noise_rate=0.4, seed=1)
     assert abs(b["latitude"].isna().mean() - 0.10) < 0.02
