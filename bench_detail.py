@@ -319,7 +319,7 @@ def config6_serving():
                   max_events=32, k_estimate="eigengap", matching="centroid",
                   max_lag=2)
 
-    def stream_through(det, timed):
+    def stream_through(det):
         lat, results, max_lag_w = [], [], 0
         t0 = time.perf_counter()
         for lo in range(0, subset, chunk):
@@ -333,15 +333,15 @@ def config6_serving():
         wall = time.perf_counter() - t0
         return wall, lat, results, max_lag_w
 
-    stream_through(StreamDetector(mtypes, window, **det_kw), timed=False)
+    stream_through(StreamDetector(mtypes, window, **det_kw))   # compile/warm
     wall, lat, results, max_lag_w = stream_through(
-        StreamDetector(mtypes, window, **det_kw), timed=True)
-    lat_ms = np.sort(np.array(lat) * 1e3)
+        StreamDetector(mtypes, window, **det_kw))
+    lat_ms = np.array(lat) * 1e3
     RESULTS["6_serving_rows_per_sec"] = round(subset / wall, 1)
     RESULTS["6_serving_push_p50_ms"] = round(
-        float(lat_ms[len(lat_ms) // 2]), 2)
+        float(np.percentile(lat_ms, 50)), 2)
     RESULTS["6_serving_push_p99_ms"] = round(
-        float(lat_ms[int(len(lat_ms) * 0.99) - 1]), 2)
+        float(np.percentile(lat_ms, 99)), 2)
     RESULTS["6_serving_observed_label_lag_windows"] = int(max_lag_w)
 
     # label-free quality: score the emitted windows against the (held-back)
@@ -461,7 +461,7 @@ def config5_merged_sketch_delta():
 def main():
     import argparse
     ap = argparse.ArgumentParser()
-    ap.add_argument("--only", nargs="*", default=None,
+    ap.add_argument("--only", nargs="+", default=None,
                     help="rerun just these configs (e.g. config6), merging "
                          "into the existing BENCH_DETAIL.json")
     args = ap.parse_args()

@@ -50,6 +50,16 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -1e30
 
 
+def _isz(x) -> int:
+    """Per-element bytes for the VMEM estimates (int8 tags panels, bf16
+    text/embeddings, f32 otherwise)."""
+    if x.dtype == jnp.bfloat16:
+        return 2
+    if x.dtype == jnp.int8:
+        return 1
+    return 4
+
+
 def _sim_tile(ar, bc, metric: str, s_r, s_c):
     """(block, tn) similarity tile.  ar: (block, K) rows; bc: (tn, K).
     s_r (block, 1) / s_c (1, tn) are the metric's hoisted row statistics:
@@ -187,7 +197,7 @@ def binned_candidates_pallas(cols: jax.Array, rows: jax.Array,
         s_r = jnp.zeros((block, 1), jnp.float32)
         s_c = jnp.zeros((1, n), jnp.float32)
 
-    itemsize = 2 if cols.dtype == jnp.bfloat16 else 4
+    itemsize = _isz(cols)
     est = (tm * cols.shape[1] * itemsize          # resident row tile
            + 2 * tn * cols.shape[1] * itemsize    # double-buffered B tile
            + tm * tn * 4                          # sim tile
@@ -326,12 +336,9 @@ def binned_candidates_pair_pallas(colsA: jax.Array, colsB: jax.Array,
     srA, scA = stats_for(metricA, row_sumsA, row_statsA)
     srB, scB = stats_for(metricB, row_sumsB, row_statsB)
 
-    def isz(x):
-        return 2 if x.dtype == jnp.bfloat16 else (1 if x.dtype == jnp.int8
-                                                  else 4)
-    est = (tm * (colsA.shape[1] * isz(colsA) + colsB.shape[1] * isz(colsB))
-           + 2 * tn * (colsA.shape[1] * isz(colsA)
-                       + colsB.shape[1] * isz(colsB))
+    est = (tm * (colsA.shape[1] * _isz(colsA) + colsB.shape[1] * _isz(colsB))
+           + 2 * tn * (colsA.shape[1] * _isz(colsA)
+                       + colsB.shape[1] * _isz(colsB))
            + 2 * tm * tn * 4
            + 2 * tm * nbins * 5)
     est = est + est // 2 + (1 << 24)
