@@ -11,7 +11,34 @@ Usage: python experiments/soak_report.py /tmp/soak_r4.log \
 import ast
 import os
 import re
+import subprocess
 import sys
+
+
+def assert_git_tracked(paths):
+    """Fail hard if any evidence file the report cites is not git-tracked.
+
+    Round-3 weak #2 / round-4 missing #1: SOAK.md twice claimed its
+    per-point tables were committed while an unanchored `logs/` gitignore
+    silently swallowed them.  The report generator now refuses to write a
+    "COMMITTED" claim it hasn't verified.
+    """
+    if not paths:
+        raise SystemExit("soak_report: no per-point tables found — refusing "
+                         "to write an evidence report with no evidence")
+    repo = subprocess.run(
+        ["git", "rev-parse", "--show-toplevel"], capture_output=True,
+        text=True, check=True).stdout.strip()
+    tracked = set(subprocess.run(
+        ["git", "-C", repo, "ls-files", "-z"], capture_output=True,
+        text=True, check=True).stdout.split("\0"))
+    untracked = [p for p in paths
+                 if os.path.relpath(os.path.abspath(p), repo) not in tracked]
+    if untracked:
+        raise SystemExit(
+            "soak_report: %d per-point table(s) are NOT git-tracked — the "
+            "'COMMITTED' claim would be false. `git add` them first:\n  %s"
+            % (len(untracked), "\n  ".join(untracked)))
 
 
 def parse_results_file(path):
@@ -30,13 +57,14 @@ def parse_results_file(path):
     return out
 
 
-def emit_tables(lines, log_dir, title):
+def emit_tables(lines, log_dir, title, cited_paths):
     if not os.path.isdir(log_dir):
         return
     lines += [f"## {title}", ""]
     for fname in sorted(os.listdir(log_dir)):
         if not fname.startswith("exp="):
             continue
+        cited_paths.append(os.path.join(log_dir, fname))
         res = parse_results_file(os.path.join(log_dir, fname))
         if not res:
             continue
@@ -99,11 +127,14 @@ def main():
         lines.append(f"| {name} | {float(mins):.1f} |")
     lines.append("")
 
+    cited_paths = []
     emit_tables(lines, os.path.join(base_dir, "logs"),
-                "Per-point metrics (reference-default, labels-quirk k)")
+                "Per-point metrics (reference-default, labels-quirk k)",
+                cited_paths)
     emit_tables(lines, os.path.join(base_dir, "logs_eigengap"),
                 "Label-free pass (k_estimate=eigengap — the serving "
-                "default; no ground-truth k anywhere)")
+                "default; no ground-truth k anywhere)", cited_paths)
+    assert_git_tracked(cited_paths)
     lines += ["Label-free NMI on THIS sweep is capped by the stream, not "
               "the estimator: the reference-default stream is temporally "
               "unsorted and positional matching scrambles cross-window ids "
