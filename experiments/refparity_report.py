@@ -95,11 +95,40 @@ def main():
         n_behind = sum(1 for d, _, _ in worst if d < -0.05)
         lines.append(f"- {len(worst)} head-to-head points; "
                      f"{n_behind} where ours trails the reference's NMI by "
-                     f"more than 0.05.")
+                     f"more than 0.05.  The headline counts only points "
+                     "where BOTH sides ran: DBSCAN_centr's reference side "
+                     "crashes at its first window (the reference's own bug, "
+                     "below), so for that one approach parity is asserted "
+                     "against the documented centroid-re-map INTENT, not "
+                     "observed reference behavior.")
+        lines.append(
+            "- Tolerance rationale: the two sides intentionally differ in "
+            "randomized internals (randomized SVD sketch draws, kmeans++ "
+            "seeding, hashing-trick vs per-window-vocabulary TF-IDF — "
+            "SURVEY.md §7.3), so identical-seed NMI equality is not defined; "
+            "rerunning the REFERENCE against itself across seeds moves "
+            "per-point NMI by a few hundredths at this scale.  ±0.05 brackets "
+            "that seed noise while still failing on any systematic quality "
+            "regression (a real pipeline break moves NMI by tenths — see the "
+            "eigengap degeneracy it caught in round 4).")
         d, a, cfg = worst[0]
         lines.append(f"- Largest NMI deficit: {d:+.4f} ({a} at "
                      f"subset={cfg[0]} window={cfg[1]} noise={cfg[2]} "
                      f"sorted={cfg[3]}).")
+        speedups = sorted(
+            rows[(a, "ref")]["wall_s"] / rows[(a, "ours")]["wall_s"]
+            for rows in groups.values() for (a, s) in rows
+            if s == "ours" and (a, "ref") in rows
+            and rows[(a, "ref")].get("ok") and rows[(a, "ours")].get("ok"))
+        n_slower = sum(1 for r in speedups if r < 1.0)
+        lines.append(
+            f"- Wall clock: ours faster at {len(speedups) - n_slower} of "
+            f"{len(speedups)} points ({n_slower} slower); speedup "
+            f"min/median/max {speedups[0]:.2f}x / "
+            f"{speedups[len(speedups) // 2]:.2f}x / {speedups[-1]:.2f}x "
+            "(round 5 closed the HDBSCAN_batch hole: host Prim MST over "
+            "the implicit mutual-reachability graph, ops/dbscan.py — the "
+            "scipy dense-MST route was 58 s/window-set at subset 8000).")
         lines.append(
             "- sSVDMC_pot adjudication (VERDICT r3 weak #3): compare its "
             "rows against sSVDMC_hung in the same tables — the collapse "

