@@ -16,9 +16,13 @@ cluster count (main.py:41) and the engine returns only end-of-stream metrics.
   * cluster IDs stay stable across windows through the engine's matching
     (Hungarian positional overlap, or the centroid registry for numeric
     streams), surfaced as per-window :class:`WindowResult` events;
-  * the device pipeline stays asynchronous: up to ``max_lag`` windows are
-    dispatched ahead of the oldest un-pulled one, so pushes return without
-    blocking on device compute (``flush()`` drains);
+  * the device pipeline stays asynchronous: featurize + dispatch run on a
+    background worker thread (``dispatch_ahead`` queued groups, bounded —
+    at saturation pushes backpressure instead of buffering unboundedly),
+    and up to ``max_lag`` windows stay un-pulled ahead of the oldest
+    finalized one, so pushes return without blocking on device compute
+    (``flush()`` drains; results may additionally lag by the in-flight
+    queue, at most ``dispatch_ahead`` groups);
   * eligible configs batch W ready windows into ONE scanned device dispatch
     (``windows_per_batch``, same lax.scan as the offline engine — auto-4 on
     TPU backends, numerically identical to per-window); batching buffers up
@@ -35,13 +39,66 @@ the offline engine runs — serving adds no second compute path.
 """
 from __future__ import annotations
 
+import collections
 import dataclasses
+import queue
+import threading
 from typing import NamedTuple, Sequence
 
 import numpy as np
 
 from mused_tpu.engine import streaming as engine_mod
 from mused_tpu.utils.config import FeatureConfig, PipelineConfig
+
+
+class _DispatchWorker:
+    """Single background thread owning featurize + device dispatch.
+
+    Same pattern as the ingest WindowPrefetcher (data/ingest.py): the host
+    hashing + dispatch cost leaves the caller thread, so ``push()`` is a
+    copy + enqueue (~ms) instead of a full window dispatch (the round-4
+    175 ms p99, bench_detail 6_serving_push_p99_ms).  One thread, FIFO —
+    the engine's device state is strictly sequential across windows.  The
+    queue is BOUNDED: at saturation pushes block on a free slot
+    (backpressure) rather than buffering the stream unboundedly.
+    """
+
+    def __init__(self, depth: int):
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._exc: BaseException | None = None
+        self._t = threading.Thread(target=self._run, daemon=True,
+                                   name="serving-dispatch")
+        self._t.start()
+
+    def submit(self, fn) -> None:
+        self.check()
+        self._q.put(fn)
+
+    def _run(self) -> None:
+        while True:
+            fn = self._q.get()
+            try:
+                if fn is None:
+                    return
+                if self._exc is None:   # after a failure: drain, don't run
+                    fn()
+            except BaseException as e:  # noqa: BLE001 — re-raised at caller
+                self._exc = e
+            finally:
+                self._q.task_done()
+
+    def drain(self) -> None:
+        """Block until every submitted dispatch has completed."""
+        self._q.join()
+        self.check()
+
+    def check(self) -> None:
+        if self._exc is not None:
+            exc, self._exc = self._exc, None
+            raise exc
+
+    def stop(self) -> None:
+        self._q.put(None)
 
 
 class _GroupHandle:
@@ -85,6 +142,7 @@ class StreamDetector:
                  k_basis: int = 50, max_events: int = 150,
                  k_estimate: str = "eigengap", step_window_ratio: int = 1,
                  seed: int = 0, matching: str = "auto", max_lag: int = 2,
+                 dispatch_ahead: int = 2,
                  cfg: PipelineConfig | None = None):
         if cfg is None:
             cfg = PipelineConfig(
@@ -114,7 +172,9 @@ class StreamDetector:
         self._prev_clusters: np.ndarray | None = None
         # [(row_start, _PendingWindow)  — per-window dispatch, or
         #  (row_start, widx, stable_feats, _GroupHandle, pos) — scanned]
-        self._pending: list[tuple] = []
+        # appended by the dispatch worker, consumed by the caller thread
+        # (single producer / single consumer; deque ops are GIL-atomic)
+        self._pending: collections.deque[tuple] = collections.deque()
         self._seen_events: set[int] = set()
         # labels are never consulted (k_estimate is label-free); this array
         # only satisfies the engine's window-step signature
@@ -133,6 +193,14 @@ class StreamDetector:
                                                         cfg.features)
         self._gbuf: list[tuple[int, int, list[np.ndarray]]] = []
         # [(row_start, window_index, window rows)] awaiting a full group
+        # async dispatch (round-5): featurize+dispatch leave the caller
+        # thread whenever results may lag anyway (max_lag > 0; the
+        # huge-window clamp above already forces max_lag=0, and its
+        # dispatch needs prev labels, so it stays synchronous).  Lazily
+        # created on first fire; depth 0 opts out entirely.
+        self._dispatch_ahead = (int(dispatch_ahead)
+                                if self.max_lag > 0 else 0)
+        self._worker: _DispatchWorker | None = None
 
     # ------------------------------------------------------------------
     def push(self, modality_rows: Sequence[np.ndarray]) -> list[WindowResult]:
@@ -182,6 +250,16 @@ class StreamDetector:
         self._tail = [b[-w:] for b in buf]
         return out
 
+    def _submit(self, fn) -> None:
+        """Run ``fn`` on the dispatch worker (creating it lazily), or inline
+        when async dispatch is disabled."""
+        if self._dispatch_ahead <= 0:
+            fn()
+            return
+        if self._worker is None:
+            self._worker = _DispatchWorker(self._dispatch_ahead)
+        self._worker.submit(fn)
+
     def _fire(self, i: int, window: list[np.ndarray]) -> list[WindowResult]:
         """Queue/dispatch the window ending at absolute index ``i``;
         finalize any windows beyond the ``max_lag`` pipeline depth."""
@@ -192,29 +270,39 @@ class StreamDetector:
                                [np.array(m) for m in window]))
             self._window_index += 1
             if len(self._gbuf) == self._batch_w:
-                self._dispatch_group()
+                group, self._gbuf = self._gbuf, []
+                self._submit(lambda: self._dispatch_group(group))
         else:
-            pending = self.engine.dispatch_window(
-                window, self.modality_types, self._dummy_labels,
-                self._window_index, self._prev_clusters)
-            self._pending.append((row_start, pending))
+            rows = [np.array(m) for m in window]   # drop the buf alias
+            widx = self._window_index
             self._window_index += 1
+            self._submit(lambda: self._dispatch_one(row_start, widx, rows))
         out = []
         while len(self._pending) > self.max_lag:
             out.append(self._finalize_oldest())
         return out
 
-    def _dispatch_group(self) -> None:
-        """One scanned device dispatch for the buffered FULL group — the
-        same lax.scan the offline engine's batched loop runs (numerically
-        identical to per-window dispatch; state threads through the carry).
+    def _dispatch_one(self, row_start: int, widx: int,
+                      rows: list[np.ndarray]) -> None:
+        """Per-window dispatch (worker thread when async).  Non-huge
+        dispatch never reads previous labels (matching is finalize-side),
+        so it needs nothing from the caller thread."""
+        pending = self.engine.dispatch_window(
+            rows, self.modality_types, self._dummy_labels, widx,
+            self._prev_clusters)
+        self._pending.append((row_start, pending))
+
+    def _dispatch_group(self, group) -> None:
+        """One scanned device dispatch for a FULL group — the same lax.scan
+        the offline engine's batched loop runs (numerically identical to
+        per-window dispatch; state threads through the carry).  Runs on the
+        dispatch worker when async.
         """
         import jax
         import jax.numpy as jnp
         from mused_tpu.engine.streaming import (_scanned_window_steps,
                                                 stack_window_features)
         eng, cfg = self.engine, self.cfg
-        group, self._gbuf = self._gbuf, []
         feats_list, stable = [], []
         for _, _, rows in group:
             feats = eng.featurize(rows, self.modality_types)
@@ -255,7 +343,7 @@ class StreamDetector:
             self._pending.append((row_start, widx, sf, handle, pos))
 
     def _finalize_oldest(self) -> WindowResult:
-        entry = self._pending.pop(0)
+        entry = self._pending.popleft()
         eng, cfg = self.engine, self.cfg
         if len(entry) == 2:              # per-window dispatch
             row_start, pending = entry
@@ -281,9 +369,12 @@ class StreamDetector:
                             event_ids=ids, counts=counts, new_events=new)
 
     def flush(self) -> list[WindowResult]:
-        """Finalize every queued window.  A buffered partial group
-        dispatches per-window (never padded — the sketch state must see
-        each window exactly once, mid-stream), then everything drains."""
+        """Finalize every queued window.  In-flight async dispatches drain
+        first; then a buffered partial group dispatches per-window (never
+        padded — the sketch state must see each window exactly once,
+        mid-stream), and everything finalizes."""
+        if self._worker is not None:
+            self._worker.drain()
         for row_start, widx, rows in self._gbuf:
             pending = self.engine.dispatch_window(
                 rows, self.modality_types, self._dummy_labels, widx,
@@ -294,6 +385,11 @@ class StreamDetector:
         while self._pending:
             out.append(self._finalize_oldest())
         return out
+
+    def __del__(self):
+        worker = getattr(self, "_worker", None)
+        if worker is not None:
+            worker.stop()
 
     # ------------------------------------------------------------------
     def save(self, path: str) -> list[WindowResult]:
