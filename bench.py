@@ -109,15 +109,16 @@ def main():
     # minutes apart), so a single trial can record a transfer stall rather
     # than the kernel.  The max over spaced trials is the honest device
     # rate; per-trial reps still average dispatch jitter.
-    reps, device_rate = 3, 0.0
+    reps, trial_rates = 3, []
     for trial in range(4):
         if trial:
             time.sleep(5.0)
         t0 = time.perf_counter()
         for _ in range(reps):
             np.asarray(run(windows)[-1])
-        device_rate = max(device_rate,
-                          n_bench / ((time.perf_counter() - t0) / reps))
+        trial_rates.append(n_bench / ((time.perf_counter() - t0) / reps))
+    device_rate = max(trial_rates)
+    median_rate = sorted(trial_rates)[len(trial_rates) // 2]
 
     # --- baseline: reference-style per-row loop, median of 3 runs ---
     n_base = 8_192
@@ -129,6 +130,12 @@ def main():
         "value": round(device_rate, 1),
         "unit": "rows/s (d=1024, ell=64, window=2048)",
         "vs_baseline": round(device_rate / base_rate, 2),
+        # methodology (ADVICE r4 #2): value = best of 4 spaced trials
+        # (tunnel degradation rejection, commit 20848a6); median_trial is
+        # the same trials' midpoint so older mean-of-3 rounds and best-of
+        # rounds can be compared on like terms
+        "methodology": "best_of_4_spaced_trials",
+        "median_trial": round(median_rate, 1),
     }))
 
 

@@ -462,6 +462,9 @@ def main():
     import argparse
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", nargs="+", default=None,
+                    choices=["config1", "config1b", "config2", "config3",
+                             "config3b", "config4", "config5", "config6",
+                             "config7"],
                     help="rerun just these configs (e.g. config6), merging "
                          "into the existing BENCH_DETAIL.json")
     args = ap.parse_args()

@@ -143,6 +143,26 @@ def _kernel(start_ref, cols_ref, rows_ref, colv_ref, sr_ref, sc_ref,
         take, jnp.int8(g), grp_ref[:, pl.ds(slot, tn)])
 
 
+def _stat_operands(metric: str, row_sums, row_stats, start, block: int,
+                   n: int):
+    """(s_r (block, 1), s_c (1, n)) hoisted metric statistics for the
+    jaccard/chord tiles — shared by the single and pair kernels (ADVICE r4
+    #4).  Pre-sliced ``row_stats`` when the colsharded caller supplies them
+    (its row panel is psum-broadcast and ``start`` is shard-local), a
+    dynamic slice of ``row_sums`` otherwise; dummy zero operands for
+    stat-free metrics so the kernel signature stays static."""
+    if metric in ("jaccard", "chord"):
+        assert row_sums is not None, metric
+        if row_stats is not None:
+            s_r = row_stats.astype(jnp.float32).reshape(block, 1)
+        else:
+            s_r = jax.lax.dynamic_slice_in_dim(
+                row_sums, start, block).astype(jnp.float32).reshape(block, 1)
+        return s_r, row_sums.astype(jnp.float32).reshape(1, n)
+    return (jnp.zeros((block, 1), jnp.float32),
+            jnp.zeros((1, n), jnp.float32))
+
+
 @functools.partial(jax.jit,
                    static_argnames=("metric", "nbins", "tn", "tm", "block",
                                     "interpret"))
@@ -185,17 +205,7 @@ def binned_candidates_pallas(cols: jax.Array, rows: jax.Array,
     assert n // nbins <= 127, "int8 group ids"
     start_arr = jnp.asarray(start, jnp.int32).reshape(1, 1)
     colv = col_valid.astype(jnp.float32).reshape(1, n)
-    if metric in ("jaccard", "chord"):
-        assert row_sums is not None, metric
-        if row_stats is not None:
-            s_r = row_stats.astype(jnp.float32).reshape(block, 1)
-        else:
-            s_r = jax.lax.dynamic_slice_in_dim(
-                row_sums, start, block).astype(jnp.float32).reshape(block, 1)
-        s_c = row_sums.astype(jnp.float32).reshape(1, n)
-    else:   # dummy tiny operands so the kernel signature is static
-        s_r = jnp.zeros((block, 1), jnp.float32)
-        s_c = jnp.zeros((1, n), jnp.float32)
+    s_r, s_c = _stat_operands(metric, row_sums, row_stats, start, block, n)
 
     itemsize = _isz(cols)
     est = (tm * cols.shape[1] * itemsize          # resident row tile
@@ -320,21 +330,8 @@ def binned_candidates_pair_pallas(colsA: jax.Array, colsB: jax.Array,
     cvA = colvA.astype(jnp.float32).reshape(1, n)
     cvB = colvB.astype(jnp.float32).reshape(1, n)
 
-    def stats_for(metric, row_sums, row_stats):
-        if metric in ("jaccard", "chord"):
-            assert row_sums is not None, metric
-            if row_stats is not None:
-                s_r = row_stats.astype(jnp.float32).reshape(block, 1)
-            else:
-                s_r = jax.lax.dynamic_slice_in_dim(
-                    row_sums, start, block).astype(
-                        jnp.float32).reshape(block, 1)
-            return s_r, row_sums.astype(jnp.float32).reshape(1, n)
-        return (jnp.zeros((block, 1), jnp.float32),
-                jnp.zeros((1, n), jnp.float32))
-
-    srA, scA = stats_for(metricA, row_sumsA, row_statsA)
-    srB, scB = stats_for(metricB, row_sumsB, row_statsB)
+    srA, scA = _stat_operands(metricA, row_sumsA, row_statsA, start, block, n)
+    srB, scB = _stat_operands(metricB, row_sumsB, row_statsB, start, block, n)
 
     est = (tm * (colsA.shape[1] * _isz(colsA) + colsB.shape[1] * _isz(colsB))
            + 2 * tn * (colsA.shape[1] * _isz(colsA)
