@@ -184,7 +184,9 @@ def _window_step_impl(state: StreamState, fused: jax.Array,
                       n_clusters: jax.Array, key: jax.Array, *, approach: str,
                       k_basis: int, reduced_dim: int, k_max: int, window: int,
                       block_rows: int, fd_shrink: str = "subspace",
-                      k_source: str = "given", need_reduced: bool = True):
+                      k_source: str = "given", need_reduced: bool = True,
+                      eigengap_theta: float = 0.15,
+                      background: bool = False):
     """Device portion of one window given the fused adjacency matrix.
 
     Returns (new_state, reduced (n, reduced_dim or sketch row space), labels
@@ -236,7 +238,8 @@ def _window_step_impl(state: StreamState, fused: jax.Array,
         reduced = reduction.svd_reduce(fused, reduced_dim, key)
 
     if k_source == "eigengap" and approach != "sSpectral":
-        n_clusters = reduction.eigengap_k(reduced, k_max=k_max)
+        n_clusters = reduction.eigengap_k(reduced, k_max=k_max,
+                                          theta=eigengap_theta)
 
     if approach == "sSpectral":
         # spectral clustering works on the affinity graph itself; under
@@ -244,20 +247,25 @@ def _window_step_impl(state: StreamState, fused: jax.Array,
         # the embedding eigh already computes (not the reduced energies of
         # the raw adjacency — a different operator)
         labels = spectral.spectral_clustering(fused, n_clusters, key,
-                                              k_max=k_max, k_source=k_source)
+                                              k_max=k_max, k_source=k_source,
+                                              background=background)
     elif approach == "sSVDMC_mini":
         new_mbk, labels = kmeans.minibatch_step(state.minibatch, reduced, key)
         state = state._replace(minibatch=new_mbk)
+        # background bucket unsupported here: the MiniBatch centroids are
+        # cross-window running means, so window residuals mix scales
     elif approach in ("DBSCAN_incr", "DBSCAN_centr"):
         labels = jnp.zeros((n,), jnp.int32)   # clustered by host glue
     else:
         labels, _ = kmeans.kmeans(reduced, n_clusters, key, k_max=k_max)
+        if background:
+            labels = kmeans.mark_background(reduced, labels, k_max=k_max)
     return state, reduced, labels
 
 
 _window_step = functools.partial(jax.jit, static_argnames=(
     "approach", "k_basis", "reduced_dim", "k_max", "window", "block_rows",
-    "fd_shrink", "k_source", "need_reduced"),
+    "fd_shrink", "k_source", "need_reduced", "eigengap_theta", "background"),
     donate_argnames=("state",))(_window_step_impl)
 
 
@@ -345,7 +353,8 @@ BATCHABLE_APPROACHES = ("SWFDMC", "sSVDMC", "sSVDMC_hung", "sSVDMC_pot",
     jax.jit,
     static_argnames=("approach", "k_basis", "reduced_dim", "k_max", "window",
                      "block_rows", "fd_shrink", "types", "use_pallas",
-                     "tags_dim", "text_dim", "k_source"),
+                     "tags_dim", "text_dim", "k_source", "eigengap_theta",
+                     "background"),
     donate_argnames=("state",))
 def _scanned_window_steps(state: StreamState, feats_batch: tuple,
                           n_clusters: jax.Array, keys: jax.Array, *,
@@ -353,7 +362,9 @@ def _scanned_window_steps(state: StreamState, feats_batch: tuple,
                           k_max: int, window: int, block_rows: int,
                           fd_shrink: str, types: tuple, use_pallas: bool,
                           tags_dim: int, text_dim: int,
-                          k_source: str = "given"):
+                          k_source: str = "given",
+                          eigengap_theta: float = 0.15,
+                          background: bool = False):
     """W tumbling windows in ONE dispatch: ``lax.scan`` over the window axis.
 
     Amortizes the per-window dispatch round trip (the dominant cost on remote
@@ -375,7 +386,8 @@ def _scanned_window_steps(state: StreamState, feats_batch: tuple,
         state, _, labels = _window_step_impl(
             state, fused, k, key, approach=approach, k_basis=k_basis,
             reduced_dim=reduced_dim, k_max=k_max, window=window,
-            block_rows=block_rows, fd_shrink=fd_shrink, k_source=k_source)
+            block_rows=block_rows, fd_shrink=fd_shrink, k_source=k_source,
+            eigengap_theta=eigengap_theta, background=background)
         return state, (labels, r_norm)
 
     state, (labels, r_norms) = jax.lax.scan(
@@ -428,7 +440,8 @@ def _fuse_dispatch(feats: tuple, *, types: tuple, use_pallas: bool,
     jax.jit,
     static_argnames=("approach", "k_basis", "reduced_dim", "k_max", "window",
                      "block_rows", "fd_shrink", "types", "use_pallas",
-                     "tags_dim", "text_dim", "k_source", "need_reduced"),
+                     "tags_dim", "text_dim", "k_source", "need_reduced",
+                     "eigengap_theta", "background"),
     donate_argnames=("state",))
 def _combined_window_step(state: StreamState, feats: tuple,
                           n_clusters: jax.Array, key: jax.Array, *,
@@ -437,7 +450,9 @@ def _combined_window_step(state: StreamState, feats: tuple,
                           fd_shrink: str, types: tuple, use_pallas: bool,
                           tags_dim: int, text_dim: int,
                           k_source: str = "given",
-                          need_reduced: bool = True):
+                          need_reduced: bool = True,
+                          eigengap_theta: float = 0.15,
+                          background: bool = False):
     """Fusion + window step in ONE dispatch (the per-window default path):
     on remote TPU links each jitted call carries fixed serialization/round-
     trip cost, so folding the adjacency build into the window step halves
@@ -451,7 +466,8 @@ def _combined_window_step(state: StreamState, feats: tuple,
         state, fused, n_clusters, key, approach=approach, k_basis=k_basis,
         reduced_dim=reduced_dim, k_max=k_max, window=window,
         block_rows=block_rows, fd_shrink=fd_shrink, k_source=k_source,
-        need_reduced=need_reduced)
+        need_reduced=need_reduced, eigengap_theta=eigengap_theta,
+        background=background)
     return state, reduced, labels, r_norm
 
 
@@ -770,7 +786,8 @@ class StreamingEngine:
                                            self.prev_centroid_labels)
             else:
                 k_host, k_src = self._k_plan(window_true_labels)
-                nk = (reduction.eigengap_k(reduced, k_max=self.k_max)
+                nk = (reduction.eigengap_k(reduced, k_max=self.k_max,
+                                           theta=cfg.eigengap_theta)
                       if k_src == "eigengap" else jnp.int32(k_host))
                 labels, _ = kmeans.kmeans(reduced, nk, key, k_max=self.k_max)
                 clusters = np.asarray(labels)
@@ -956,7 +973,9 @@ class StreamingEngine:
                     approach=cfg.approach, k_basis=cfg.k_basis,
                     reduced_dim=cfg.reduced_dim, k_max=self.k_max,
                     window=cfg.window_size, block_rows=self.block_rows,
-                    fd_shrink=cfg.fd_shrink, k_source=k_source)
+                    fd_shrink=cfg.fd_shrink, k_source=k_source,
+                    eigengap_theta=cfg.eigengap_theta,
+                    background=cfg.background_bucket)
             return _PendingWindow(window_index=window_index, reduced=reduced,
                                   labels=labels, stable_feats=stable_feats,
                                   verbose=verbose, state=self.state)
@@ -975,7 +994,9 @@ class StreamingEngine:
                 types=types, use_pallas=self.use_pallas,
                 tags_dim=cfg.features.tags_hash_dim,
                 text_dim=cfg.features.text_hash_dim, k_source=k_source,
-                need_reduced=cfg.approach != "sSpectral")
+                need_reduced=cfg.approach != "sSpectral",
+                eigengap_theta=cfg.eigengap_theta,
+                background=cfg.background_bucket)
         return _PendingWindow(window_index=window_index, reduced=reduced,
                               labels=labels, r_norm=r_norm,
                               stable_feats=stable_feats, verbose=verbose,
@@ -1423,7 +1444,9 @@ def _run_batched_loop(results, engine, cfg, todo, groups_iter,
                         tags_dim=cfg.features.tags_hash_dim,
                         text_dim=cfg.features.text_hash_dim,
                         mesh=engine.mesh, topology=cfg.merge_topology,
-                        k_source=k_source)
+                        k_source=k_source,
+                        eigengap_theta=cfg.eigengap_theta,
+                        background=cfg.background_bucket)
                 engine.state = StreamState(swfd=new_swfd, minibatch=new_mb)
             else:
                 engine.state, batch_labels, r_norms = _scanned_window_steps(
@@ -1434,7 +1457,9 @@ def _run_batched_loop(results, engine, cfg, todo, groups_iter,
                     fd_shrink=cfg.fd_shrink, types=types,
                     use_pallas=engine.use_pallas,
                     tags_dim=cfg.features.tags_hash_dim,
-                    text_dim=cfg.features.text_hash_dim, k_source=k_source)
+                    text_dim=cfg.features.text_hash_dim, k_source=k_source,
+                    eigengap_theta=cfg.eigengap_theta,
+                    background=cfg.background_bucket)
         rec = (group, n_real, labels_list, batch_labels, r_norms)
         if not pipelined:
             _finalize(rec)

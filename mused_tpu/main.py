@@ -295,6 +295,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "main.py:41); fixed = n_clusters_total; eigengap = "
                         "unsupervised device estimate from the reduced "
                         "window's spectrum (no labels consulted)")
+    p.add_argument("--eigengap-theta", type=float, default=0.15,
+                   help="eigengap_k strong-secondary-gap veto threshold "
+                        "(ADVICE r4 #3); the 0.15 default was calibrated on "
+                        "planted-event windows — tune per stream family")
+    p.add_argument("--background-bucket", action="store_true",
+                   help="label-free background bucket: rows in the far mode "
+                        "of the embedding distance-to-centroid distribution "
+                        "are labeled -1 (no event) instead of being forced "
+                        "into a cluster (ops/kmeans.mark_background; "
+                        "sSpectral + in-graph kmeans approaches)")
     p.add_argument("--parallel-sweep", action="store_true",
                    help="evaluate the sweep's (approach, value) grid "
                         "concurrently, one point per jax device (SURVEY.md "
@@ -382,6 +392,10 @@ def cli(argv=None) -> int:
                                            "windows_per_batch":
                                                args.windows_per_batch,
                                            "k_estimate": args.k_estimate,
+                                           "eigengap_theta":
+                                               args.eigengap_theta,
+                                           "background_bucket":
+                                               args.background_bucket,
                                        })
             finally:
                 if log_file is not None:

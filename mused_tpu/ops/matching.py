@@ -78,7 +78,16 @@ def match_clusters(prev_clusters, new_clusters, method: str = "hungarian",
         return new_clusters
     prev = np.asarray(prev_clusters)
     new = np.asarray(new_clusters)
-    cost, uniq_prev, uniq_new = overlap_cost_matrix(prev, new, min_overlap)
+    # the background bucket id (-1, PipelineConfig.background_bucket) is
+    # reserved: background positions carry no event identity, so they are
+    # excluded from the overlap counts and -1 passes through unchanged
+    # (mapping.get(-1, -1) below).  Without the bucket this mask is empty
+    # and the path is byte-identical to the reference semantics.
+    bg = (prev == -1) | (new == -1)
+    if bg.all():
+        return new
+    cost, uniq_prev, uniq_new = overlap_cost_matrix(prev[~bg], new[~bg],
+                                                    min_overlap)
     if not is_feasible(cost):
         return new
 
@@ -169,15 +178,23 @@ class CentroidMatcher:
         """
         feats = np.asarray(feats, np.float64)
         clusters = np.asarray(clusters)
-        uniq, inv = np.unique(clusters, return_inverse=True)
-        row_ok = np.isfinite(feats).all(axis=1)
+        # the background bucket id (-1) carries no event identity: those
+        # rows are excluded from centroid estimation/registration and keep
+        # -1 in the output — globally stable by construction
+        active = clusters >= 0
+        self.window += 1
+        if not active.any():
+            return clusters.astype(np.int64)
+        sub = clusters[active]
+        feats_a = feats[active]
+        uniq, inv = np.unique(sub, return_inverse=True)
+        row_ok = np.isfinite(feats_a).all(axis=1)
         cents = np.zeros((len(uniq), feats.shape[1]))
-        np.add.at(cents, inv[row_ok], feats[row_ok])
+        np.add.at(cents, inv[row_ok], feats_a[row_ok])
         counts = np.bincount(inv[row_ok], minlength=len(uniq))
         # a cluster with no finite rows keeps a zero centroid (it can only
         # arise from all-invalid padding; zero keeps every distance finite)
         cents /= np.maximum(counts, 1)[:, None]
-        self.window += 1
 
         if self.centroids is None or len(self.centroids) == 0:
             self.centroids = cents
@@ -226,4 +243,6 @@ class CentroidMatcher:
             self.centroids = self.centroids[keep]
             self.ids = self.ids[keep]
             self.last_used = self.last_used[keep]
-        return np.array([mapping[int(c)] for c in clusters])
+        out = np.full(len(clusters), -1, np.int64)
+        out[active] = [mapping[int(c)] for c in sub]
+        return out

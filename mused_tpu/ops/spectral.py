@@ -99,20 +99,28 @@ def spectral_embedding(affinity: jax.Array, n_components: jax.Array,
     return _njw_embedding(vecs, n_components, max_components)
 
 
-@functools.partial(jax.jit, static_argnames=("k_max", "k_source"))
+@functools.partial(jax.jit, static_argnames=("k_max", "k_source",
+                                             "background"))
 def spectral_clustering(affinity: jax.Array, n_clusters: jax.Array,
                         key: jax.Array, *, k_max: int,
-                        k_source: str = "given"):
+                        k_source: str = "given",
+                        background: bool = False):
     """Labels (n,) from normalized-cuts spectral clustering of the affinity;
     n_clusters is dynamic (<= static k_max).
 
     ``k_source="eigengap"``: ignore ``n_clusters`` and estimate the count
     from the spectrum the embedding eigh already computes
     (eigengap_k_from_spectrum — the same rule the blocked/sharded huge-
-    window spectral paths use), keeping the whole estimate in-graph."""
+    window spectral paths use), keeping the whole estimate in-graph.
+
+    ``background=True``: re-label rows in the far mode of the embedding
+    distance-to-centroid distribution -1 (kmeans.mark_background — the
+    label-free background bucket; PipelineConfig.background_bucket)."""
     lam, vecs = _normalized_spectrum(affinity)
     if k_source == "eigengap":
         n_clusters = eigengap_k_from_spectrum(lam, k_max=k_max)
     emb = _njw_embedding(vecs, n_clusters, k_max)
     labels, _ = kmeans_mod.kmeans(emb, n_clusters, key, k_max=k_max)
+    if background:
+        labels = kmeans_mod.mark_background(emb, labels, k_max=k_max)
     return labels

@@ -249,7 +249,9 @@ def _engine_step_core(swfd_state, minibatch_state, feats: tuple,
                       reduced_dim: int, k_max: int, window: int,
                       fd_shrink: str, types: tuple, tags_dim: int,
                       text_dim: int, mesh, topology: str = "allgather",
-                      k_source: str = "given", need_reduced: bool = True):
+                      k_source: str = "given", need_reduced: bool = True,
+                      eigengap_theta: float = 0.15,
+                      background: bool = False):
     """Traceable body shared by ``sharded_engine_step`` (one jitted window)
     and ``sharded_scanned_steps`` (a ``lax.scan`` of W windows).
 
@@ -312,7 +314,8 @@ def _engine_step_core(swfd_state, minibatch_state, feats: tuple,
         from mused_tpu.ops import reduction
         # `reduced` is replicated after the merge/distributed SVD, so the
         # estimate is identical on every chip — no collective needed
-        n_clusters = reduction.eigengap_k(reduced, k_max=k_max)
+        n_clusters = reduction.eigengap_k(reduced, k_max=k_max,
+                                          theta=eigengap_theta)
 
     new_mb = minibatch_state
     if approach == "sSpectral":
@@ -321,7 +324,8 @@ def _engine_step_core(swfd_state, minibatch_state, feats: tuple,
         # spectrum inside spectral_clustering (same rule as the blocked/
         # sharded huge-window paths), not the reduced energies
         labels = spectral.spectral_clustering(fused, n_clusters, key,
-                                              k_max=k_max, k_source=k_source)
+                                              k_max=k_max, k_source=k_source,
+                                              background=background)
     elif approach == "sSVDMC_mini":
         new_mb, labels = kmeans.minibatch_step(minibatch_state, reduced, key)
     elif approach in ("DBSCAN_incr", "DBSCAN_centr"):
@@ -330,12 +334,16 @@ def _engine_step_core(swfd_state, minibatch_state, feats: tuple,
         from mused_tpu.parallel.kmeans_sharded import kmeans_sharded
         labels, _ = kmeans_sharded(reduced, n_clusters, key, k_max=k_max,
                                    mesh=mesh)
+        if background:
+            # reduced/labels are replicated — the bucket is chip-identical
+            labels = kmeans.mark_background(reduced, labels, k_max=k_max)
     return state, new_mb, reduced, labels, r_norm
 
 
 _STEP_STATICS = ("approach", "k_basis", "reduced_dim", "k_max", "window",
                  "fd_shrink", "types", "tags_dim", "text_dim", "mesh",
-                 "topology", "k_source", "need_reduced")
+                 "topology", "k_source", "need_reduced", "eigengap_theta",
+                 "background")
 
 
 @functools.partial(jax.jit, static_argnames=_STEP_STATICS,
@@ -345,7 +353,9 @@ def sharded_engine_step(swfd_state, minibatch_state, feats: tuple,
                         reduced_dim: int, k_max: int, window: int,
                         fd_shrink: str, types: tuple, tags_dim: int,
                         text_dim: int, mesh, topology: str = "allgather",
-                        k_source: str = "given", need_reduced: bool = True):
+                        k_source: str = "given", need_reduced: bool = True,
+                        eigengap_theta: float = 0.15,
+                        background: bool = False):
     """Multi-chip mirror of engine.streaming._window_step — the full
     per-window device step with every collective riding the mesh "data" axis.
 
@@ -366,7 +376,8 @@ def sharded_engine_step(swfd_state, minibatch_state, feats: tuple,
         approach=approach, k_basis=k_basis, reduced_dim=reduced_dim,
         k_max=k_max, window=window, fd_shrink=fd_shrink, types=types,
         tags_dim=tags_dim, text_dim=text_dim, mesh=mesh, topology=topology,
-        k_source=k_source, need_reduced=need_reduced)
+        k_source=k_source, need_reduced=need_reduced,
+        eigengap_theta=eigengap_theta, background=background)
 
 
 @functools.partial(jax.jit, static_argnames=_STEP_STATICS,
@@ -377,7 +388,9 @@ def sharded_scanned_steps(swfd_state, minibatch_state, feats_batch: tuple,
                           fd_shrink: str, types: tuple, tags_dim: int,
                           text_dim: int, mesh, topology: str = "allgather",
                           k_source: str = "given",
-                          need_reduced: bool = False):
+                          need_reduced: bool = False,
+                          eigengap_theta: float = 0.15,
+                          background: bool = False):
     """W tumbling windows in ONE SPMD dispatch: ``lax.scan`` threads the
     SWFD ring + MiniBatch state through the per-window sharded step — the
     multi-chip mirror of engine._scanned_window_steps, composing
@@ -395,7 +408,8 @@ def sharded_scanned_steps(swfd_state, minibatch_state, feats_batch: tuple,
             reduced_dim=reduced_dim, k_max=k_max, window=window,
             fd_shrink=fd_shrink, types=types, tags_dim=tags_dim,
             text_dim=text_dim, mesh=mesh, topology=topology,
-            k_source=k_source, need_reduced=need_reduced)
+            k_source=k_source, need_reduced=need_reduced,
+            eigengap_theta=eigengap_theta, background=background)
         return (sw, mb), (labels, r_norm)
 
     (sw, mb), (labels, r_norms) = jax.lax.scan(

@@ -30,6 +30,12 @@ cluster count (main.py:41) and the engine returns only end-of-stream metrics.
     ``W - 1 + max_lag`` windows behind pushes (``flush()`` still drains
     exactly — a partial group dispatches per-window, never padded, so the
     sketch state sees each window exactly once);
+  * ``background=True`` adds the label-free background bucket
+    (ops/kmeans.mark_background): rows in the far mode of the embedding
+    distance-to-centroid distribution get event id -1 ("no event") instead
+    of being forced into a cluster — matching passes -1 through, so the
+    background id is globally stable (crisis stream at noise 0.3: serving
+    NMI 0.69 -> 0.87 with events-only NMI intact);
   * ``save()``/``load()`` checkpoint the full detector (device sketch state,
     matcher registries, the raw-record tail needed for the next windows) for
     crash recovery or migration between hosts.
@@ -142,7 +148,7 @@ class StreamDetector:
                  k_basis: int = 50, max_events: int = 150,
                  k_estimate: str = "eigengap", step_window_ratio: int = 1,
                  seed: int = 0, matching: str = "auto", max_lag: int = 2,
-                 dispatch_ahead: int = 2,
+                 dispatch_ahead: int = 2, background: bool = False,
                  cfg: PipelineConfig | None = None):
         if cfg is None:
             cfg = PipelineConfig(
@@ -150,7 +156,8 @@ class StreamDetector:
                 k_basis=k_basis, approach=approach, seed=seed,
                 label_mode="all", n_clusters_override=max_events,
                 matching=matching, k_estimate=k_estimate,
-                step_window_ratio=step_window_ratio)
+                step_window_ratio=step_window_ratio,
+                background_bucket=background)
         if cfg.k_estimate == "labels":
             raise ValueError(
                 "serving is unsupervised: k_estimate must be 'eigengap' or "
@@ -326,7 +333,9 @@ class StreamDetector:
                     fd_shrink=cfg.fd_shrink, types=self._scan_types,
                     tags_dim=cfg.features.tags_hash_dim,
                     text_dim=cfg.features.text_hash_dim, mesh=eng.mesh,
-                    topology=cfg.merge_topology, k_source=k_source)
+                    topology=cfg.merge_topology, k_source=k_source,
+                    eigengap_theta=cfg.eigengap_theta,
+                    background=cfg.background_bucket)
             eng.state = engine_mod.StreamState(swfd=new_swfd, minibatch=new_mb)
         else:
             eng.state, batch_labels, r_norms = _scanned_window_steps(
@@ -337,7 +346,9 @@ class StreamDetector:
                 fd_shrink=cfg.fd_shrink, types=self._scan_types,
                 use_pallas=eng.use_pallas,
                 tags_dim=cfg.features.tags_hash_dim,
-                text_dim=cfg.features.text_hash_dim, k_source=k_source)
+                text_dim=cfg.features.text_hash_dim, k_source=k_source,
+                eigengap_theta=cfg.eigengap_theta,
+                background=cfg.background_bucket)
         handle = _GroupHandle(batch_labels, r_norms)
         for pos, ((row_start, widx, _), sf) in enumerate(zip(group, stable)):
             self._pending.append((row_start, widx, sf, handle, pos))

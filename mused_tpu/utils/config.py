@@ -155,6 +155,31 @@ class PipelineConfig:
                              # the reduced window's singular-value profile
                              # (ops/reduction.eigengap_k) — the production/
                              # serving mode, no labels consulted
+    eigengap_theta: float = 0.15
+                             # eigengap_k's strong-secondary-gap veto
+                             # threshold (ADVICE r4 #3): the i=1 Perron gap
+                             # competes only when no later relative gap
+                             # exceeds this.  0.15 was calibrated on
+                             # planted-event windows (noise 0.3-0.65, 1-12
+                             # events, 3 seeds — ops/reduction.eigengap_k);
+                             # a stream family where that default regresses
+                             # tunes it here without a code change.
+    background_bucket: bool = False
+                             # label-free background/outlier bucket
+                             # (serving extension, no reference analog):
+                             # after the in-graph clustering (sSpectral and
+                             # the kmeans approaches), rows whose embedding
+                             # distance to their assigned centroid falls in
+                             # the far mode of a bimodal distance
+                             # distribution (1-d Otsu split with a
+                             # separation guard) are re-labeled -1 — "no
+                             # event".  The affinity graph structurally
+                             # contains only the event communities (the
+                             # eigengap count is right to exclude scattered
+                             # noise) while noise rows sit far from every
+                             # centroid in embedding space (measured AUC
+                             # 0.98 on crisis windows).  Dense windows
+                             # only; matching passes -1 through unchanged.
     swfd_target_blocks: int = 8
     # multi-chip: shard window rows over a ("data","model") mesh of this many
     # devices; every window step then runs SPMD (sharded affinity, ICI sketch
