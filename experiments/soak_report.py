@@ -5,8 +5,8 @@ and the structured per-experiment results files under experiments/soak_r4/
 into the committed soak record (VERDICT r2 next #1; r3 next #3 moved the
 artifacts into the tree and added f1_aligned + the eigengap pass).
 
-Usage: python experiments/soak_report.py /tmp/soak_r4.log \
-           experiments/soak_r4 SOAK.md
+Usage: python experiments/soak_report.py /tmp/soak_r5.log \
+           experiments/soak_r5 SOAK.md
 """
 import ast
 import os
@@ -84,8 +84,8 @@ def emit_tables(lines, log_dir, title, cited_paths):
 
 
 def main():
-    log_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/soak_r4.log"
-    base_dir = sys.argv[2] if len(sys.argv) > 2 else "experiments/soak_r4"
+    log_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/soak_r5.log"
+    base_dir = sys.argv[2] if len(sys.argv) > 2 else "experiments/soak_r5"
     out_path = sys.argv[3] if len(sys.argv) > 3 else "SOAK.md"
     log = open(log_path).read()
 
@@ -95,7 +95,7 @@ def main():
     n_points = len(times)
 
     lines = [
-        "# SOAK — reference-default sweep, end-to-end on TPU (round 4)",
+        "# SOAK — reference-default sweep, end-to-end on TPU (round 5)",
         "",
         "The L5 driver's reference-default grid "
         "(`/root/reference/main.py:258-313`: subset up to 150k rows x "
@@ -104,10 +104,11 @@ def main():
         "`python experiments/soak_driver.py` (`--dataset synthetic`, pool "
         "2x subset).  Engine defaults as shipped (auto scanned dispatch on "
         "eligible approaches).  Per-point tables are COMMITTED under "
-        "`experiments/soak_r4/logs*/exp=*.txt` (verify with `git ls-files "
-        "experiments/soak_r4`); every point carries `f1_aligned`; a second "
+        "`experiments/soak_r5/logs*/exp=*.txt` (verify with `git ls-files "
+        "experiments/soak_r5` — this generator REFUSES to run if any cited "
+        "table is untracked); every point carries `f1_aligned`; a second "
         "label-free pass (k_estimate=eigengap, the serving default) covers "
-        "the noise_rate sweep.",
+        "all four sweep families (round 5 — was noise_rate-only).",
         "",
     ]
     if wall:
