@@ -139,10 +139,13 @@ def main():
     lines += ["Label-free NMI on THIS sweep is capped by the stream, not "
               "the estimator: the reference-default stream is temporally "
               "unsorted and positional matching scrambles cross-window ids "
-              "at any k (the labels-quirk tables above score the same ~0). "
-              "The estimator's quality record is BENCH_DETAIL's "
-              "`6_serving_*` keys (crisis stream, centroid matching: "
-              "label-free NMI 0.62, NMI_e 0.91) and the planted-count "
+              "at any k (the labels-quirk tables above score the same ~0), "
+              "and unsorted-stream F1-ALIGNED is the comparable column — "
+              "on it the label-free rows track the labels-quirk rows "
+              "across every family.  The estimator's quality record is "
+              "BENCH_DETAIL's `6_serving_*` keys (crisis stream, centroid "
+              "matching: label-free NMI_e 0.91, with the round-5 "
+              "background bucket aligned-F1 0.85) and the planted-count "
               "regression tests in tests/test_reduction.py / "
               "tests/test_spectral.py.", ""]
 

@@ -22,7 +22,8 @@ cluster count (main.py:41) and the engine returns only end-of-stream metrics.
     and up to ``max_lag`` windows stay un-pulled ahead of the oldest
     finalized one, so pushes return without blocking on device compute
     (``flush()`` drains; results may additionally lag by the in-flight
-    queue, at most ``dispatch_ahead`` groups);
+    work, at most ``dispatch_ahead + 1`` groups — the queued ones plus
+    the group the worker is processing);
   * eligible configs batch W ready windows into ONE scanned device dispatch
     (``windows_per_batch``, same lax.scan as the offline engine — auto-4 on
     TPU backends, numerically identical to per-window); batching buffers up
