@@ -27,7 +27,13 @@ def _host_fingerprint() -> str:
                     break
     except OSError:
         pass
-    key = f"{platform.machine()}|{flags}"
+    # jax version + XLA_FLAGS join the key: entries also embed XLA target
+    # OPTIONS (e.g. prefer-no-gather) that /proc/cpuinfo cannot see —
+    # observed a "could lead to SIGILL" loader warning from an entry
+    # AOT-compiled under a different option set on the same CPU
+    import jax
+    key = (f"{platform.machine()}|{flags}|{jax.__version__}"
+           f"|{os.environ.get('XLA_FLAGS', '')}")
     return hashlib.sha256(key.encode()).hexdigest()[:12]
 
 
