@@ -490,7 +490,10 @@ def config7_ingest():
     n = 150_000
     path = "/tmp/mused_ingest_bench150k.xml"
     if not os.path.exists(path):
-        synth_corpus(path, n)
+        # atomic: a bench killed mid-synth must not leave a truncated
+        # corpus that silently breaks every later regen
+        synth_corpus(path + ".tmp", n)
+        os.replace(path + ".tmp", path)
     RESULTS["7_ingest_records"] = n
     RESULTS["7_ingest_corpus_mb"] = round(os.path.getsize(path) / 1e6, 1)
 
@@ -502,7 +505,10 @@ def config7_ingest():
         t0 = time.perf_counter()
         df = sed2012.parse_metadata(path, {}, use_native=True)
         best_native = max(best_native, n / (time.perf_counter() - t0))
-    assert len(df) == n, len(df)
+    if len(df) != n:                        # stale/foreign file: self-heal
+        synth_corpus(path + ".tmp", n)
+        os.replace(path + ".tmp", path)
+        return config7_ingest()
     t0 = time.perf_counter()
     df_py = sed2012.parse_metadata(path, {}, use_native=False)
     py_rate = n / (time.perf_counter() - t0)

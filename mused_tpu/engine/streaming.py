@@ -951,7 +951,9 @@ class StreamingEngine:
                         tags_dim=cfg.features.tags_hash_dim,
                         text_dim=cfg.features.text_hash_dim, mesh=self.mesh,
                         topology=cfg.merge_topology, k_source=k_source,
-                        need_reduced=cfg.approach != "sSpectral" or verbose)
+                        need_reduced=cfg.approach != "sSpectral" or verbose,
+                        eigengap_theta=cfg.eigengap_theta,
+                        background=cfg.background_bucket)
                 self.state = StreamState(swfd=new_swfd, minibatch=new_mb)
             return _PendingWindow(window_index=window_index, reduced=reduced,
                                   labels=labels, r_norm=r_norm,

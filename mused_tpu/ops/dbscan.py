@@ -126,7 +126,10 @@ def _prim_mst_mreach(x: np.ndarray, min_samples: int) -> list[tuple]:
     """
     n = len(x)
     sq = np.einsum("ij,ij->i", x, x)
-    k = min(min_samples, n)
+    # clamp like the old jitted path's jnp.clip(min_samples-1, 0, n-1):
+    # min_samples<=1 degrades to core=0 (a plain distance MST), not a
+    # kth=-1 partition picking each row's MAXIMUM distance
+    k = min(max(min_samples, 1), n)
 
     mreach = None
     core = np.empty(n, np.float32)

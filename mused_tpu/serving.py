@@ -100,12 +100,22 @@ class _DispatchWorker:
         self.check()
 
     def check(self) -> None:
+        # a dispatch failure POISONS the detector permanently: windows
+        # after the failed one were skipped (never folded into the sketch
+        # state), so the stream is broken — every subsequent push/flush/
+        # save must keep failing rather than silently emit a stream with
+        # windows missing (review r5 finding #2)
         if self._exc is not None:
-            exc, self._exc = self._exc, None
-            raise exc
+            raise RuntimeError(
+                "serving dispatch worker failed; this detector's stream "
+                "state is broken past the failed window — restore from the "
+                "last save()") from self._exc
 
     def stop(self) -> None:
-        self._q.put(None)
+        try:
+            self._q.put_nowait(None)
+        except queue.Full:      # daemon thread; wedged queue must not
+            pass                # block GC/interpreter shutdown (__del__)
 
 
 def _entry_ready(entry) -> bool:
@@ -235,8 +245,11 @@ class StreamDetector:
     def push(self, modality_rows: Sequence[np.ndarray]) -> list[WindowResult]:
         """Feed one record or a chunk of records (one array per modality,
         each ``(n_new, width)`` — or ``(width,)`` for a single record).
-        Returns any windows finalized by this push (device results may lag
-        up to ``max_lag`` windows behind; ``flush()`` drains)."""
+        Returns any windows finalized by this push.  Results may lag up
+        to ``max_lag`` windows of device pipelining PLUS the async
+        dispatch in flight — at most ``W - 1`` group-buffered windows and
+        ``(dispatch_ahead + 1) * W`` on the worker (17 windows at the
+        defaults); ``flush()`` drains everything."""
         rows = [np.asarray(m) for m in modality_rows]
         if len(rows) != len(self.modality_types):
             raise ValueError(
@@ -428,10 +441,7 @@ class StreamDetector:
         if self._worker is not None:
             self._worker.drain()
         for row_start, widx, rows in self._gbuf:
-            pending = self.engine.dispatch_window(
-                rows, self.modality_types, self._dummy_labels, widx,
-                self._prev_clusters)
-            self._pending.append((row_start, pending))
+            self._dispatch_one(row_start, widx, rows)
         self._gbuf = []
         out = []
         while self._pending:
