@@ -773,7 +773,8 @@ class StreamingEngine:
                 nk = (bspec.eigengap_k_from_spectrum(lam, k_max=self.k_max)
                       if k_src == "eigengap" else jnp.int32(k_host))
                 labels = bspec.labels_from_ritz(
-                    ritz, nk, key, k_max=self.k_max, n_real=n)
+                    ritz, nk, key, k_max=self.k_max, n_real=n,
+                    background=cfg.background_bucket)
                 clusters = np.asarray(labels)
             elif cfg.approach == "DBSCAN_centr":
                 from mused_tpu.ops.blocked_dbscan import dbscan_blocked
@@ -790,6 +791,9 @@ class StreamingEngine:
                                            theta=cfg.eigengap_theta)
                       if k_src == "eigengap" else jnp.int32(k_host))
                 labels, _ = kmeans.kmeans(reduced, nk, key, k_max=self.k_max)
+                if cfg.background_bucket:
+                    labels = kmeans.mark_background(reduced, labels,
+                                                    k_max=self.k_max)
                 clusters = np.asarray(labels)
         method = self._match_method()
         if cfg.approach != "DBSCAN_centr":   # centr does its own matching

@@ -149,14 +149,18 @@ def spectral_clustering_blocked(cols: ba.Columns, n_clusters: int,
 
 
 def labels_from_ritz(ritz: jax.Array, n_clusters, key: jax.Array, *,
-                     k_max: int, n_real: int):
+                     k_max: int, n_real: int, background: bool = False):
     """NJW tail shared with the sharded spectral paths (parallel/sharded,
     parallel/colsharded): slice the live eigenvectors, row-normalize, KMeans
-    — identical to the dense path's final step."""
+    — identical to the dense path's final step.  ``background=True`` applies
+    the label-free background bucket on the same embedding (kmeans.
+    mark_background — the dense path's spectral_clustering counterpart)."""
     emb = ritz[:n_real, :k_max]
     alive = jnp.arange(emb.shape[1])[None, :] < n_clusters
     emb = jnp.where(alive, emb, 0.0)
     nrm = jnp.linalg.norm(emb, axis=1, keepdims=True)
     emb = emb / jnp.maximum(nrm, 1e-12)
     labels, _ = kmeans_mod.kmeans(emb, jnp.int32(n_clusters), key, k_max=k_max)
+    if background:
+        labels = kmeans_mod.mark_background(emb, labels, k_max=k_max)
     return labels
