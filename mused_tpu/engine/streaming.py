@@ -349,6 +349,47 @@ BATCHABLE_APPROACHES = ("SWFDMC", "sSVDMC", "sSVDMC_hung", "sSVDMC_pot",
                         "sSVDMC_mini", "sSpectral")
 
 
+def scanned_group_dispatch(engine: "StreamingEngine", feats_batch: tuple,
+                           n_clusters, keys, *, types: tuple,
+                           k_source: str):
+    """One scanned multi-window device dispatch through the engine's
+    configured path (SPMD when a mesh is set, else single-chip) — the ONE
+    place the ~15-kwarg scanned call is spelled, shared by the offline
+    batched loop and serving's group dispatch so their plumbing can never
+    drift (round-5 review: a static added to only 3 of the 4 spelled-out
+    copies silently diverged serving semantics).  Advances
+    ``engine.state``; returns (batch_labels (W, n), r_norms (W,))."""
+    cfg = engine.cfg
+    if engine.mesh is not None:
+        from mused_tpu.parallel import sharded as shard_mod
+        new_swfd, new_mb, batch_labels, r_norms = \
+            shard_mod.sharded_scanned_steps(
+                engine.state.swfd, engine.state.minibatch, feats_batch,
+                n_clusters, keys, approach=cfg.approach,
+                k_basis=cfg.k_basis, reduced_dim=cfg.reduced_dim,
+                k_max=engine.k_max, window=cfg.window_size,
+                fd_shrink=cfg.fd_shrink, types=types,
+                tags_dim=cfg.features.tags_hash_dim,
+                text_dim=cfg.features.text_hash_dim, mesh=engine.mesh,
+                topology=cfg.merge_topology, k_source=k_source,
+                eigengap_theta=cfg.eigengap_theta,
+                background=cfg.background_bucket)
+        engine.state = StreamState(swfd=new_swfd, minibatch=new_mb)
+    else:
+        engine.state, batch_labels, r_norms = _scanned_window_steps(
+            engine.state, feats_batch, n_clusters, keys,
+            approach=cfg.approach, k_basis=cfg.k_basis,
+            reduced_dim=cfg.reduced_dim, k_max=engine.k_max,
+            window=cfg.window_size, block_rows=engine.block_rows,
+            fd_shrink=cfg.fd_shrink, types=types,
+            use_pallas=engine.use_pallas,
+            tags_dim=cfg.features.tags_hash_dim,
+            text_dim=cfg.features.text_hash_dim, k_source=k_source,
+            eigengap_theta=cfg.eigengap_theta,
+            background=cfg.background_bucket)
+    return batch_labels, r_norms
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("approach", "k_basis", "reduced_dim", "k_max", "window",
@@ -1440,36 +1481,11 @@ def _run_batched_loop(results, engine, cfg, todo, groups_iter,
         keys = jax.vmap(lambda w: jax.random.fold_in(
             jax.random.key(cfg.seed), w))(jnp.asarray([w for w, _ in group]))
         with engine.timer.span("batched_device_step"):
-            if engine.mesh is not None:
-                # scanned dispatch composed with SPMD (windows_per_batch x
-                # data_shards): one dispatch runs W sharded window steps
-                from mused_tpu.parallel import sharded as shard_mod
-                new_swfd, new_mb, batch_labels, r_norms = \
-                    shard_mod.sharded_scanned_steps(
-                        engine.state.swfd, engine.state.minibatch,
-                        feats_batch, n_clusters, keys, approach=cfg.approach,
-                        k_basis=cfg.k_basis, reduced_dim=cfg.reduced_dim,
-                        k_max=engine.k_max, window=window_size,
-                        fd_shrink=cfg.fd_shrink, types=types,
-                        tags_dim=cfg.features.tags_hash_dim,
-                        text_dim=cfg.features.text_hash_dim,
-                        mesh=engine.mesh, topology=cfg.merge_topology,
-                        k_source=k_source,
-                        eigengap_theta=cfg.eigengap_theta,
-                        background=cfg.background_bucket)
-                engine.state = StreamState(swfd=new_swfd, minibatch=new_mb)
-            else:
-                engine.state, batch_labels, r_norms = _scanned_window_steps(
-                    engine.state, feats_batch, n_clusters, keys,
-                    approach=cfg.approach, k_basis=cfg.k_basis,
-                    reduced_dim=cfg.reduced_dim, k_max=engine.k_max,
-                    window=window_size, block_rows=engine.block_rows,
-                    fd_shrink=cfg.fd_shrink, types=types,
-                    use_pallas=engine.use_pallas,
-                    tags_dim=cfg.features.tags_hash_dim,
-                    text_dim=cfg.features.text_hash_dim, k_source=k_source,
-                    eigengap_theta=cfg.eigengap_theta,
-                    background=cfg.background_bucket)
+            # scanned dispatch, SPMD-composed when a mesh is configured —
+            # the shared helper is the single spelling of the call
+            batch_labels, r_norms = scanned_group_dispatch(
+                engine, feats_batch, n_clusters, keys, types=types,
+                k_source=k_source)
         rec = (group, n_real, labels_list, batch_labels, r_norms)
         if not pipelined:
             _finalize(rec)

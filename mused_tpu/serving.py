@@ -48,6 +48,7 @@ from __future__ import annotations
 
 import collections
 import dataclasses
+import math
 import queue
 import threading
 from typing import NamedTuple, Sequence
@@ -160,10 +161,12 @@ class WindowResult(NamedTuple):
 
     window_index: int
     row_start: int          # absolute stream index of the window's first row
-    clusters: np.ndarray    # (window_size,) stable event id per record
-    event_ids: np.ndarray   # unique event ids present in this window
+    clusters: np.ndarray    # (window_size,) stable event id per record;
+                            # -1 = background ("no event", background_bucket)
+    event_ids: np.ndarray   # unique event ids present in this window (no -1)
     counts: np.ndarray      # record count per event_ids entry
-    new_events: np.ndarray  # event ids first seen in this window
+    new_events: np.ndarray  # event ids first seen in this window (no -1)
+    background: int = 0     # rows in this window's background bucket
 
 
 class StreamDetector:
@@ -205,7 +208,12 @@ class StreamDetector:
             # blocked sub-stream to completion), so it needs the previous
             # window's MATCHED labels at dispatch time — no lag allowed
             self.max_lag = 0
-        self._tail: list[np.ndarray] | None = None   # last window_size rows
+        # retention: per-modality lists of immutable pushed chunks
+        # covering at least the last window_size rows (see push())
+        self._rchunks: list[list[np.ndarray]] = [
+            [] for _ in self.modality_types]
+        self._ret_start = 0      # absolute index of the first retained row
+        self._ret_len = 0
         self._count = 0          # absolute records pushed
         self._window_index = 0
         self._prev_clusters: np.ndarray | None = None
@@ -272,24 +280,56 @@ class StreamDetector:
                 "shaped (n, 1) — a 1-D array is read as ONE record")
 
         w = self.cfg.window_size
-        # buf = retained tail + this chunk; buf[0] is absolute index buf_start
-        if self._tail is None:
-            buf = rows
-        else:
-            buf = [np.concatenate([t, m]) for t, m in zip(self._tail, rows)]
-        buf_start = self._count - (0 if self._tail is None
-                                   else len(self._tail[0]))
+        # retention is a per-modality CHUNK LIST (no per-push rebuild of a
+        # window-sized buffer — a huge-window detector fed small chunks
+        # would otherwise copy the whole window every push).  The one copy
+        # here detaches the rows from the caller's arrays: retained chunks
+        # are immutable, so window views handed to the async worker can
+        # never see a caller reusing its buffer.
+        rows = [np.array(m) for m in rows]
+        for lst, m in zip(self._rchunks, rows):
+            lst.append(m)
+        self._ret_len += n_new
+        end = self._count + n_new
 
         out: list[WindowResult] = []
-        ratio = self.cfg.step_window_ratio
-        for i in range(self._count, self._count + n_new):
-            # reference trigger semantics (main.py:32)
-            if i + 1 >= w and ((i + 1) * ratio) % w == 0:
-                lo = i + 1 - w - buf_start
-                window = [b[lo:i + 1 - buf_start] for b in buf]
-                out.extend(self._fire(i, window))
-        self._count += n_new
-        self._tail = [b[-w:] for b in buf]
+        # reference trigger semantics (main.py:32): fire at record i when
+        # i+1 >= w and ((i+1)*ratio) % w == 0  <=>  i+1 is a multiple of
+        # w // gcd(ratio, w) that has reached one full window
+        p = w // math.gcd(self.cfg.step_window_ratio, w)
+        t0 = -(-max(w, self._count + 1) // p) * p
+        for t in range(t0, end + 1, p):
+            out.extend(self._fire(t - 1, self._window_rows(t - w, t)))
+        self._count = end
+        # drop whole chunks that can no longer intersect a future window
+        # (every future window starts at >= count - w + 1)
+        while (self._rchunks[0]
+               and self._ret_len - len(self._rchunks[0][0]) >= w):
+            n0 = len(self._rchunks[0][0])
+            for lst in self._rchunks:
+                lst.pop(0)
+            self._ret_len -= n0
+            self._ret_start += n0
+        return out
+
+    def _window_rows(self, lo: int, hi: int) -> list[np.ndarray]:
+        """Rows [lo, hi) per modality from the retained chunk lists —
+        a view when one chunk covers the range, else one concatenate.
+        Retained chunks are immutable, so views are safe across the
+        async dispatch boundary."""
+        out = []
+        for lst in self._rchunks:
+            parts = []
+            pos = self._ret_start
+            for c in lst:
+                s, e = max(lo - pos, 0), min(hi - pos, len(c))
+                if e > s:
+                    parts.append(c[s:e])
+                pos += len(c)
+                if pos >= hi:
+                    break
+            out.append(parts[0] if len(parts) == 1
+                       else np.concatenate(parts))
         return out
 
     def _submit(self, fn) -> None:
@@ -306,19 +346,19 @@ class StreamDetector:
         """Queue/dispatch the window ending at absolute index ``i``;
         finalize any windows beyond the ``max_lag`` pipeline depth."""
         row_start = i + 1 - self.cfg.window_size
+        # window arrays are views/concats of the immutable retained
+        # chunks — safe to hold across the async dispatch without copying
         if self._batch_w > 1:
-            # copy: the caller's buf slices alias the retained tail
-            self._gbuf.append((row_start, self._window_index,
-                               [np.array(m) for m in window]))
+            self._gbuf.append((row_start, self._window_index, window))
             self._window_index += 1
             if len(self._gbuf) == self._batch_w:
                 group, self._gbuf = self._gbuf, []
                 self._submit(lambda: self._dispatch_group(group))
         else:
-            rows = [np.array(m) for m in window]   # drop the buf alias
             widx = self._window_index
             self._window_index += 1
-            self._submit(lambda: self._dispatch_one(row_start, widx, rows))
+            self._submit(
+                lambda: self._dispatch_one(row_start, widx, window))
         return self._drain_ready()
 
     def _drain_ready(self) -> list[WindowResult]:
@@ -361,8 +401,7 @@ class StreamDetector:
         """
         import jax
         import jax.numpy as jnp
-        from mused_tpu.engine.streaming import (_scanned_window_steps,
-                                                stack_window_features)
+        from mused_tpu.engine.streaming import stack_window_features
         eng, cfg = self.engine, self.cfg
         feats_list, stable = [], []
         for _, _, rows in group:
@@ -376,33 +415,11 @@ class StreamDetector:
         keys = jax.vmap(lambda w: jax.random.fold_in(
             jax.random.key(cfg.seed), w))(
                 jnp.asarray([w for _, w, _ in group]))
-        if eng.mesh is not None:
-            from mused_tpu.parallel import sharded as shard_mod
-            new_swfd, new_mb, batch_labels, r_norms = \
-                shard_mod.sharded_scanned_steps(
-                    eng.state.swfd, eng.state.minibatch, feats_batch,
-                    n_clusters, keys, approach=cfg.approach,
-                    k_basis=cfg.k_basis, reduced_dim=cfg.reduced_dim,
-                    k_max=eng.k_max, window=cfg.window_size,
-                    fd_shrink=cfg.fd_shrink, types=self._scan_types,
-                    tags_dim=cfg.features.tags_hash_dim,
-                    text_dim=cfg.features.text_hash_dim, mesh=eng.mesh,
-                    topology=cfg.merge_topology, k_source=k_source,
-                    eigengap_theta=cfg.eigengap_theta,
-                    background=cfg.background_bucket)
-            eng.state = engine_mod.StreamState(swfd=new_swfd, minibatch=new_mb)
-        else:
-            eng.state, batch_labels, r_norms = _scanned_window_steps(
-                eng.state, feats_batch, n_clusters, keys,
-                approach=cfg.approach, k_basis=cfg.k_basis,
-                reduced_dim=cfg.reduced_dim, k_max=eng.k_max,
-                window=cfg.window_size, block_rows=eng.block_rows,
-                fd_shrink=cfg.fd_shrink, types=self._scan_types,
-                use_pallas=eng.use_pallas,
-                tags_dim=cfg.features.tags_hash_dim,
-                text_dim=cfg.features.text_hash_dim, k_source=k_source,
-                eigengap_theta=cfg.eigengap_theta,
-                background=cfg.background_bucket)
+        # the shared helper is the single spelling of the scanned call —
+        # serving and the offline loop can no longer drift (review r5 #4)
+        batch_labels, r_norms = engine_mod.scanned_group_dispatch(
+            eng, feats_batch, n_clusters, keys, types=self._scan_types,
+            k_source=k_source)
         handle = _GroupHandle(batch_labels, r_norms)
         for pos, ((row_start, widx, _), sf) in enumerate(zip(group, stable)):
             self._pending.append((row_start, widx, sf, handle, pos))
@@ -426,12 +443,20 @@ class StreamDetector:
                 stable_feats=stable_feats)
         self._prev_clusters = clusters
         ids, counts = np.unique(clusters, return_counts=True)
+        # the background bucket id (-1) is "no event": it never appears in
+        # event_ids/new_events (a phantom permanent event otherwise) —
+        # background rows are visible in `clusters` and `background`
+        n_background = 0
+        if len(ids) and ids[0] == -1:
+            n_background = int(counts[0])
+            ids, counts = ids[1:], counts[1:]
         new = np.array([e for e in ids.tolist()
                         if e not in self._seen_events], ids.dtype)
         self._seen_events.update(ids.tolist())
         return WindowResult(window_index=widx,
                             row_start=row_start, clusters=clusters,
-                            event_ids=ids, counts=counts, new_events=new)
+                            event_ids=ids, counts=counts, new_events=new,
+                            background=n_background)
 
     def flush(self) -> list[WindowResult]:
         """Finalize every queued window.  In-flight async dispatches drain
@@ -467,7 +492,10 @@ class StreamDetector:
             "window_index": self._window_index,
             "prev_clusters": self._prev_clusters,
             "seen_events": sorted(self._seen_events),
-            "tail": self._tail,
+            "tail": self._window_rows(max(0, self._count -
+                                          self.cfg.window_size),
+                                      self._count),
+            "dispatch_ahead": self._dispatch_ahead,
             "modality_types": list(self.modality_types),
             # the FULL config (nested FeatureConfig included) — a partial
             # field list would silently rebuild different featurization/
@@ -478,10 +506,13 @@ class StreamDetector:
 
     @classmethod
     def load(cls, path: str, *, max_lag: int = 2,
+             dispatch_ahead: int | None = None,
              cfg: PipelineConfig | None = None) -> "StreamDetector":
         """Rebuild a detector from :meth:`save` output; pushing resumes the
         stream exactly where it left off (the saved tail provides the
-        overlap for the next windows)."""
+        overlap for the next windows).  ``dispatch_ahead=None`` restores
+        the saved detector's async-dispatch depth (a deployment that ran
+        synchronous dispatch stays synchronous after a restore)."""
         from mused_tpu.utils import checkpoint as ckpt
         device_state, host = ckpt.load_checkpoint(path)
         if not host.get("serving"):
@@ -491,12 +522,18 @@ class StreamDetector:
             if isinstance(kw.get("features"), dict):
                 kw["features"] = FeatureConfig(**kw["features"])
             cfg = PipelineConfig(**kw)
+        if dispatch_ahead is None:
+            dispatch_ahead = int(host.get("dispatch_ahead", 2))
         det = cls(host["modality_types"], cfg.window_size, cfg=cfg,
-                  max_lag=max_lag)
+                  max_lag=max_lag, dispatch_ahead=dispatch_ahead)
         det.engine.restore(device_state, host)
         det._count = int(host["count"])
         det._window_index = int(host["window_index"])
         det._prev_clusters = host["prev_clusters"]
         det._seen_events = set(host["seen_events"])
-        det._tail = host["tail"]
+        tail = host["tail"]
+        if tail is not None and len(tail) and len(tail[0]):
+            det._rchunks = [[np.asarray(t)] for t in tail]
+            det._ret_len = len(tail[0])
+            det._ret_start = det._count - det._ret_len
         return det

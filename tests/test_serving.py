@@ -275,3 +275,32 @@ def test_serving_clamps_scanned_for_non_batchable_approach():
     assert any(len(np.unique(w.clusters)) > 1 for w in a)  # real labels
     for x, y in zip(a, b):
         assert np.array_equal(x.clusters, y.clusters)
+
+
+def test_push_detaches_from_caller_buffer(stream):
+    """push() must copy: a caller reusing (mutating) its chunk buffer
+    after push must not corrupt later windows (review r5 finding —
+    the retained tail aliased the caller's arrays on the no-fire path)."""
+    mods, mtypes, labels = stream
+    det_a = StreamDetector(mtypes, 128, approach="sSVDMC", reduced_dim=16,
+                           k_basis=4, max_events=8, k_estimate="fixed")
+    det_b = StreamDetector(mtypes, 128, approach="sSVDMC", reduced_dim=16,
+                           k_basis=4, max_events=8, k_estimate="fixed")
+    out_a, out_b = [], []
+    bufs = [np.empty_like(m[:100]) for m in mods]
+    for lo in range(0, 512, 100):
+        hi = min(lo + 100, 512)
+        chunk = [m[lo:hi] for m in mods]
+        # detector A: pushed a REUSED buffer that is overwritten afterwards
+        for b, c in zip(bufs, chunk):
+            b[:hi - lo] = c
+        out_a.extend(det_a.push([b[:hi - lo] for b in bufs]))
+        for b in bufs:
+            b[:] = -777.0                     # caller clobbers its buffer
+        # detector B: pushed fresh arrays
+        out_b.extend(det_b.push([c.copy() for c in chunk]))
+    out_a.extend(det_a.flush())
+    out_b.extend(det_b.flush())
+    assert len(out_a) == len(out_b) == 4
+    for x, y in zip(out_a, out_b):
+        assert np.array_equal(x.clusters, y.clusters)
