@@ -15,10 +15,12 @@ TPU-native split:
     crosses the host<->device boundary), and huge inputs use the device
     Boruvka in ops/blocked_hdbscan.
 
-Label ids follow first-occurrence order like sklearn; noise is -1.  Border
-point ties may resolve differently than sklearn's insertion order (documented
-deviation — downstream metrics are permutation-invariant or matched,
-SURVEY.md §2.4).
+Label ids are numbered by each cluster's MINIMUM member row index (border
+points included) — sklearn instead numbers by core-point discovery order,
+so the two orderings can permute — and border-point ties may attach to a
+different adjacent cluster than sklearn's insertion order.  Both are
+documented deviations: downstream metrics are permutation-invariant or
+matched (SURVEY.md §2.4).  Noise is -1.
 """
 from __future__ import annotations
 
@@ -278,10 +280,19 @@ def _extract_labels(edges, n: int, min_cluster_size: int) -> np.ndarray:
                             point_parent[p] = c
                             point_out_lambda[p] = lam
 
-    # cap inf lambdas at the max finite out-lambda within each cluster
+    # cap ALL inf lambdas (point out-lambdas AND cluster birth lambdas) at
+    # one global finite scale: zero-distance TRUE splits (>= 2*mcs
+    # coincident duplicate rows) otherwise give nested inf-born clusters
+    # whose stability sums inf - inf = nan and corrupt the eom selection
     finite = point_out_lambda[np.isfinite(point_out_lambda)]
-    cap = finite.max() if len(finite) else 1.0
-    point_out_lambda = np.where(np.isfinite(point_out_lambda), point_out_lambda, cap)
+    finite_births = [v for v in lam_birth.values() if np.isfinite(v)]
+    cap = max(finite.max() if len(finite) else 1.0,
+              max(finite_births) if finite_births else 1.0)
+    point_out_lambda = np.where(np.isfinite(point_out_lambda),
+                                point_out_lambda, cap)
+    for c, v in lam_birth.items():
+        if not np.isfinite(v):
+            lam_birth[c] = cap
 
     # stability(c) = sum_points (lambda_out - birth) + sum_children (birth_child - birth)*size_subtree(child)
     stability: dict[int, float] = {c: 0.0 for c in child_clusters}
@@ -291,31 +302,38 @@ def _extract_labels(edges, n: int, min_cluster_size: int) -> np.ndarray:
         # size[] already carries every merge node's leaf count — O(1) lookup
         stability[par] += max(lam_birth[ch] - lam_birth[par], 0.0) * size[ch]
 
-    # excess-of-mass: bottom-up, a cluster wins if its stability beats the sum
-    # of its children's winning stabilities (root never selected)
+    # excess-of-mass: bottom-up, a cluster wins if its stability beats the
+    # sum of its children's winning stabilities (root never selected).
+    # Iterative post-order: a caterpillar hierarchy nests one true split
+    # per shed subcluster, so recursion depth would be ~n/mcs and blow the
+    # Python frame limit at blocked-path scales (review r5 finding).
     selected: set[int] = set()
-
-    def select(c) -> float:
+    win_sum: dict[int, float] = {}       # c -> subtree winning stability
+    post: list[int] = []
+    stack_ = [root]
+    while stack_:
+        c = stack_.pop()
+        post.append(c)
+        stack_.extend(child_clusters.get(c, []))
+    for c in reversed(post):             # children before parents
         kids = child_clusters.get(c, [])
         if not kids:
             if c != root:
                 selected.add(c)
-            return stability[c]
-        kid_sum = sum(select(k) for k in kids)
+            win_sum[c] = stability[c]
+            continue
+        kid_sum = sum(win_sum[k] for k in kids)
         if c != root and stability[c] >= kid_sum:
             # unselect all descendants: walk c's condensed subtree once
-            # (previously an _is_descendant scan per selected cluster —
-            # quadratic in cluster count)
-            stack_ = list(kids)
-            while stack_:
-                m = stack_.pop()
+            walk = list(kids)
+            while walk:
+                m = walk.pop()
                 selected.discard(m)
-                stack_.extend(child_clusters.get(m, []))
+                walk.extend(child_clusters.get(m, []))
             selected.add(c)
-            return stability[c]
-        return kid_sum
-
-    select(root)
+            win_sum[c] = stability[c]
+        else:
+            win_sum[c] = kid_sum
 
     # labeling: walk each point's condensed parent chain up to the nearest
     # selected cluster (hdbscan do_labelling semantics); root -> noise
@@ -347,21 +365,25 @@ def _incdb_place(buf: jax.Array, new: jax.Array, start: jax.Array) -> jax.Array:
 
 @jax.jit
 def _incdb_counts(buf: jax.Array, n_valid: jax.Array, new: jax.Array,
-                  eps: jax.Array) -> jax.Array:
-    """Exact |N_eps| per new row over the valid prefix (self included)."""
+                  eps: jax.Array):
+    """(counts, masked d2): exact |N_eps| per new row over the valid prefix
+    (self included) AND the masked distance matrix, kept ON DEVICE so the
+    follow-up top-k (whose k depends on counts.max(), a host value) reuses
+    it — the O(n_new * N * d) pairwise matmul runs once per insert, not
+    twice (review r5 finding)."""
     d2 = _sq_dists(new, buf)
     valid = jnp.arange(buf.shape[0])[None, :] < n_valid
-    return jnp.sum(valid & (d2 <= eps * eps), axis=1).astype(jnp.int32)
+    counts = jnp.sum(valid & (d2 <= eps * eps), axis=1).astype(jnp.int32)
+    return counts, jnp.where(valid, d2, jnp.inf)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
-def _incdb_topk(buf: jax.Array, n_valid: jax.Array, new: jax.Array, k: int):
-    """k nearest valid points per new row -> (d2 vals, global indices).
-    With k >= that row's within-eps count, the k nearest provably contain
-    every within-eps neighbor (all of them are nearer than any non-member)."""
-    d2 = _sq_dists(new, buf)
-    d2 = jnp.where(jnp.arange(buf.shape[0])[None, :] < n_valid, d2, jnp.inf)
-    neg, idx = jax.lax.top_k(-d2, k)
+def _incdb_topk(d2_masked: jax.Array, k: int):
+    """k nearest valid points per new row from the masked distance matrix
+    -> (d2 vals, global indices).  With k >= that row's within-eps count,
+    the k nearest provably contain every within-eps neighbor (all of them
+    are nearer than any non-member)."""
+    neg, idx = jax.lax.top_k(-d2_masked, k)
     return -neg, idx
 
 
@@ -431,10 +453,12 @@ class IncrementalDBSCAN:
         self._n = n_old + n_new
         n_valid = jnp.int32(self._n)
         eps = jnp.float32(self.eps)
-        counts = np.asarray(_incdb_counts(self._dev_buf, n_valid, new_dev, eps))
+        counts_dev, d2_masked = _incdb_counts(self._dev_buf, n_valid,
+                                              new_dev, eps)
+        counts = np.asarray(counts_dev)
         k = int(counts.max(initial=1))
         k = min(max(32, 1 << (k - 1).bit_length()), self._n)
-        vals, idx = _incdb_topk(self._dev_buf, n_valid, new_dev, k)
+        vals, idx = _incdb_topk(d2_masked, k)
         vals = np.asarray(vals)
         idx = np.asarray(idx)
         gids = np.arange(n_old, self._n, dtype=np.int32)[:, None]
@@ -469,9 +493,16 @@ class IncrementalDBSCAN:
         return self
 
     def get_cluster_labels(self, points) -> np.ndarray:
-        k = len(points)
+        # same shape normalization as insert(): a bare (d,) point is ONE
+        # record, not d of them (a raw len() returned d labels for it)
+        k = len(np.atleast_2d(np.asarray(points)))
         if self._labels is None:
             self._labels = self._handle.labels()
+        if k > len(self._labels):
+            raise ValueError(
+                f"queried {k} labels but only {len(self._labels)} points "
+                "are retained (bounded max_buffer/fallback mode evicted "
+                "older rows)")
         return np.asarray(self._labels[-k:])
 
     # -- checkpointing ---------------------------------------------------
@@ -502,19 +533,36 @@ def match_centroids(data: np.ndarray, labels: np.ndarray, previous_centroids,
                     previous_labels):
     """Centroid matching across windows (reference matrix_operations.py:278-298):
     each new cluster centroid maps to the nearest previous centroid and
-    inherits its label.  Returns (labels, new_centroids, unique_labels)."""
+    inherits its label.
+
+    Returns (labels, new_centroids, centroid_labels) where
+    ``centroid_labels[i]`` is the FINAL (post-remap) label of
+    ``new_centroids[i]`` — the pair the NEXT window's lookup indexes.  The
+    reference returned the unique of the remapped labels here (noise -1
+    included), which is misaligned with the centroid array whenever a
+    window has noise: the next window's ``prev_labels[old]`` then shifts
+    every inherited id by one and can relabel a real cluster as noise
+    (review r5 finding; the reference's own DBSCAN_centr path never runs —
+    see dbscan_centroid_incremental — so this follows the evident intent,
+    like the rest of this approach)."""
     unique_clusters = [c for c in np.unique(labels) if c != -1]
     new_centroids = np.array([data[labels == c].mean(axis=0) for c in unique_clusters]) \
         if unique_clusters else np.empty((0, data.shape[1]), np.float32)
 
+    mapping = {}
     if previous_centroids is not None and len(previous_centroids) > 0 and len(new_centroids) > 0:
         diff = new_centroids[:, None, :] - np.asarray(previous_centroids)[None, :, :]
         matches = np.argmin(np.linalg.norm(diff, axis=-1), axis=1)
         prev_labels = np.asarray(previous_labels)
+        # positions in unique_clusters ARE the label values (dbscan labels
+        # are first-occurrence-compacted 0..k-1), matching the reference's
+        # enumerate-keyed mapping
         mapping = {new: (prev_labels[old] if old < len(prev_labels) else -1)
                    for new, old in enumerate(matches)}
         labels = np.array([mapping[l] if l in mapping else l for l in labels])
-    return labels, new_centroids, np.unique(labels)
+    centroid_labels = np.array([mapping.get(int(c), int(c))
+                                for c in unique_clusters], np.int64)
+    return labels, new_centroids, centroid_labels
 
 
 def dbscan_centroid_incremental(data, previous_centroids, previous_labels,

@@ -230,3 +230,43 @@ def test_incremental_snapshot_roundtrip(rng):
     np.testing.assert_array_equal(
         np.asarray(inc.get_cluster_labels(x)),
         np.asarray(resumed.get_cluster_labels(x)))
+
+
+def test_match_centroids_alignment_with_noise():
+    """centroid_labels must align with new_centroids even when the window
+    has noise: the reference returned unique(labels) (noise -1 included),
+    shifting every inherited id by one at the next window and relabeling a
+    real cluster as noise (review r5 finding)."""
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(20, 3)) * 0.05          # cluster 0
+    b = rng.normal(size=(20, 3)) * 0.05 + 10.0   # cluster 1
+    noise = np.array([[100.0, -100.0, 50.0]])    # isolated -> -1
+    w1 = np.concatenate([a, b, noise]).astype(np.float32)
+    lab1 = dbs.dbscan(w1, eps=1.0, min_samples=3)
+    assert set(lab1.tolist()) == {-1, 0, 1}
+    out1, cents1, cl1 = dbs.match_centroids(w1, lab1, None, None)
+    assert cl1.tolist() == [0, 1]                # aligned, no -1
+    # window 2: same two clusters, order flipped in the data, plus noise
+    w2 = np.concatenate([b + 0.01, a + 0.01, noise + 1.0]).astype(np.float32)
+    lab2 = dbs.dbscan(w2, eps=1.0, min_samples=3)
+    out2, cents2, cl2 = dbs.match_centroids(w2, lab2, cents1, cl1)
+    # rows around b must keep global id 1, rows around a id 0, noise -1
+    assert set(out2[:20].tolist()) == {1}
+    assert set(out2[20:40].tolist()) == {0}
+    assert out2[40] == -1
+
+
+def test_hdbscan_blocked_duplicate_heavy_no_nan():
+    """>= 2*mcs coincident duplicates produce zero-distance TRUE splits:
+    inf birth lambdas must be capped (inf - inf was nan and corrupted the
+    eom selection, review r5 finding)."""
+    from mused_tpu.ops.blocked_hdbscan import hdbscan_blocked
+    rng = np.random.default_rng(1)
+    groups = [np.tile(rng.normal(size=(1, 4)) * 5, (12, 1))
+              for _ in range(3)]                  # 12 EXACT duplicates each
+    x = np.concatenate(groups).astype(np.float32)
+    got = hdbscan_blocked(x, min_cluster_size=3, min_samples=2, block=12)
+    want = dbs.hdbscan(x, min_cluster_size=3, min_samples=2)
+    # three pure clusters, identical partitions on both paths
+    assert len(set(got.tolist())) == 3
+    assert np.array_equal(got, want)
