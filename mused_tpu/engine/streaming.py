@@ -183,7 +183,7 @@ def _fuse_generic(mats: tuple, *, k_basis: int, types: tuple,
 def _window_step_impl(state: StreamState, fused: jax.Array,
                       n_clusters: jax.Array, key: jax.Array, *, approach: str,
                       k_basis: int, reduced_dim: int, k_max: int, window: int,
-                      block_rows: int, fd_shrink: str = "subspace",
+                      fd_shrink: str = "subspace",
                       k_source: str = "given", need_reduced: bool = True,
                       eigengap_theta: float = 0.15,
                       background: bool = False):
@@ -264,7 +264,7 @@ def _window_step_impl(state: StreamState, fused: jax.Array,
 
 
 _window_step = functools.partial(jax.jit, static_argnames=(
-    "approach", "k_basis", "reduced_dim", "k_max", "window", "block_rows",
+    "approach", "k_basis", "reduced_dim", "k_max", "window",
     "fd_shrink", "k_source", "need_reduced", "eigengap_theta", "background"),
     donate_argnames=("state",))(_window_step_impl)
 
@@ -283,6 +283,16 @@ def _auto_col_shards(p: int) -> int:
             best = d
         d += 1
     return best
+
+
+def effective_verbose(cfg: PipelineConfig) -> bool:
+    """True only when the small-window debug oracles actually print
+    (reference main.py:35-37: subset < 1000 eyeball prints).  The scanned
+    and dispatch-ahead gates key off THIS, not raw cfg.verbose — a
+    --verbose run at window_size > 1000 prints nothing, and silently
+    paying per-window dispatch for it cost the ~3x scanned speedup
+    (review r5 finding)."""
+    return cfg.verbose and cfg.window_size <= 1000
 
 def resolve_windows_per_batch(cfg: PipelineConfig, *, standard_types: bool,
                               step_window_ratio: int | None = None,
@@ -336,7 +346,7 @@ def resolve_windows_per_batch(cfg: PipelineConfig, *, standard_types: bool,
                 auto_w = wide
         batch_w = auto_w if (backend == "tpu" and hard_eligible
                              and not checkpoint_dir
-                             and not cfg.verbose) else 1
+                             and not effective_verbose(cfg)) else 1
     batch_w = max(int(batch_w), 1)
     return batch_w if hard_eligible else 1
 
@@ -380,7 +390,7 @@ def scanned_group_dispatch(engine: "StreamingEngine", feats_batch: tuple,
             engine.state, feats_batch, n_clusters, keys,
             approach=cfg.approach, k_basis=cfg.k_basis,
             reduced_dim=cfg.reduced_dim, k_max=engine.k_max,
-            window=cfg.window_size, block_rows=engine.block_rows,
+            window=cfg.window_size,
             fd_shrink=cfg.fd_shrink, types=types,
             use_pallas=engine.use_pallas,
             tags_dim=cfg.features.tags_hash_dim,
@@ -393,14 +403,14 @@ def scanned_group_dispatch(engine: "StreamingEngine", feats_batch: tuple,
 @functools.partial(
     jax.jit,
     static_argnames=("approach", "k_basis", "reduced_dim", "k_max", "window",
-                     "block_rows", "fd_shrink", "types", "use_pallas",
+                     "fd_shrink", "types", "use_pallas",
                      "tags_dim", "text_dim", "k_source", "eigengap_theta",
                      "background"),
     donate_argnames=("state",))
 def _scanned_window_steps(state: StreamState, feats_batch: tuple,
                           n_clusters: jax.Array, keys: jax.Array, *,
                           approach: str, k_basis: int, reduced_dim: int,
-                          k_max: int, window: int, block_rows: int,
+                          k_max: int, window: int,
                           fd_shrink: str, types: tuple, use_pallas: bool,
                           tags_dim: int, text_dim: int,
                           k_source: str = "given",
@@ -427,7 +437,7 @@ def _scanned_window_steps(state: StreamState, feats_batch: tuple,
         state, _, labels = _window_step_impl(
             state, fused, k, key, approach=approach, k_basis=k_basis,
             reduced_dim=reduced_dim, k_max=k_max, window=window,
-            block_rows=block_rows, fd_shrink=fd_shrink, k_source=k_source,
+            fd_shrink=fd_shrink, k_source=k_source,
             eigengap_theta=eigengap_theta, background=background)
         return state, (labels, r_norm)
 
@@ -480,14 +490,14 @@ def _fuse_dispatch(feats: tuple, *, types: tuple, use_pallas: bool,
 @functools.partial(
     jax.jit,
     static_argnames=("approach", "k_basis", "reduced_dim", "k_max", "window",
-                     "block_rows", "fd_shrink", "types", "use_pallas",
+                     "fd_shrink", "types", "use_pallas",
                      "tags_dim", "text_dim", "k_source", "need_reduced",
                      "eigengap_theta", "background"),
     donate_argnames=("state",))
 def _combined_window_step(state: StreamState, feats: tuple,
                           n_clusters: jax.Array, key: jax.Array, *,
                           approach: str, k_basis: int, reduced_dim: int,
-                          k_max: int, window: int, block_rows: int,
+                          k_max: int, window: int,
                           fd_shrink: str, types: tuple, use_pallas: bool,
                           tags_dim: int, text_dim: int,
                           k_source: str = "given",
@@ -506,7 +516,7 @@ def _combined_window_step(state: StreamState, feats: tuple,
     state, reduced, labels = _window_step_impl(
         state, fused, n_clusters, key, approach=approach, k_basis=k_basis,
         reduced_dim=reduced_dim, k_max=k_max, window=window,
-        block_rows=block_rows, fd_shrink=fd_shrink, k_source=k_source,
+        fd_shrink=fd_shrink, k_source=k_source,
         need_reduced=need_reduced, eigengap_theta=eigengap_theta,
         background=background)
     return state, reduced, labels, r_norm
@@ -519,17 +529,21 @@ class StreamingEngine:
         self.cfg = cfg
         n = cfg.window_size
         ell = min(cfg.reduced_dim, n)
-        self.block_rows = swfd.choose_block_rows(n, ell, cfg.swfd_target_blocks)
         self.k_max = max(cfg.n_clusters_total, 2)
         # resolve the Pallas-affinity auto default: on for real TPU backends,
         # off for CPU/interpret (config.use_pallas_affinity overrides)
         self.use_pallas = (cfg.use_pallas_affinity
                            if cfg.use_pallas_affinity is not None
                            else jax.default_backend() == "tpu")
-        # SWFD state is O(slots * ell * n); only pay for it when used
-        # summary blocks are whole windows -> block_rows = n (2 ring slots)
+        # SWFD state is O(slots * ell * n); only pay for it when used.
+        # Summary blocks are whole windows -> block_rows = n (2 ring
+        # slots).  The HUGE-window path computes its sketch via the
+        # blocked sweeps (never reads state.swfd), so it gets the dummy
+        # too — at capacity scale the unused ring would be ~3*ell*n
+        # floats of zeros in HBM and in every checkpoint.
+        huge = n > LARGE_WINDOW_ROWS or cfg.force_blocked_window
         swfd_state = (swfd.init(n, n, ell, block_rows=n)
-                      if cfg.approach == "SWFDMC"
+                      if cfg.approach == "SWFDMC" and not huge
                       else swfd.init(1, 1, 1, block_rows=1))
         self.state = StreamState(
             swfd=swfd_state,
@@ -543,6 +557,12 @@ class StreamingEngine:
         self.centroid_matcher = (
             matching.CentroidMatcher(cfg.centroid_max_dist)
             if cfg.matching == "centroid" else None)
+        if huge and cfg.approach == "DBSCAN_incr":
+            raise ValueError(
+                "DBSCAN_incr accumulates every inserted point (exact "
+                "incremental semantics) and runs dense-window-only; huge "
+                f"windows need window_size <= {LARGE_WINDOW_ROWS} or "
+                "DBSCAN_centr")
         if cfg.matching == "centroid" and (
                 cfg.window_size > LARGE_WINDOW_ROWS or cfg.force_blocked_window):
             raise ValueError(
@@ -583,14 +603,6 @@ class StreamingEngine:
                 raise ValueError(
                     f"data_shards={cfg.data_shards} but only "
                     f"{len(jax.devices())} devices visible")
-            if ((cfg.window_size > LARGE_WINDOW_ROWS
-                 or cfg.force_blocked_window)
-                    and cfg.approach == "DBSCAN_incr"):
-                raise ValueError(
-                    "DBSCAN_incr accumulates every inserted point (exact "
-                    "incremental semantics) and does not shard; huge "
-                    f"windows need window_size <= {LARGE_WINDOW_ROWS} or "
-                    "DBSCAN_centr")
             if (cfg.huge_window_layout in ("columns", "grid")
                     and not (cfg.window_size > LARGE_WINDOW_ROWS
                              or cfg.force_blocked_window)):
@@ -836,14 +848,17 @@ class StreamingEngine:
                     labels = kmeans.mark_background(reduced, labels,
                                                     k_max=self.k_max)
                 clusters = np.asarray(labels)
-        method = self._match_method()
         if cfg.approach != "DBSCAN_centr":   # centr does its own matching
             with self.timer.span("matching"):
-                clusters = matching.match_clusters(
-                    prev_clusters, clusters, method=method, min_overlap=3,
-                    sinkhorn_reg=cfg.sinkhorn_reg,
-                    sinkhorn_iters=cfg.sinkhorn_iters)
-        if clusters is None or len(clusters) == 0:
+                # the shared one-window matcher (min_overlap/sinkhorn
+                # parameters + all-noise fallback live ONLY there) — this
+                # was the fourth hand-rolled copy (review r5 finding;
+                # centroid matching is forbidden for huge windows in
+                # __init__, so no registry is threaded here)
+                clusters = match_window_labels(
+                    prev_clusters, clusters, cfg,
+                    method=self._match_method())
+        elif clusters is None or len(clusters) == 0:
             clusters = np.full(cfg.window_size, 0)
         return np.asarray(clusters)
 
@@ -972,7 +987,7 @@ class StreamingEngine:
                                                   window_index, prev_clusters)
             return _PendingWindow(window_index=window_index, clusters=clusters,
                                   state=self.state)
-        verbose = cfg.verbose and cfg.window_size <= 1000
+        verbose = effective_verbose(cfg)
         if verbose:   # small-subset debug oracles (ref main.py:35-37)
             print(f"[window {window_index}] true labels: "
                   f"{np.asarray(window_true_labels)}")
@@ -1019,7 +1034,7 @@ class StreamingEngine:
                     self.state, fused, jnp.int32(n_clusters), key,
                     approach=cfg.approach, k_basis=cfg.k_basis,
                     reduced_dim=cfg.reduced_dim, k_max=self.k_max,
-                    window=cfg.window_size, block_rows=self.block_rows,
+                    window=cfg.window_size,
                     fd_shrink=cfg.fd_shrink, k_source=k_source,
                     eigengap_theta=cfg.eigengap_theta,
                     background=cfg.background_bucket)
@@ -1037,7 +1052,7 @@ class StreamingEngine:
                 jnp.int32(n_clusters), key, approach=cfg.approach,
                 k_basis=cfg.k_basis, reduced_dim=cfg.reduced_dim,
                 k_max=self.k_max, window=cfg.window_size,
-                block_rows=self.block_rows, fd_shrink=cfg.fd_shrink,
+                fd_shrink=cfg.fd_shrink,
                 types=types, use_pallas=self.use_pallas,
                 tags_dim=cfg.features.tags_hash_dim,
                 text_dim=cfg.features.text_hash_dim, k_source=k_source,
@@ -1313,7 +1328,7 @@ def process_streaming_data(results, data_modalities, modality_types,
     # the moment w+1 dispatches.  The huge-window path runs to completion
     # inside dispatch (including matching, which NEEDS the previous window's
     # matched labels), so it must also stay sequential.
-    pipelined = (not cfg.verbose and not checkpoint_dir
+    pipelined = (not effective_verbose(cfg) and not checkpoint_dir
                  and window_size <= LARGE_WINDOW_ROWS
                  and not cfg.force_blocked_window)
     from collections import deque

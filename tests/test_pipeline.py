@@ -166,7 +166,7 @@ def test_sspectral_skips_unused_reduction():
         _, reduced, labels = _window_step(
             eng.state, fused, jnp.int32(3), jax.random.key(1),
             approach="sSpectral", k_basis=3, reduced_dim=8, k_max=4,
-            window=64, block_rows=eng.block_rows, fd_shrink="subspace",
+            window=64, fd_shrink="subspace",
             need_reduced=need_reduced)
         return np.asarray(reduced), np.asarray(labels)
 

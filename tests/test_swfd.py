@@ -105,7 +105,7 @@ def test_engine_swfdmc_sliding_semantics(rng):
         eng.state, reduced, labels = streaming._window_step(
             eng.state, fused, jnp.int32(2), jax.random.key(w),
             approach="SWFDMC", k_basis=3, reduced_dim=ell, k_max=2,
-            window=n, block_rows=eng.block_rows)
+            window=n)
     sketch = np.asarray(reduced).T     # (ell, n)
     err = np.linalg.norm(last_fused.T @ last_fused - sketch.T @ sketch, 2)
     bound = np.linalg.norm(last_fused, "fro") ** 2 / ell * 2.0
