@@ -181,6 +181,12 @@ class PipelineConfig:
                              # 0.98 on crisis windows).  Dense windows
                              # only; matching passes -1 through unchanged.
     swfd_target_blocks: int = 8
+                             # SeqBasedSWFD-style row-granular streaming
+                             # only (ops/swfd.choose_block_rows default);
+                             # the engine's whole-window fold made it a
+                             # no-op there (round 5 removed the dead
+                             # threading).  Kept for cfg-dict
+                             # compatibility with saved checkpoints.
     # multi-chip: shard window rows over a ("data","model") mesh of this many
     # devices; every window step then runs SPMD (sharded affinity, ICI sketch
     # merge / distributed SVD, psum'd KMeans — parallel/sharded.py).
