@@ -30,7 +30,6 @@ from jax.sharding import PartitionSpec as P
 from mused_tpu.ops import affinity, fd, kmeans
 from mused_tpu.parallel import sketch_merge
 
-NEG = affinity.NEG
 shard_map = jax.shard_map
 
 
@@ -40,11 +39,14 @@ knn_adjacency_block = affinity.knn_adjacency_block
 
 def _row_shard_fused_adjacency(loc_s, time_s, uid_s, tags_s, text_s,
                                k_basis: int, axis_name: str = "data",
-                               tags_valid_s=None):
+                               tags_valid_s=None, tags_f=None, text_f=None):
     """Device-local body: fused (m, n) adjacency shard from feature shards.
 
     Every collective is explicit: all_gather for column features, psum for
-    global TF-IDF document frequencies.
+    global TF-IDF document frequencies.  Sparse-token callers pass the
+    PRE-GATHERED dense panels (tags_f/text_f) built from all_gathered
+    token ids — gathering the densified (m, dim) f32 panels here would
+    cost ~dim/T x the ICI bytes (review r5 finding).
     """
     m = loc_s.shape[0]
     p_idx = jax.lax.axis_index(axis_name)
@@ -55,7 +57,10 @@ def _row_shard_fused_adjacency(loc_s, time_s, uid_s, tags_s, text_s,
         return g.reshape((-1,) + g.shape[2:])          # (n, ...)
 
     loc_f, time_f, uid_f = gather(loc_s), gather(time_s), gather(uid_s)
-    tags_f, text_f = gather(tags_s), gather(text_s)
+    if tags_f is None:
+        tags_f = gather(tags_s)
+    if text_f is None:
+        text_f = gather(text_s)
 
     mats = []
     # location: haversine row-block vs all columns (ref matrix_operations.py:23-30)
@@ -176,15 +181,26 @@ def _generic_fused_shard(mats_s, types, k_basis: int,
 def _features_to_fused_shard(feat_shards, types, k_basis: int, tags_dim: int,
                              text_dim: int, axis_name: str = "data"):
     """Dispatch a tuple of per-chip feature shards to the right fused-shard
-    builder.  ``types`` mirrors engine.streaming._run_batched's encoding:
-    ("standard_sparse", tags_dim, text_dim) | ("standard",) | generic types."""
+    builder.  ``types`` mirrors engine.streaming._types_for's encoding:
+    ("standard_sparse",) | ("standard",) | a generic modality-type tuple
+    (hash widths always come from the tags_dim/text_dim kwargs)."""
     if types[0] == "standard_sparse":
         loc, tim, uid, tags_ids, text_ids, text_cnt, tags_valid = feat_shards
+        # gather the SPARSE token tensors (int16 ids / uint8 counts) over
+        # ICI and densify on BOTH sides of the gather: densify-then-gather
+        # shipped the (m, tags_dim/text_dim) f32 panels — ~dim/T x the
+        # bytes — for a bitwise-identical result
         tags = affinity.counts_from_tokens(tags_ids, None, tags_dim)
         text = affinity.counts_from_tokens(text_ids, text_cnt, text_dim)
+        tags_f = affinity.counts_from_tokens(
+            _gather_rows(tags_ids, axis_name), None, tags_dim)
+        text_f = affinity.counts_from_tokens(
+            _gather_rows(text_ids, axis_name),
+            _gather_rows(text_cnt, axis_name), text_dim)
         return _row_shard_fused_adjacency(loc, tim, uid.astype(jnp.int32),
                                           tags, text, k_basis, axis_name,
-                                          tags_valid)
+                                          tags_valid, tags_f=tags_f,
+                                          text_f=text_f)
     if types == ("standard",):
         loc, tim, uid, tags, text, tags_valid = feat_shards
         return _row_shard_fused_adjacency(
@@ -197,6 +213,13 @@ def _dist_svd_reduce(fused_s, key, reduced_dim: int, *, n_iter: int = 4,
                      oversample: int = 10, axis_name: str = "data"):
     """Distributed reduction.svd_reduce: randomized truncated SVD of the
     row-sharded (m, n) fused adjacency.
+
+    Deliberately mirrors ops/reduction.randomized_svd (n_iter=4,
+    oversample=10, B = Q^T A small-SVD ordering) — NOT
+    blocked_affinity.randomized_svd_from_products (n_iter=2, oversample=8,
+    A^T Q variant): the parity contract here is bit-level agreement with
+    the single-chip DENSE engine step, which uses reduction's constants.
+    A change to reduction.randomized_svd must land here too.
 
     Collective pattern: the sketch Y = A @ Omega is computed shard-locally
     (Omega is replicated — same key everywhere), gathered to (n, k) for the
@@ -395,8 +418,8 @@ def sharded_scanned_steps(swfd_state, minibatch_state, feats_batch: tuple,
     SWFD ring + MiniBatch state through the per-window sharded step — the
     multi-chip mirror of engine._scanned_window_steps, composing
     ``windows_per_batch`` with ``data_shards``.  ``feats_batch`` tensors are
-    stacked (W, n, ...); returns (new_swfd, new_minibatch, labels (W, n))
-    with labels replicated like the per-window step's.  Numerically
+    stacked (W, n, ...); returns (new_swfd, new_minibatch, labels (W, n),
+    r_norms (W,)) with labels replicated like the per-window step's.  Numerically
     identical to W per-window sharded dispatches (the scan body IS the
     per-window step)."""
 
@@ -483,8 +506,13 @@ def sharded_blocked_fd_sketch(cols, *, ell: int, block: int, k_basis: int,
     ICI (allgather or ring — FD mergeability, SURVEY.md §2.8).  Scaling is
     embarrassing up to the merge: p chips sweep p-fold fewer blocks each.
 
-    Returns (sketch (ell, n), sq_frobenius, shrink_loss) exactly like
-    blocked_fd_sketch.  Requires block | n and p | (n // block).
+    Returns (sketch (ell, n), sq_frobenius, shrink_loss) with the same
+    shapes as blocked_fd_sketch.  ``shrink_loss`` is the psum of the
+    per-chip SWEEP losses only — the merge shrink's own delta is NOT
+    included (sketch_merge discards it), same documented omission as the
+    dense SWFDMC branch; swfd.query's error cap uses the sq_fro/ell bound
+    regardless, so the omission understates a diagnostic, never the
+    guarantee.  Requires block | n and p | (n // block).
     """
     n = cols.n
     p = mesh.shape["data"]
