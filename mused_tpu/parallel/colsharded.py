@@ -69,7 +69,6 @@ from mused_tpu.ops.pallas import blocked_select as bs
 
 shard_map = jax.shard_map
 
-NEG = affinity.NEG
 _AXIS = "data"
 
 
@@ -78,7 +77,7 @@ _AXIS = "data"
 # ---------------------------------------------------------------------------
 
 def default_nbins_colsharded(n: int, p: int, target_reduction: int = 64,
-                             k_max: int = 0) -> int:
+                             k_max: int = 0, nbins_cap: int = 4096) -> int:
     """Candidate-bin count for a p-way column-sharded sweep.
 
     Same structure as blocked_select.default_nbins (nbins = n/g), with the
@@ -88,21 +87,34 @@ def default_nbins_colsharded(n: int, p: int, target_reduction: int = 64,
     multiple of nbins, so col % nbins is the same slot locally and
     globally) and keeps per-chip group ids in int8 range.
 
+    Two budgets bound the geometry (review r5 finding — the old resolver
+    capped g at 127 GLOBALLY although the int8 budget is per-chip, so the
+    ~1M-row capacity windows this layout exists for resolved to
+    nbins=16k and the kernel's (tm, nbins) VMEM accumulator could not
+    compile):
+
+      * int8 group ids are PER-CHIP: g/p <= 127, i.e. g <= 127*p;
+      * the kernel's (tm, nbins) accumulator must fit VMEM:
+        nbins = n/g <= ``nbins_cap`` (4096 ~= 42 MB at tm=2048), i.e.
+        g >= n/nbins_cap.
+
     Preferences, in order: enough candidate bins for recall (nbins >=
-    8·k_max — floored at g = p, where each LOCAL column is its own bin and
-    per-chip selection is exact), then MXU-lane-aligned bins (128 | nbins),
-    then the largest reduction.  Returns 0 when no structure exists
-    (p ∤ n, or p > the int8 group budget).
+    8·k_max — floored at the smallest admissible g), then MXU-lane-aligned
+    bins (128 | nbins), then the largest reduction within
+    max(target_reduction, VMEM floor).  Returns 0 when no admissible
+    geometry exists (p ∤ n, or no divisor satisfies both budgets).
     """
     if p < 1 or p > 127 or n % p:
         return 0
-    # g = p is always admissible (each local column its own bin — exact
-    # per-chip selection), even past target_reduction on wide meshes
-    cands = [g for g in range(p, min(max(target_reduction, p), 127) + 1)
-             if g % p == 0 and n % g == 0]
+    g_floor = max(p, -(-n // nbins_cap))        # VMEM: nbins <= nbins_cap
+    g_hi = min(max(target_reduction, g_floor), 127 * p)
+    cands = [g for g in range(p, g_hi + 1)
+             if g % p == 0 and n % g == 0
+             and g // p <= 127 and n // g <= nbins_cap]
     if not cands:
         return 0
-    ok = [g for g in cands if not k_max or (n // g) >= 8 * k_max] or [p]
+    ok = ([g for g in cands if not k_max or (n // g) >= 8 * k_max]
+          or [min(cands)])                      # max recall within budget
     aligned = [g for g in ok if (n // g) % 128 == 0]
     return n // (max(aligned) if aligned else max(ok))
 
@@ -217,7 +229,7 @@ def _prep_local_modalities(feat_shards: tuple, types: tuple, k_basis: int,
     text = text * idf[None, :]
     text = text / jnp.maximum(jnp.linalg.norm(text, axis=1, keepdims=True),
                               1e-12)
-    tags_sums = jnp.sum(tags, axis=1)         # f32 BEFORE the bf16 cast
+    tags_sums = jnp.sum(tags, axis=1)         # f32 BEFORE the int8 cast
     return [
         ("chord3", _unit_xyz(loc, loc_valid), loc_valid, None, k_basis),
         ("l1", tim, tim_valid, None, 3 * k_basis),
@@ -307,7 +319,7 @@ def _select_candidates_local(mods: list, start, block: int, n: int,
     # (start_adj + local row) == local column  <=>  global row == global col
     start_adj = start - me * n_local
 
-    cands, user = [], None
+    items, user = [], None
     for metric, t, valid, stats, k in mods:
         if metric == "username":
             user = (t, valid)           # k ignored (ref :55-72)
@@ -319,17 +331,58 @@ def _select_candidates_local(mods: list, start, block: int, n: int,
         tr = _bcast_rows(t, start, block, axis_name)
         sr = (_bcast_rows(stats, start, block, axis_name)
               if stats is not None else None)
-        if use_kernel:
-            vals, grp = bs.binned_candidates_pallas(
-                t, tr, valid, start_adj, metric=metric, nbins=nbins,
-                block=block, row_sums=stats, row_stats=sr, tn=tn)
-        else:
-            sim = _sim_strip(metric, t, tr, stats, sr)
-            vals, grp = bs.binned_candidates_reference(sim, valid,
-                                                       start_adj, nbins)
+        items.append((metric, t, valid, stats, k_eff, vr, tr, sr))
+
+    raw = _raw_candidates(items, start_adj, nbins=nbins, block=block,
+                          tn=tn, use_kernel=use_kernel)
+    cands = []
+    for (vals, grp), (_, _, _, _, k_eff, vr, _, _) in zip(raw, items):
         vmax, gwin = _merge_candidates(vals, grp, groups_local, axis_name)
         cands.append((bs.budgeted_keep(vmax, vr, k_eff), gwin))
     return cands, user
+
+
+def _raw_candidates(items: list, start_adj, *, nbins: int, block: int,
+                    tn: int, use_kernel: bool, interpret: bool = False):
+    """Per-modality (vals, grp) candidate buffers for prepared items
+    [(metric, cols, colv, stats, k_eff, vr, rows, row_stats)] — no
+    collectives, so the kernel/pair plumbing is unit-testable off-mesh
+    (interpret mode) against the emulation branch."""
+    raw = []
+    if use_kernel:
+        # pair consecutive modalities into ONE kernel sweep — each sweep
+        # pays near-constant grid/DMA/epilogue cost, so the pair lands
+        # near max of the singles (the single-chip path's measured
+        # 9.07 -> 6.51 ms/block for loc+time; the pair kernel's
+        # row_stats operands ARE the colsharded contract, built for this
+        # call site — review r5 finding).  Outputs are per-modality
+        # identical to two single launches.
+        i = 0
+        while i < len(items):
+            if i + 1 < len(items):
+                ma, ta, va, sa, _, _, tra, sra = items[i]
+                mb, tb, vb, sb, _, _, trb, srb = items[i + 1]
+                vA, gA, vB, gB = bs.binned_candidates_pair_pallas(
+                    ta, tb, tra, trb, va, vb, start_adj,
+                    metricA=ma, metricB=mb, nbins=nbins, block=block,
+                    row_sumsA=sa, row_statsA=sra,
+                    row_sumsB=sb, row_statsB=srb, tn=tn,
+                    interpret=interpret)
+                raw += [(vA, gA), (vB, gB)]
+                i += 2
+            else:
+                m_, t_, v_, s_, _, _, tr_, sr_ = items[i]
+                raw.append(bs.binned_candidates_pallas(
+                    t_, tr_, v_, start_adj, metric=m_, nbins=nbins,
+                    block=block, row_sums=s_, row_stats=sr_, tn=tn,
+                    interpret=interpret))
+                i += 1
+    else:
+        for m_, t_, v_, s_, _, _, tr_, sr_ in items:
+            sim = _sim_strip(m_, t_, tr_, s_, sr_)
+            raw.append(bs.binned_candidates_reference(sim, v_, start_adj,
+                                                      nbins))
+    return raw
 
 
 def _fused_block_local(mods: list, start, block: int, n: int, nbins: int,
@@ -891,7 +944,6 @@ def _colsharded_svd_impl(feats: tuple, key, *, types: tuple, rank: int,
             g = jax.lax.all_gather(part, col_axis)        # (pm, n/pm, r)
             return g.reshape(n, r)
 
-        from mused_tpu.ops import blocked_affinity as ba
         return ba.randomized_svd_from_products(
             mul_a, mul_at, key, n=n, rank=rank, oversample=oversample,
             n_iter=n_iter)[None]
@@ -1020,8 +1072,17 @@ def colsharded_fused_rows(feats: tuple, types: tuple, *, start: int,
                           nbins: int | None = None) -> jax.Array:
     """(block, n) fused adjacency rows [start, start+block) assembled from
     the column-sharded sweep — the parity/debug surface (tested bit-equal
-    to blocked_affinity.fused_rowblock's binned path)."""
+    to blocked_affinity.fused_rowblock's binned path).
+
+    ``start`` must be a multiple of ``block`` (every internal sweep start
+    is): _bcast_rows assumes each row block lives WHOLLY on one chip, and
+    a straddling range would silently return the owner's clamped slice
+    (review r5 finding)."""
     n = feats[0].shape[0]
+    if start % block:
+        raise ValueError(
+            f"start={start} must be a multiple of block={block}: a row "
+            "range straddling a shard boundary has no single owner chip")
     col_axis, _, pm, _ = _mesh_axes(mesh)
     nbins = _resolve_geometry(n, mesh, block, k_basis, nbins,
                               check_row_groups=False)
