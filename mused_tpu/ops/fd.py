@@ -70,7 +70,10 @@ def shrink(stacked: jax.Array, ell: int, *, eps: float = 1e-30) -> tuple[jax.Arr
 
     Returns ``(B', delta)`` where ``B'`` is (ell, d) and ``delta`` is the
     squared singular value subtracted from the spectrum (the per-shrink error).
-    Rows beyond the top-``ell`` spectrum are exactly zero.
+    Rows beyond the top-``ell`` spectrum are exactly zero.  A stack with
+    m <= ell rows passes through UNCHANGED, shape (m, d) — callers that
+    place the result into a static (ell, d) slot must pad (every in-repo
+    caller stacks m > ell rows).
     """
     m = stacked.shape[0]
     if m <= ell:
@@ -131,18 +134,43 @@ def shrink_fast(stacked: jax.Array, ell: int, *, oversample: int = 16,
     instead of hiding it (VERDICT r1 weak #2 fixed).
 
     Health gate: Newton-Schulz cannot orthonormalize (near-)rank-deficient
-    Grams; such stacks route to the exact eigh shrink via lax.cond.  The gate
-    is two-tier: clean orthogonality (orth_err < 0.4, measured: healthy
-    streams <= 0.34, rank-deficient 0.95+), OR moderate orthogonality with
-    small per-eigenvector residuals ``||G v_i - lam_i v_i|| <= 0.1 lam_max``
-    over the KEPT columns — tie-degenerate (duplicate-heavy) spectra mix
-    freely inside an eigenvalue cluster, which inflates orth drift but keeps
-    eigen-residuals small, so they now stay on the fast path safely.
-    Opt in via update_stream(..., mode="subspace").
+    Grams; such stacks route to the exact eigh shrink via lax.cond on
+    ``orth_err < 0.4`` (measured: healthy full-rank streams <= 0.34,
+    tie-degenerate 0.6+, rank-deficient 0.9+).  Degenerate spectra MUST
+    take the fallback for quality, not just safety: measured at
+    (64, 128)/ell=16, the gersh-rescaled fast truncation's spectral error
+    vs eigh is 565 vs 237 on duplicate-heavy ties and 9492 vs 0 on
+    rank-deficient stacks (an earlier round documented a second gate tier
+    meant to keep ties on the fast path — its residual test could never
+    fire, and the measurement above shows firing it would have been a
+    quality regression; review r5 removed it).  Opt in via
+    update_stream(..., mode="subspace").
     """
     m2, d = stacked.shape
     if m2 <= ell:
         return stacked, jnp.zeros((), stacked.dtype)
+    healthy, v = _subspace_basis(stacked, ell, oversample=oversample,
+                                 sub_iters=sub_iters)
+
+    def keep_fast(s):
+        b = jnp.dot(v[:, :ell].T, s, precision=jax.lax.Precision.HIGHEST)
+        # exact trace of the PSD step-residual S^T S - B'^T B' (>= its
+        # 2-norm) — computed INSIDE the branch so the fallback never pays
+        # the projection matmul or the full-stack reductions
+        r = jnp.maximum(jnp.sum(s * s) - jnp.sum(b * b), 0.0)
+        return b.astype(s.dtype), r.astype(s.dtype)
+
+    return jax.lax.cond(healthy, keep_fast, lambda s: shrink(s, ell),
+                        stacked)
+
+
+def _subspace_basis(stacked: jax.Array, ell: int, *, oversample: int,
+                    sub_iters: int):
+    """(healthy, v): the NS-iterated, gersh-rescaled projection basis and
+    its health verdict — split out so the gate is testable directly (the
+    round-2 tie-degenerate test asserted only error quality, which the
+    eigh fallback satisfies, and shipped a dead gate tier green)."""
+    m2, _ = stacked.shape
     gram = jnp.dot(stacked, stacked.T, preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST)
     g = gram + (1e-5 * jnp.trace(gram) / m2) * jnp.eye(m2, dtype=gram.dtype)
@@ -164,24 +192,8 @@ def shrink_fast(stacked: jax.Array, ell: int, *, oversample: int = 16,
     v = v / jnp.sqrt(jnp.maximum(gersh, 1.0))      # => V V^T <= I, no overestimate
     gv = jnp.dot(g, v, precision=jax.lax.Precision.HIGHEST)
     lam = jnp.sum(v * gv, axis=0)
-    order = jnp.argsort(-lam)
-    v = v[:, order]
-    # per-eigenvector residuals ||G v_i - lam_i v_i|| of the kept columns
-    eig_resid = jnp.linalg.norm(gv[:, order] - v * lam[order][None, :],
-                                axis=0)[:ell]
-    lam_max = jnp.maximum(lam[order][0], 1e-30)
-    healthy = (orth_err < 0.4) | ((orth_err < 0.7)
-                                  & (jnp.max(eig_resid) < 0.1 * lam_max))
-    b_fast = jnp.dot(v[:, :ell].T, stacked, precision=jax.lax.Precision.HIGHEST)
-    # exact trace of the PSD step-residual S^T S - B'^T B' (>= its 2-norm)
-    resid = jnp.maximum(jnp.sum(stacked * stacked) - jnp.sum(b_fast * b_fast),
-                        0.0)
-
-    def keep_fast(s):
-        return b_fast, resid.astype(s.dtype)
-
-    return jax.lax.cond(healthy, keep_fast, lambda s: shrink(s, ell),
-                        stacked)
+    v = v[:, jnp.argsort(-lam)]
+    return orth_err < 0.4, v
 
 
 def shrink_rr(stacked: jax.Array, ell: int, *, oversample: int = 16,
@@ -233,6 +245,12 @@ def shrink_rr(stacked: jax.Array, ell: int, *, oversample: int = 16,
     power_iters=2 everywhere except exact-decade decay (1.21x the exact
     eigh's error, still inside the 2x oracle), for ~1.6x fewer fold FLOPs.
     """
+    if power_iters < 1:
+        raise ValueError(
+            "power_iters must be >= 1: the never-overestimate guarantee "
+            "comes from the final iteration's orthonormal Q (Q Q^T <= I); "
+            "with 0 iterations the raw probe can inflate ||B'||_F^2 "
+            "arbitrarily while delta clamps to 0 (measured 40x, review r5)")
     m2, d = stacked.shape
     if m2 <= ell:
         return stacked, jnp.zeros((), stacked.dtype)
@@ -277,6 +295,12 @@ def shrink_rr_pair(sketch: jax.Array, rows: jax.Array, ell: int, *,
     trace residual — is identical to shrink_rr (same bound argument and the
     same QR-stability rationale; only f32 summation order differs).
     """
+    if power_iters < 1:
+        raise ValueError(
+            "power_iters must be >= 1: the never-overestimate guarantee "
+            "comes from the final iteration's orthonormal Q (Q Q^T <= I); "
+            "with 0 iterations the raw probe can inflate ||B'||_F^2 "
+            "arbitrarily while delta clamps to 0 (measured 40x, review r5)")
     ellr, d = sketch.shape
     m = rows.shape[0]
     m2 = ellr + m
@@ -341,6 +365,12 @@ def shrink_rr_cands(sketch: jax.Array, cand, ell: int, *,
     update_block's zero-block skip on the dense path: sketch unchanged,
     delta == edges == 0.
     """
+    if power_iters < 1:
+        raise ValueError(
+            "power_iters must be >= 1: the never-overestimate guarantee "
+            "comes from the final iteration's orthonormal Q (Q Q^T <= I); "
+            "with 0 iterations the raw probe can inflate ||B'||_F^2 "
+            "arbitrarily while delta clamps to 0 (measured 40x, review r5)")
     from mused_tpu.ops.pallas import cand_matvec as cm
     ellr, d = sketch.shape
     m = cand.block

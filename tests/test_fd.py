@@ -150,11 +150,28 @@ class TestSubspaceShrink:
         err = float(fd.covariance_error(jnp.asarray(a), st.sketch))
         assert err <= float(fd.error_bound(st)) * 1.01
 
-    def test_tie_degenerate_stays_fast(self, rng):
-        """Tie-degenerate spectra with healthy eigen-residuals stay on the
-        matmul-only path: quality within 2x of eigh AND the reported loss is
-        the truncation residual (not eigh's smaller deltas) on at least one
-        step — i.e. the fast branch actually ran."""
+    def test_health_gate_routes_by_spectrum(self, rng):
+        """The subspace health gate's ROUTING, asserted directly (a prior
+        version asserted only end error, which the fallback satisfies too —
+        the gate's second tier was dead and shipped green, review r5):
+        clean full-rank stacks take the matmul-only branch; tie-degenerate
+        and rank-deficient stacks take the eigh fallback — measured, the
+        rescaled fast truncation is a QUALITY regression there (spectral
+        error 565 vs eigh 237 on ties, 9492 vs 0 on rank-deficient at
+        (64, 128)/ell=16)."""
+        gauss = rng.normal(size=(64, 128)).astype(np.float32)
+        base = rng.normal(size=(24, 128)).astype(np.float32)
+        ties = np.concatenate([base, base, base[:16]])
+        rankdef = (rng.normal(size=(64, 8)).astype(np.float32)
+                   @ rng.normal(size=(8, 128)).astype(np.float32))
+        for a, want in ((gauss, True), (ties, False), (rankdef, False)):
+            healthy, _ = fd._subspace_basis(jnp.asarray(a), 16,
+                                            oversample=16, sub_iters=4)
+            assert bool(healthy) == want, (want, a.shape)
+
+    def test_tie_degenerate_quality(self, rng):
+        """Duplicate-heavy streams in subspace mode keep eigh-level quality
+        (the gate routes them to the exact fallback) and honest loss."""
         distinct = rng.normal(size=(24, 128)).astype(np.float32) * 3.0
         idx = rng.integers(0, 24, size=512)
         a = distinct[idx] + 0.05 * rng.normal(size=(512, 128)).astype(np.float32)
@@ -165,6 +182,15 @@ class TestSubspaceShrink:
         e_exact = float(fd.covariance_error(jnp.asarray(a), exact.sketch))
         scale = float(np.linalg.norm(a.T @ a, 2))
         assert e_fast <= max(2.0 * e_exact, 0.05 * scale)
+
+    def test_subspace_mode_bf16_state(self, rng):
+        """Non-f32 sketch dtypes must trace in subspace mode (the fast
+        branch previously returned f32 against the fallback's cast output
+        — a lax.cond branch-type error, review r5)."""
+        a = rng.normal(size=(128, 64)).astype(np.float32)
+        st = fd.update_stream(fd.init(16, 64, jnp.bfloat16),
+                              jnp.asarray(a, jnp.bfloat16), mode="subspace")
+        assert st.sketch.dtype == jnp.bfloat16
 
 
 class TestShrinkRR:
