@@ -138,17 +138,25 @@ def _unit_xyz(latlon, valid):
 
 def split_bf16(x: jax.Array) -> jax.Array:
     """bf16 [hi | lo] split packing of f32 rows (lo = x − hi), feature width
-    padded to a 128 multiple.  One DEFAULT-precision dot of two packed
-    tensors is the exact 4-term product hi@hi + hi@lo + lo@hi + lo@lo (the
-    MXU multiplies bf16 operands exactly, accumulating f32) == the f32 dot
-    of inputs rounded to ~16 mantissa bits (~1.5e-5 relative) — the same
-    trick as the "text_split" kind, with the split hoisted out of the block
-    sweep.  Crucially the value is BACKEND-INDEPENDENT: XLA:CPU upcasts the
-    same bf16 halves to f32 and sums the same four products, so the strip
-    path, the stride-binned kernel, and its CPU emulation all rank by the
-    same sims — no TPU-only precision cliff between select modes (the
-    single-pass bf16 DEFAULT dot on raw f32 operands was measured flipping
-    ~24% of kNN edges; see the text_bf16 notes above)."""
+    padded to a 128 multiple.
+
+    ACCURACY (corrected, review r5): one dot of two packed tensors pairs
+    the halves POSITION-WISE — hi@hi' + lo@lo' — it does NOT contain the
+    cross terms hi@lo' + lo@hi' of the true 4-term product an earlier
+    round claimed.  Since lo@lo' is O(eps^2), the packed dot's accuracy
+    equals a plain bf16-INPUT dot (measured 1.23e-4 on unit vectors, vs
+    4.2e-7 for the real multi-term product) — the same input-rounding
+    class as the "text_bf16" kind, where 1-term vs 3-term was measured to
+    flip ZERO top-50 kNN edges on realistic streams.  What the packing
+    DOES deliver (and why it stays): the value is BACKEND-INDEPENDENT —
+    XLA:CPU upcasts the same bf16 halves and sums the same two products,
+    so the strip path, the stride-binned kernel, and its CPU emulation
+    all rank by the SAME sims, with no TPU-only truncation cliff (the
+    DEFAULT dot on raw f32 operands truncates differently per backend and
+    was measured flipping ~24% of kNN edges between modes).  Documented
+    lever: a SINGLE bf16 tensor achieves the identical accuracy class and
+    backend independence at half this width — adopting it needs a TPU
+    revalidation pass of the fold/selection parity suite."""
     hi = x.astype(jnp.bfloat16)
     lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     from mused_tpu.ops.pallas import blocked_select as bs
@@ -198,13 +206,20 @@ def generic_columns(mats, types) -> Columns:
             valid = jnp.all(jnp.isfinite(m), axis=1)
             safe = jnp.where(valid[:, None], m, 0.0)
             packed = split_bf16(safe)
-            # squared norms of the REPRESENTED (split-rounded) values, so
-            # the chord cancellation |a|^2 + |b|^2 - 2ab is consistent:
-            # self-distance stays ~0 and d2 >= 0 up to f32 rounding
-            v = _split_value(packed, m.shape[1])
+            # squared norms CONSISTENT WITH THE PACKED DOT: the position-
+            # wise packed product is hi@hi' + lo@lo' (no cross terms — see
+            # split_bf16), so the hoisted norm must be |hi|^2 + |lo|^2,
+            # NOT |hi+lo|^2 (review r5: the mismatch made self-distance
+            # 4*hi.lo ~ 1e-3*|x|^2 instead of 0).  With this norm the
+            # chord cancellation is exact at self and d2 >= 0 holds to
+            # f32 rounding.
+            d_feat = m.shape[1]
+            hi = packed[:, :d_feat].astype(jnp.float32)
+            lo = packed[:, d_feat:2 * d_feat].astype(jnp.float32)
             kinds.append("default_safe")
             valids.append(valid)
-            tensors.append((packed, jnp.sum(v * v, axis=1)))
+            tensors.append((packed, jnp.sum(hi * hi, axis=1)
+                            + jnp.sum(lo * lo, axis=1)))
         else:
             kinds.append(t)
             valids.append(jnp.all(jnp.isfinite(m), axis=1))
@@ -512,11 +527,11 @@ def fused_rowblock(cols: Columns, start, block: int,
         elif kind == "default_safe":
             # masked split-packed rows + hoisted squared norms (see
             # generic_columns); negative squared euclidean == the kernel's
-            # "chord" metric, self included in k (ref :112-119).  The split
-            # dot keeps d2 consistent across strip/kernel/emulation — and
-            # its error GROWS with distance (2|a-b|·1.5e-5|x|) where the
-            # old f32 norms-minus-dot cancellation error was a constant
-            # ~1e-7|x|^2 floor, so nearby-neighbor ranking is no worse
+            # "chord" metric, self included in k (ref :112-119).  The
+            # packed dot (hi@hi' + lo@lo' — bf16-input accuracy class,
+            # see split_bf16) keeps d2 IDENTICAL across strip/kernel/
+            # emulation, and the hoisted norms match the packed dot's
+            # self-product exactly, so self-distance is 0 and d2 >= 0
             kk = max(1, k_basis) - 1
             d2 = (_rows(def_sq, start, block)[:, None] + def_sq[None, :]
                   - 2.0 * jnp.dot(tr, t.T,
@@ -542,10 +557,14 @@ def fused_rowblock(cols: Columns, start, block: int,
             [k for k, _ in cand_cols], [g for _, g in cand_cols], cols.n)
         for m in mats:
             fused = fused | m
-    else:
+    elif mats:
         fused = mats[0]
         for m in mats[1:]:
             fused = fused | m
+    else:
+        # every modality skipped (k clamps to 0 everywhere, e.g. n == 1):
+        # zero edges, matching the strip path's k=0 behavior
+        fused = jnp.zeros((block, cols.n), jnp.bool_)
     # out_dtype=bfloat16 for the FD fold: the 0/1 edges are bf16-exact and
     # the fold's G-applications are HBM-bound on re-reading this block —
     # half the bytes is pure bandwidth (fd.shrink_rr_pair)
@@ -683,10 +702,38 @@ def randomized_svd_from_products(mul_a, mul_at, key: jax.Array, *, n: int,
             [out, jnp.zeros((n, rank - out.shape[1]), out.dtype)], axis=1)
     return out
 
+
+def hoist_columns(cols: Columns) -> Columns:
+    """Normalize hand-assembled Columns to the hoisted forms the per-block
+    sweeps assume (review r5): a raw 'location' latlon panel converts to
+    unit xyz ONCE (O(n) trig — left inside the scan it re-ran per row
+    block), and untupled 'tags' gain their hoisted row sums (the per-block
+    full-panel re-reduction the tuple exists to avoid; measured
+    28.5 -> 19.7 ms/block).  standard_columns / generic_columns already
+    emit hoisted kinds, so this is a no-op pass-through for them."""
+    kinds = list(cols.kinds)
+    tensors = list(cols.tensors)
+    changed = False
+    for i, (k, t, v) in enumerate(zip(kinds, tensors, cols.valids)):
+        if k == "location":
+            kinds[i] = "location_xyz"
+            tensors[i] = _unit_xyz(jnp.asarray(t, jnp.float32), v)
+            changed = True
+        elif k == "tags" and not isinstance(t, tuple):
+            tensors[i] = (t, jnp.sum(jnp.asarray(t).astype(jnp.float32),
+                                     axis=1))
+            changed = True
+    if not changed:
+        return cols
+    return Columns(kinds=tuple(kinds), tensors=tuple(tensors),
+                   valids=cols.valids, idf=cols.idf)
+
+
 def _scan_blocks(cols: Columns, block: int, k_basis: int, f, init,
                  approx: bool = False, select: str = "strip",
                  nbins: int = 0, out_dtype=jnp.float32):
     """fold f(carry, fused_block, start) over all row blocks via lax.scan."""
+    cols = hoist_columns(cols)          # once per sweep, not once per block
     n = cols.n
     n_blocks = -(-n // block)
 

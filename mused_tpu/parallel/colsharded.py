@@ -272,8 +272,14 @@ def _prep_generic(feat_shards: tuple, types: tuple, k_basis: int) -> list:
             valid = jnp.all(jnp.isfinite(x), axis=1)
             safe = jnp.where(valid[:, None], x, 0.0)
             packed = ba.split_bf16(safe)
-            v = ba._split_value(packed, x.shape[1])
-            mods.append(("chord", packed, valid, jnp.sum(v * v, axis=1),
+            # norms consistent with the packed dot's self-product
+            # (|hi|^2 + |lo|^2, matching generic_columns — review r5),
+            # keeping the colsharded d2 bit-equal to the single-chip path
+            d_feat = x.shape[1]
+            hi = packed[:, :d_feat].astype(jnp.float32)
+            lo = packed[:, d_feat:2 * d_feat].astype(jnp.float32)
+            mods.append(("chord", packed, valid,
+                         jnp.sum(hi * hi, axis=1) + jnp.sum(lo * lo, axis=1),
                          max(1, k_basis) - 1))
     return mods
 
