@@ -75,10 +75,12 @@ def convert_timestamp_column(values) -> np.ndarray:
         return np.fromiter((convert_to_timestamp(v) for v in values),
                            np.float64, count=len(values))
     s = pd.Series(values, dtype=object)
-    # pandas' %f accepts up to 9 fractional digits where strptime's caps at
-    # 6 — reject the over-long forms the scalar path would raise on (a
-    # 6-digit-fraction timestamp is exactly 26 chars)
-    too_long = s.str.len() > 26
+    # pandas' %f accepts up to 9 fractional digits where strptime's caps
+    # at 6 — reject over-long FRACTIONS like the scalar path (review r5:
+    # a fixed 26-char length check missed 7-9 digit fractions on
+    # unpadded date/time fields, making accept/reject host-dependent)
+    frac = s.str.extract(r"\.(\d+)\s*$", expand=False)
+    too_long = frac.str.len().fillna(0) > 6
     if too_long.any():
         raise ValueError(f"unparseable timestamp: {s[too_long].iloc[0]!r}")
     dt = pd.to_datetime(s, format="%Y-%m-%d %H:%M:%S.%f", errors="coerce")
@@ -86,13 +88,19 @@ def convert_timestamp_column(values) -> np.ndarray:
     if miss.any():
         dt2 = pd.to_datetime(s[miss], format="%Y-%m-%d %H:%M:%S",
                              errors="coerce")
-        if dt2.isna().any():
-            bad = s[miss][dt2.isna()].iloc[0]
-            raise ValueError(f"unparseable timestamp: {bad!r}")
         dt = dt.copy()
         dt[miss] = dt2
+        miss = dt.isna()
     secs = dt.to_numpy().astype("datetime64[s]")     # mktime drops .%f
-    return (secs - np.datetime64(0, "s")).astype(np.float64)
+    out = (secs - np.datetime64(0, "s")).astype(np.float64)
+    if miss.any():
+        # rows pandas cannot represent (datetime64[ns] range ends at 2262)
+        # or parse: the SCALAR path is the semantics of record — it either
+        # converts them (valid far-future dates) or raises the same error
+        # it always did (review r5: coerce turned valid dates into errors)
+        for i in np.flatnonzero(miss.to_numpy()):
+            out[i] = convert_to_timestamp(s.iloc[i])
+    return out
 
 
 _LIST_STR_DTYPE: object = False          # unprobed sentinel

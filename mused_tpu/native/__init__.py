@@ -281,7 +281,9 @@ def parse_sed2012(path: str, skip_records: int = 0,
             items = (blob.decode("utf-8", "replace").split("\x00")
                      if nrec else [])
         str_cols.append(items)
-    tag_counts = np.frombuffer(raw, "<u4", nrec, off)
+    # .copy() like lat/lon: a frombuffer VIEW pins the whole corpus-sized
+    # raw blob (all string columns) through its base reference
+    tag_counts = np.frombuffer(raw, "<u4", nrec, off).copy()
     off += 4 * nrec
     (tlen,) = struct.unpack_from("<Q", raw, off)
     off += 8
@@ -345,6 +347,9 @@ class IncDBHandle:
         self.n = 0
 
     def insert(self, n_new: int, pair_a: np.ndarray, pair_b: np.ndarray) -> None:
+        if getattr(self, "_poisoned", False):
+            raise MemoryError("native incdbscan handle is poisoned "
+                              "(earlier allocation failure)")
         pa = np.ascontiguousarray(pair_a, np.int32)
         pb = np.ascontiguousarray(pair_b, np.int32)
         assert pa.shape == pb.shape and pa.ndim == 1
@@ -352,11 +357,23 @@ class IncDBHandle:
             self._h, int(n_new), len(pa),
             pa.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             pb.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        if n == -2:
+            # allocation failure mid-mutation: the C structure may hold a
+            # partially-applied batch — poison the handle so labels()/
+            # insert() cannot read or extend corrupt state
+            self._poisoned = True
+            raise MemoryError("native incdbscan allocation failed; the "
+                              "handle is poisoned — rebuild the clusterer")
         if n < 0:
+            # ids validated BEFORE any mutation (incdbscan.cpp): the
+            # structure is untouched, the handle stays usable
             raise ValueError("malformed eps-pair ids")
         self.n = int(n)
 
     def labels(self) -> np.ndarray:
+        if getattr(self, "_poisoned", False):
+            raise MemoryError("native incdbscan handle is poisoned "
+                              "(earlier allocation failure)")
         out = np.empty(self.n, np.int32)
         if self.n:
             self._lib.mused_incdb_labels(

@@ -75,10 +75,24 @@ void* mused_incdb_create(int64_t min_pts) {
 void mused_incdb_free(void* h) { delete static_cast<IncDB*>(h); }
 
 int64_t mused_incdb_insert(void* h, int64_t n_new, int64_t n_pairs,
-                           const int32_t* pa, const int32_t* pb) {
+                           const int32_t* pa, const int32_t* pb) try {
+    // no exception (bad_alloc included) may cross the ctypes boundary —
+    // same rule sed2012_parser.cpp documents; -2 = allocation failure
     IncDB& db = *static_cast<IncDB*>(h);
     size_t n_old = db.count.size();
     size_t n_tot = n_old + static_cast<size_t>(n_new);
+
+    // validate EVERY pair before mutating anything: a mid-batch -1 return
+    // after resizing/counting left the C structure grown while the Python
+    // caller's n stayed stale — a later labels() call then wrote
+    // count.size() ints into an n_old-sized buffer (review r5)
+    for (int64_t e = 0; e < n_pairs; e++) {
+        int32_t a = pa[e], b = pb[e];
+        if (a < 0 || b < 0 || static_cast<size_t>(a) >= n_tot
+                || static_cast<size_t>(b) >= n_tot || a == b)
+            return -1;
+    }
+
     db.count.resize(n_tot, 1);                  // self counts toward min_pts
     db.is_core.resize(n_tot, 0);
     db.adj.resize(n_tot);
@@ -88,9 +102,6 @@ int64_t mused_incdb_insert(void* h, int64_t n_new, int64_t n_pairs,
 
     for (int64_t e = 0; e < n_pairs; e++) {
         int32_t a = pa[e], b = pb[e];
-        if (a < 0 || b < 0 || static_cast<size_t>(a) >= n_tot
-                || static_cast<size_t>(b) >= n_tot || a == b)
-            return -1;
         db.adj[a].push_back(b);
         db.adj[b].push_back(a);
         db.count[a]++;
@@ -111,6 +122,8 @@ int64_t mused_incdb_insert(void* h, int64_t n_new, int64_t n_pairs,
             if (db.is_core[q]) db.unite(p, q);
 
     return static_cast<int64_t>(n_tot);
+} catch (...) {
+    return -2;
 }
 
 void mused_incdb_labels(void* h, int32_t* out) {

@@ -31,6 +31,8 @@
 // Build: make -C mused_tpu/native  (libmused_sed2012.so)
 
 #include <atomic>
+#include <charconv>
+#include <system_error>
 #include <cctype>
 #include <cstdint>
 #include <cstdio>
@@ -150,13 +152,21 @@ std::string clean_text_ref(const std::string& in) {
 }
 
 double parse_double_or_nan(const std::string& s) {
+    // locale-INDEPENDENT float parse (review r5): strtod honors LC_NUMERIC
+    // — an embedding app calling setlocale() under a decimal-comma locale
+    // would silently turn every lat/lon into NaN on the native path only —
+    // and accepts hex floats Python float() rejects.  std::from_chars
+    // (general format) matches Python float() semantics for the decimal
+    // corpus values: no locale, no hex, no leading whitespace.
     if (s.empty()) return __builtin_nan("");
-    const char* c = s.c_str();
-    char* end = nullptr;
-    double v = strtod(c, &end);
-    if (end == c) return __builtin_nan("");
-    while (*end && isspace(static_cast<unsigned char>(*end))) end++;
-    if (*end) return __builtin_nan("");   // trailing junk: float() would raise
+    size_t b = 0, e = s.size();
+    while (b < e && isspace(static_cast<unsigned char>(s[b]))) b++;
+    while (e > b && isspace(static_cast<unsigned char>(s[e - 1]))) e--;
+    if (b == e) return __builtin_nan("");
+    double v = 0.0;
+    auto res = std::from_chars(s.data() + b, s.data() + e, v);
+    if (res.ec != std::errc() || res.ptr != s.data() + e)
+        return __builtin_nan("");         // junk: float() would raise
     return v;
 }
 
@@ -228,6 +238,17 @@ std::string element_text(const char* data, size_t pos, size_t limit,
                 seg_start = i;
                 continue;
             }
+            if (i + 4 <= limit && memcmp(data + i, "<!--", 4) == 0) {
+                // ElementTree's parser DISCARDS comments, merging the text
+                // around them ("foo <!-- c --> bar" -> "foo  bar"); the
+                // old scan stopped at the first '<' and truncated
+                flush_segment(i);
+                size_t j = i + 4;
+                while (j + 3 <= limit && memcmp(data + j, "-->", 3) != 0) j++;
+                i = (j + 3 <= limit) ? j + 3 : limit;
+                seg_start = i;
+                continue;
+            }
             // closing tag or unexpected child: ElementTree .text stops here
             *found = true;
             (void)close_len;
@@ -239,29 +260,52 @@ std::string element_text(const char* data, size_t pos, size_t limit,
     return out;
 }
 
-// attribute value by name within a start tag spanning [pos, tag_end)
+// attribute value by name within a start tag spanning [pos, tag_end).
+// QUOTE-AWARE (review r5): tokenizes name="value" pairs left to right and
+// skips quoted values wholesale, so a `name=` pattern INSIDE an earlier
+// attribute's value (legal XML: single quotes inside double-quoted values)
+// can never be matched as the attribute — the old substring scan returned
+// the embedded impostor while ElementTree returned the real value, with no
+// framing error to trigger the iterparse fallback.
 std::string attr_value(const char* data, size_t pos, size_t tag_end,
                        const char* name, bool* present) {
     size_t nlen = strlen(name);
     *present = false;
-    for (size_t i = pos; i + nlen + 2 < tag_end; i++) {
-        if (memcmp(data + i, name, nlen) != 0) continue;
-        // must be preceded by whitespace and followed by optional ws + '='
-        if (i > 0 && !isspace(static_cast<unsigned char>(data[i - 1])))
-            continue;
-        size_t j = i + nlen;
-        while (j < tag_end && isspace(static_cast<unsigned char>(data[j]))) j++;
-        if (j >= tag_end || data[j] != '=') continue;
-        j++;
-        while (j < tag_end && isspace(static_cast<unsigned char>(data[j]))) j++;
-        if (j >= tag_end || (data[j] != '"' && data[j] != '\'')) continue;
-        char q = data[j++];
-        size_t k = j;
-        while (k < tag_end && data[k] != q) k++;
-        std::string out;
-        decode_entities(data + j, k - j, out);
-        *present = true;
-        return out;
+    size_t i = pos;
+    if (i < tag_end && data[i] == '<') i++;
+    while (i < tag_end && !isspace(static_cast<unsigned char>(data[i]))
+           && data[i] != '>' && data[i] != '/')
+        i++;                                   // skip the tag name
+    while (i < tag_end) {
+        while (i < tag_end && isspace(static_cast<unsigned char>(data[i])))
+            i++;
+        if (i >= tag_end || data[i] == '>' || data[i] == '/') break;
+        size_t ns = i;                         // attribute name token
+        while (i < tag_end && data[i] != '='
+               && !isspace(static_cast<unsigned char>(data[i]))
+               && data[i] != '>' && data[i] != '/')
+            i++;
+        size_t ne = i;
+        while (i < tag_end && isspace(static_cast<unsigned char>(data[i])))
+            i++;
+        if (i >= tag_end || data[i] != '=')
+            continue;                          // valueless token: keep going
+        i++;
+        while (i < tag_end && isspace(static_cast<unsigned char>(data[i])))
+            i++;
+        if (i >= tag_end || (data[i] != '"' && data[i] != '\''))
+            continue;                          // malformed: resync at ws
+        char q = data[i++];
+        size_t vs = i;
+        while (i < tag_end && data[i] != q) i++;
+        size_t ve = i;
+        if (i < tag_end) i++;                  // past the closing quote
+        if (ne - ns == nlen && memcmp(data + ns, name, nlen) == 0) {
+            std::string out;
+            decode_entities(data + vs, ve - vs, out);
+            *present = true;
+            return out;
+        }
     }
     return "";
 }
@@ -290,14 +334,22 @@ size_t find_markup(const char* data, size_t pos, size_t limit,
     while (i < limit) {
         size_t hit = find(data, i, limit, pat);
         if (hit >= limit) return limit;
-        // only need to know whether a CDATA section OPENS before the hit —
-        // bound the probe there (an unbounded probe made the whole scan
-        // O(file^2) on CDATA-free corpora)
-        size_t cd = find(data, i, hit + 9 < limit ? hit + 9 : limit,
-                         "<![CDATA[");
-        if (hit < cd) return hit;
-        size_t close = find(data, cd + 9, limit, "]]>");
-        i = (close >= limit) ? limit : close + 3;
+        // only need to know whether a CDATA section or an XML comment
+        // OPENS before the hit — bound the probes there (an unbounded
+        // probe made the whole scan O(file^2) on CDATA-free corpora).
+        // Comments matter (review r5): ElementTree discards them, so a
+        // pattern inside <!-- ... --> must not count as markup.
+        size_t bound = hit + 9 < limit ? hit + 9 : limit;
+        size_t cd = find(data, i, bound, "<![CDATA[");
+        size_t cm = find(data, i, bound, "<!--");
+        if (hit < cd && hit < cm) return hit;
+        if (cm < cd) {
+            size_t close = find(data, cm + 4, limit, "-->");
+            i = (close >= limit) ? limit : close + 3;
+        } else {
+            size_t close = find(data, cd + 9, limit, "]]>");
+            i = (close >= limit) ? limit : close + 3;
+        }
     }
     return limit;
 }
@@ -340,7 +392,9 @@ int64_t scan_range(const char* data, size_t n, size_t from, size_t claim_end,
     int64_t seen = 0, written = 0;
     size_t pos = from;
     while (pos < claim_end) {
-        size_t p = find(data, pos, n, "<photo");
+        // find_markup: a "<photo" inside an XML comment or CDATA section
+        // must not fabricate a record (ElementTree ignores both)
+        size_t p = find_markup(data, pos, n, "<photo");
         if (p >= claim_end) break;
         size_t after = p + 6;
         if (after < n && data[after] != ' ' && data[after] != '\t'

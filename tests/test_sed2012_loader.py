@@ -315,3 +315,58 @@ def test_timestamp_column_vectorization_parity():
     np.testing.assert_array_equal(convert_timestamp_column(vals), want)
     with pytest.raises(ValueError, match="unparseable"):
         convert_timestamp_column(["2012-01-01 00:00:00", "garbage"])
+
+
+def test_native_parser_comments_and_embedded_attr_patterns(tmp_path):
+    """Round-5 parser hardening: XML comments are invisible markup
+    (ElementTree discards them — a '<photo' inside a comment must not
+    fabricate a record, and a comment inside <title> merges the
+    surrounding text), and attribute lookup is quote-aware (an ` id='9' `
+    pattern INSIDE another attribute's value must not shadow the real
+    id)."""
+    xml = """<photos>
+  <!-- preamble <photo id="666" dateTaken="x"> not a record -->
+  <photo username="see id='9' here" id="1000000001" dateTaken="2012-01-01 01:01:01.0" dateUploaded="2012-01-01 02:01:01.0">
+    <title>foo <!-- gone --> bar</title>
+    <tags><tag>alpha</tag><!-- <tag>ghost</tag> --><tag>beta</tag></tags>
+  </photo>
+  <photo id="1000000002" dateTaken="2012-01-02 01:01:01.0" dateUploaded="2012-01-02 02:01:01.0" username="bob"/>
+</photos>
+"""
+    df = _parity_frames(xml, tmp_path)
+    assert len(df) == 2
+    assert df["id"].tolist() == [1000000001, 1000000002]
+    assert df["username"].iloc[0] == "see id='9' here"
+    assert df["tags"].iloc[0] == ["alpha", "beta"]
+
+
+def test_native_parser_locale_proof_floats(tmp_path):
+    """from_chars float parse: hex floats are junk (Python float() raises
+    -> NaN on both paths), plain decimals parse identically."""
+    xml = """<photos>
+  <photo id="1" dateTaken="2012-01-01 01:01:01.0" dateUploaded="2012-01-01 02:01:01.0" username="a">
+    <location latitude="0x10" longitude="0x10"/>
+  </photo>
+  <photo id="2" dateTaken="2012-01-01 01:01:01.0" dateUploaded="2012-01-01 02:01:01.0" username="b">
+    <location latitude="2.25" longitude="41.39"/>
+  </photo>
+</photos>
+"""
+    df = _parity_frames(xml, tmp_path)
+    assert np.isnan(df["latitude"].iloc[0])
+    assert df["longitude"].iloc[1] == pytest.approx(41.39)
+
+
+def test_timestamp_vectorized_guard_semantics():
+    """The vectorized (UTC-host) timestamp path must match the scalar
+    semantics: 7-digit fractions raise even on unpadded fields (the old
+    26-char guard missed them), and rows outside pandas' datetime64[ns]
+    range fall back to the scalar conversion instead of erroring."""
+    import time as _t
+    if _t.timezone != 0 or _t.daylight:
+        pytest.skip("scalar path host")
+    ok = sed2012.convert_timestamp_column(
+        ["2012-01-01 01:01:01.5", "3000-01-01 00:00:00"])
+    assert ok[1] == sed2012.convert_to_timestamp("3000-01-01 00:00:00")
+    with pytest.raises(ValueError):
+        sed2012.convert_timestamp_column(["2012-1-1 0:0:0.1234567"])
