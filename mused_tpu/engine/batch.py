@@ -103,6 +103,13 @@ def process_batch_data(results, data_modalities, modality_types, reduced_dim,
             label_mode=label_mode, sorting=sorting, window_size=window_size,
             reduced_dim=reduced_dim, k_basis=k_basis, approach=approach,
             eps=eps, min_samples=min_samples, min_cluster_size=min_cluster_size)
+    # cfg is the single source of truth past this point: the blocked path
+    # reduced with cfg.* while the dense path used the raw arguments, so a
+    # caller passing BOTH with mismatched values got silently different
+    # embeddings across the MAX_DENSE_ROWS threshold (review r5)
+    reduced_dim, k_basis = cfg.reduced_dim, cfg.k_basis
+    eps, min_samples = cfg.eps, cfg.min_samples
+    min_cluster_size = cfg.min_cluster_size
 
     key = jax.random.key(seed)
     if subset_size > MAX_DENSE_ROWS or cfg.force_blocked_batch:

@@ -24,7 +24,7 @@ from mused_tpu.data import sed2012, synthetic
 from mused_tpu.engine.batch import process_batch_data
 from mused_tpu.engine.streaming import process_streaming_data
 from mused_tpu.utils import metrics as metrics_mod, output, tee
-from mused_tpu.utils.config import APPROACHES
+from mused_tpu.utils.config import APPROACHES, PipelineConfig
 
 EXPERIMENT_DEFAULTS = {
     # reference main.py:262-269
@@ -69,7 +69,7 @@ def _measured_noise_rate(df, params) -> float:
     return float(np.sum(truth_labels == 0) / len(truth_labels))
 
 
-def _eval_sweep_point(df, experiment_type, params, approach, results,
+def _eval_sweep_point(df, params, approach, results,
                       engine_opts: dict | None):
     """One (approach, variable value) sweep point: prepare modalities, run
     the matching engine, append one row to ``results``.  Returns the
@@ -86,11 +86,20 @@ def _eval_sweep_point(df, experiment_type, params, approach, results,
     )
     measured_noise = float(np.sum(truth_labels == 0) / len(truth_labels))
 
-    n_clusters = (2 if params["label_mode"] == "binary"
-                  else 4 if params["label_mode"] == "types" else 150)
-    eps, min_samples, min_cluster_size = 1.5, 2, 3   # main.py:200
+    # single home of the reference constants: PipelineConfig defaults
+    # (config.py mirrors reference main.py:198-200)
+    _d = PipelineConfig(label_mode=params["label_mode"])
+    n_clusters = _d.n_clusters_total
+    eps, min_samples = _d.eps, _d.min_samples
+    min_cluster_size = _d.min_cluster_size
 
     if approach.endswith("_batch"):
+        dropped = {k: v for k, v in (engine_opts or {}).items()
+                   if v not in (None, False, 1, "allgather", "rows", 0,
+                                "auto", "labels", 0.15)}
+        if dropped:
+            print(f"[{approach}] batch engine ignores streaming engine "
+                  f"options: {sorted(dropped)}")
         process_batch_data(
             results=results, data_modalities=modalities,
             modality_types=modality_types,
@@ -159,7 +168,7 @@ def run_experiment(df, experiment_type, variable_values, approaches,
         def eval_point(point):
             approach, var_value, p = point
             results_p, _ = metrics_mod.get_initial_results()
-            noise = _eval_sweep_point(df, experiment_type, p, approach,
+            noise = _eval_sweep_point(df, p, approach,
                                       results_p, engine_opts)
             return results_p, noise
 
@@ -191,8 +200,7 @@ def run_experiment(df, experiment_type, variable_values, approaches,
                 # quirk preserved: measured noise rate overwrites the request
                 # and persists across sweep values (reference main.py:196)
                 params["noise_rate"] = _eval_sweep_point(
-                    df, experiment_type, params, approach, results,
-                    engine_opts)
+                    df, params, approach, results, engine_opts)
 
             approach_sec = (time.time_ns() - approach_start) / 1e9
             print(f"Processed with {approach} approach for {approach_sec} seconds")
@@ -361,10 +369,15 @@ def cli(argv=None) -> int:
         import os as _os
         if not _os.environ.get("MUSED_TPU_DEMO_KEEP_PLATFORM"):
             import jax
-            try:
-                jax.config.update("jax_platforms", "cpu")
-            except Exception:
-                pass   # backend already initialized (library caller)
+            jax.config.update("jax_platforms", "cpu")
+            # the update silently NO-OPS once a backend is initialized
+            # (verified — it does not raise): a library caller that ran a
+            # jax op first still compiles the demo over the remote
+            # backend, so say so instead of pretending
+            if jax.default_backend() != "cpu":
+                print("[demo] jax backend already initialized "
+                      f"({jax.default_backend()}); the demo smoke could "
+                      "not force CPU — expect remote-compile latency")
     else:
         experiments = {e: EXPERIMENT_DEFAULTS[e] for e in args.experiments}
 

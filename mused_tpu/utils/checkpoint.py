@@ -75,11 +75,19 @@ def load_checkpoint(path: str):
 def latest_checkpoint(ckpt_dir: str, prefix: str = "stream") -> str | None:
     if not os.path.isdir(ckpt_dir):
         return None
+    def widx(f):
+        # only <prefix>_<int>.npz names participate: a foreign file like
+        # stream_manual.npz (serving save() accepts any path) crashed the
+        # auto-resume sort with ValueError (review r5)
+        tail = f.rsplit("_", 1)[-1][:-4]
+        return int(tail) if tail.isdigit() else None
+
     cands = [f for f in os.listdir(ckpt_dir)
-             if f.startswith(prefix) and f.endswith(".npz")]
+             if f.startswith(prefix) and f.endswith(".npz")
+             and widx(f) is not None]
     if not cands:
         return None
-    cands.sort(key=lambda f: int(f.rsplit("_", 1)[-1][:-4]))
+    cands.sort(key=widx)
     return os.path.join(ckpt_dir, cands[-1])
 
 

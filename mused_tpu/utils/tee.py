@@ -96,8 +96,18 @@ def setup_logging(log_dir: str = "logs") -> LogSession:
     """
     os.makedirs(log_dir, exist_ok=True)
     stamp = datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+    # 'x' + suffix retry: two sessions inside one wall-clock second must
+    # not truncate each other's log (a fast-failing experiment's recorded
+    # traceback was destroyed by the next experiment's tee otherwise)
     path = os.path.join(log_dir, f"{stamp}.txt")
-    handle = open(path, "w")
+    for k in range(1, 1000):
+        try:
+            handle = open(path, "x")
+            break
+        except FileExistsError:
+            path = os.path.join(log_dir, f"{stamp}-{k}.txt")
+    else:
+        handle = open(path, "w")     # pathological: give up on uniqueness
     session = LogSession(path, handle)
     # fan out from the CURRENT streams (not sys.__stdout__) so nesting
     # chains: an inner session's output still reaches the outer log file
@@ -111,9 +121,20 @@ def teardown_logging(session=None) -> None:
     if isinstance(session, LogSession):
         session.restore()
         return
-    sys.stdout, sys.stderr = sys.__stdout__, sys.__stderr__
+    # legacy raw-file path: peel THIS file out of the fan-out instead of
+    # resetting to the process streams — a blanket sys.__stdout__ reset
+    # uninstalled any OUTER LogSession and its log silently lost the rest
+    # of the run (review r5)
     if session is not None:
+        for name in ("stdout", "stderr"):
+            cur = getattr(sys, name)
+            if isinstance(cur, Fanout) and session in cur._sinks:
+                rest = [k for k in cur._sinks if k is not session]
+                setattr(sys, name,
+                        rest[0] if len(rest) == 1 else Fanout(*rest))
         safe_close(session)
+    else:
+        sys.stdout, sys.stderr = sys.__stdout__, sys.__stderr__
 
 
 def safe_close(file) -> None:
