@@ -113,7 +113,9 @@ def _fuse_standard_pallas(location, times, user_ids, tags_raw, text_raw,
 
     lv = jnp.all(jnp.isfinite(location), axis=1)
     xyz = pk.location_to_unit_xyz(jnp.where(lv[:, None], location, 0.0))
-    a_loc = pk.knn_adjacency_pallas(xyz, lv, k_basis, metric="dot")
+    # chord3, not dot: the f32 dot saturates at 1.0 below ~2 km and the
+    # in-kernel ranking loses all resolution inside a city-scale cluster
+    a_loc = pk.knn_adjacency_pallas(xyz, lv, k_basis, metric="chord3")
 
     tv = (jnp.all(jnp.isfinite(times), axis=1)
           & (times[:, 0] != 0.0) & (times[:, 1] != 0.0))
@@ -157,7 +159,8 @@ def _fuse_generic(mats: tuple, *, k_basis: int, types: tuple,
             if t == "location":
                 valid = jnp.all(jnp.isfinite(m), axis=1)
                 xyz = pk.location_to_unit_xyz(jnp.where(valid[:, None], m, 0.0))
-                return pk.knn_adjacency_pallas(xyz, valid, k_basis, metric="dot")
+                return pk.knn_adjacency_pallas(xyz, valid, k_basis,
+                                               metric="chord3")
             if t == "time":
                 # match the XLA mask (ops/affinity.py): non-finite rows are
                 # invalid too — NaN-padded rows (blocked/batch padding) must

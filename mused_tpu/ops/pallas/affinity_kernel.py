@@ -10,21 +10,21 @@ with d (BASELINE.md config #4: d=4096 embeddings).
 
 Top-k without an in-kernel sort: the k-th per-row value is found by a
 vectorized float bisection over the similarity range (VPU compares + row
-sums), then adjacency = sim >= threshold.  Ties at the threshold all pass —
-on continuous similarities (cosine/euclidean/L1-time) ties are measure-zero,
-and the property tests assert exact agreement with the XLA top_k path there.
-The DISCRETE jaccard metric ties constantly (an empty tag set ties with
-everything at 0), so after the value bisection isolates the k-th tie LEVEL
-a second integer bisection over column index keeps exactly the remaining
-quota of tie columns, lowest index first — lax.top_k's order, so jaccard
-matches XLA bit-for-bit at any n.
+sums); a SECOND integer bisection over column index then keeps exactly the
+remaining quota of columns tied at the k-th level, lowest index first —
+lax.top_k's own tie rule.  This tie budget applies to EVERY metric (round
+5; it was jaccard-only): exact ties are routine on real streams
+(duplicate geotags/timestamps/texts, empty tag sets), and the earlier
+all-ties-pass threshold rule emitted unboundedly more than k edges on
+duplicated features (measured degree 44 at k=5).
 
 Supported metrics (covers every modality on the flagship path):
   dot        — cosine/embedding (pre-normalized rows), TF-IDF cosine (rows
-               pre-scaled by idf + L2-normalized outside: one O(nd) pass),
-               and location via the 3D-unit-vector trick: great-circle
-               distance is monotone in the chordal dot product, so
-               haversine kNN == dot kNN on (cos lat cos lon, ...)
+               pre-scaled by idf + L2-normalized outside: one O(nd) pass)
+  chord3     — location on 3D unit vectors (negative squared chord —
+               monotone with haversine, and unlike the dot it keeps full
+               relative precision at city-scale angles where the f32 dot
+               saturates at exactly 1.0)
   euclidean  — default modality (negative squared distance)
   l1         — time modality (negative |dt_taken| + |dt_upload|)
   jaccard    — tags multi-hot: intersection = one MXU contraction, row set
@@ -45,6 +45,7 @@ row tile.
 from __future__ import annotations
 
 import functools
+import math
 
 import numpy as np
 import jax
@@ -81,6 +82,16 @@ def _sim_block(xr, xc, metric: str):
         diff = jnp.abs(xr[:, None, :].astype(jnp.float32)
                        - xc[None, :, :].astype(jnp.float32))
         return -jnp.sum(diff, axis=-1)
+    if metric == "chord3":
+        # location on 3D unit vectors: NEGATIVE squared chord via explicit
+        # coordinate differences — the f32 dot saturates at exactly 1.0
+        # below ~2 km (measured: 20 points 200 m apart gave 5 distinct dot
+        # values, the 5 nearest all 1.0), while differences keep full
+        # relative precision at small central angles (review r5; same
+        # rationale as blocked_select's chord3)
+        d3 = (xr[:, None, :3].astype(jnp.float32)
+              - xc[None, :, :3].astype(jnp.float32))
+        return -jnp.sum(d3 * d3, axis=-1)
     raise ValueError(f"unknown metric {metric}")
 
 
@@ -126,40 +137,36 @@ def _kernel(x_row_ref, x_col_ref, valid_ref, out_ref, sim_ref, *,
 
         lo, hi = jax.lax.fori_loop(0, _BISECT_ITERS, body, (lo, hi))
         rowv = valid_ref[0, pl.ds(i * tm, tm)]
-        if metric == "jaccard":
-            # Discrete sims tie constantly (duplicate tag sets tie at 1.0,
-            # empty sets at 0) and the threshold would admit ALL ties.  The
-            # value bisection isolates the k-th LEVEL exactly (adjacent
-            # distinct Jaccards differ by >= 1/(u1*u2), far above the
-            # bisection window), then a SECOND integer bisection over column
-            # index keeps exactly (k - #above) tie columns, lowest index
-            # first — bit-identical to lax.top_k at any n, with no
-            # f32-representability caveat (an additive index jitter cannot
-            # separate ties near sim=1.0 once n > ~500: gap < ulp).
-            finite2 = strip > NEG / 2
-            above = (strip >= hi) & finite2
-            tie = (strip >= lo) & ~above & finite2
-            need = k - jnp.sum(above.astype(jnp.float32), axis=1,
-                               keepdims=True)
-            cols = jax.lax.broadcasted_iota(jnp.int32, strip.shape, 1)
+        # Tie budget for EVERY metric (review r5 — was jaccard-only):
+        # exact ties are not measure-zero on real streams (duplicate
+        # geotags/timestamps/texts tie exactly; a popular location made
+        # the threshold rule emit degree 44 at k=5).  The value bisection
+        # brackets the k-th tie LEVEL, then a SECOND integer bisection
+        # over column index keeps exactly (k - #above) tie columns,
+        # lowest index first — lax.top_k's own tie rule, so duplicates
+        # match the XLA path instead of blowing up the graph density.
+        finite2 = strip > NEG / 2
+        above = (strip >= hi) & finite2
+        tie = (strip >= lo) & ~above & finite2
+        need = k - jnp.sum(above.astype(jnp.float32), axis=1,
+                           keepdims=True)
+        cols = jax.lax.broadcasted_iota(jnp.int32, strip.shape, 1)
 
-            def jbody(_, lohi_j):
-                lo_j, hi_j = lohi_j
-                mid = (lo_j + hi_j) // 2
-                cnt = jnp.sum((tie & (cols <= mid)).astype(jnp.float32),
-                              axis=1, keepdims=True)
-                take = cnt >= need           # mid keeps enough tie columns
-                return (jnp.where(take, lo_j, mid),
-                        jnp.where(take, mid, hi_j))
+        def jbody(_, lohi_j):
+            lo_j, hi_j = lohi_j
+            mid = (lo_j + hi_j) // 2
+            cnt = jnp.sum((tie & (cols <= mid)).astype(jnp.float32),
+                          axis=1, keepdims=True)
+            take = cnt >= need               # mid keeps enough tie columns
+            return (jnp.where(take, lo_j, mid),
+                    jnp.where(take, mid, hi_j))
 
-            n_full = strip.shape[1]
-            lo_j = jnp.full((tm, 1), -1, jnp.int32)
-            hi_j = jnp.full((tm, 1), n_full - 1, jnp.int32)
-            lo_j, hi_j = jax.lax.fori_loop(0, (n_full - 1).bit_length() + 1,
-                                           jbody, (lo_j, hi_j))
-            adj = above | (tie & (cols <= hi_j) & (need > 0))
-        else:
-            adj = (strip >= lo) & (strip > NEG / 2)
+        n_full = strip.shape[1]
+        lo_j = jnp.full((tm, 1), -1, jnp.int32)
+        hi_j = jnp.full((tm, 1), n_full - 1, jnp.int32)
+        lo_j, hi_j = jax.lax.fori_loop(0, (n_full - 1).bit_length() + 1,
+                                       jbody, (lo_j, hi_j))
+        adj = above | (tie & (cols <= hi_j) & (need > 0))
         out_ref[:] = (adj & (rowv[:, None] > 0)).astype(jnp.float32)
 
 
@@ -196,12 +203,15 @@ def knn_adjacency_pallas(x: jax.Array, valid: jax.Array, k: int, *,
     tn = min(tn, max(128, 1 << (n - 1).bit_length()))
 
     in_dt = jnp.bfloat16 if input_dtype == "bfloat16" else jnp.float32
-    # rows pad to a multiple of BOTH tiles (powers of two: max covers both)
-    xp = _pad_to(x.astype(in_dt), max(tm, tn), 0)
-    if metric != "l1":                     # MXU path wants lane-aligned d
+    # rows pad to a multiple of BOTH tiles — lcm, not max: max covers both
+    # only for power-of-two tiles, and a legal non-pow2 tile (tm=384)
+    # otherwise left tail columns unwritten in the scratch strip
+    both = math.lcm(tm, tn)
+    xp = _pad_to(x.astype(in_dt), both, 0)
+    if metric not in ("l1", "chord3"):     # MXU path wants lane-aligned d
         xp = _pad_to(xp, 128, 1)
     np_, dp = xp.shape
-    validp = _pad_to(valid.astype(jnp.float32), max(tm, tn), 0).reshape(1, np_)
+    validp = _pad_to(valid.astype(jnp.float32), both, 0).reshape(1, np_)
 
     grid = (np_ // tm, np_ // tn)
     out = pl.pallas_call(

@@ -107,10 +107,21 @@ def _seal(state: SWFDState) -> SWFDState:
 
 
 @functools.partial(jax.jit, static_argnames=("window", "block_rows"))
-def update(state: SWFDState, rows: jax.Array, *, window: int, block_rows: int) -> SWFDState:
-    """Absorb (m, d) stream rows.  m need not be a multiple of block_rows; the
-    active block persists across calls and seals exactly every ``block_rows``
-    rows.  Compiles to a single lax.scan over FD chunk updates."""
+def update(state: SWFDState, rows: jax.Array, *, window: int,
+           block_rows: int, n_valid: jax.Array | None = None) -> SWFDState:
+    """Absorb (m, d) stream rows.  Compiles to a single lax.scan over FD
+    chunk updates; the active block persists across calls.
+
+    ``window`` is accepted for call-site symmetry with query() but does
+    not affect the computation (expiry happens at query time only).
+
+    Seal granularity (review r5 — the old claim of exact block_rows seals
+    was wrong for unaligned calls): seals happen at the first CHUNK
+    boundary at or past ``block_rows`` rows, so blocks are exactly
+    block_rows when every call's m is a multiple of the FD chunk (a
+    divisor of block_rows), and up to chunk-1 rows larger otherwise —
+    coarser expiry granularity, never lost rows.  SeqBasedSWFD buffers to
+    chunk alignment on the host and always gets exact seals."""
     m, d = rows.shape
     ell = state.ell
     # FD chunk size: largest divisor of block_rows that is <= ell, so that
@@ -123,7 +134,9 @@ def update(state: SWFDState, rows: jax.Array, *, window: int, block_rows: int) -
         rows = jnp.concatenate([rows, jnp.zeros((pad, d), rows.dtype)], axis=0)
     chunks = rows.reshape(n_chunks, chunk, d)
     idx = jnp.arange(n_chunks * chunk).reshape(n_chunks, chunk)
-    valid = idx < m
+    # n_valid (traced): callers padding to a FIXED shape (SeqBasedSWFD's
+    # get-flush) mask their pad rows without a per-remainder-size retrace
+    valid = idx < (m if n_valid is None else n_valid)
 
     def body(st: SWFDState, xs):
         rows_c, valid_c = xs
@@ -186,7 +199,9 @@ def query(state: SWFDState, *, window: int, sketch_dim: int):
     loss = (jnp.sum(jnp.where(live, state.block_loss, 0.0))
             + state.active.shrink_loss)
     err = delta + jnp.minimum(loss, sq_fro / state.ell)
-    return sketch, err, sq_fro, state.count
+    # n_live_rows as documented — NOT the total ever absorbed (review r5:
+    # a 10-window stream reported 20480 "live" rows for a 2048 window)
+    return sketch, err, sq_fro, jnp.minimum(state.count, window)
 
 
 class SeqBasedSWFD:
@@ -194,8 +209,10 @@ class SeqBasedSWFD:
 
     ``SeqBasedSWFD(N, R, d, sketch_dim)`` / ``.fit(row)`` / ``.get()``
     (call-site contract: reference main.py:60-76).  ``R`` (max squared row
-    norm) sized the level structure in the original algorithm; here it only
-    enters the error diagnostics, since the block ring is sized by ``N`` alone.
+    norm) sized the level structure in the original algorithm; here it is
+    accepted for SIGNATURE PARITY ONLY and does not affect any output —
+    the block ring is sized by ``N`` alone and the error diagnostics come
+    from the exact per-block shrink losses, which need no norm bound.
 
     ``fit`` accepts a single (1, d) row for drop-in parity but also any (m, d)
     block — feed blocks for TPU throughput.
@@ -252,10 +269,16 @@ class SeqBasedSWFD:
         state = self.state
         if self._pending_n:
             # absorb the unaligned remainder on a COPY so block boundaries in
-            # the persistent state stay exact
+            # the persistent state stay exact.  Pad to ONE chunk shape:
+            # zero rows are FD no-ops, and a distinct trace per remainder
+            # size cost a fresh (expensive, remote) compile for each of up
+            # to chunk-1 sizes (review r5)
             buf = _np.concatenate(self._pending, axis=0)
-            state = update(state, jnp.asarray(buf), window=self.N,
-                           block_rows=self.block_rows)
+            padded = _np.zeros((self.chunk, buf.shape[1]), buf.dtype)
+            padded[:len(buf)] = buf
+            state = update(state, jnp.asarray(padded), window=self.N,
+                           block_rows=self.block_rows,
+                           n_valid=jnp.int32(len(buf)))
         sketch, err, sq_fro, count = query(
             state, window=self.N, sketch_dim=self.sketch_dim)
         return sketch, err, sq_fro, count

@@ -193,3 +193,39 @@ def test_jaccard_duplicate_sets_large_n(rng):
                                               jnp.asarray(valid)))
     np.testing.assert_array_equal(got, want)
     assert (got.sum(axis=1) == k).all()
+
+
+def test_duplicate_features_emit_exactly_k(rng):
+    """Round-5 tie budget for every metric: 40 rows sharing one geotag
+    previously blew the threshold rule up to degree 44 at k=5 (all exact
+    ties passed).  Duplicates must emit exactly k edges per row, matching
+    lax.top_k's lowest-index tie rule."""
+    n, k = 64, 5
+    x = rng.normal(size=(n, 8)).astype(np.float32)
+    x[10:50] = x[10]                      # 40 exact duplicates
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    valid = np.ones(n, bool)
+    got = np.asarray(pk.knn_adjacency_pallas(jnp.asarray(x),
+                                             jnp.asarray(valid), k,
+                                             metric="dot"))
+    assert got.sum(axis=1).max() == k
+    want = xla_adjacency(x @ x.T, valid, k)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_chord3_city_scale_resolution(rng):
+    """Round-5 location metric: at ~200 m spacing the f32 unit-xyz dot
+    saturates at exactly 1.0 (5 distinct values among 20 points measured),
+    while chord3's explicit differences keep the haversine ranking."""
+    lat0, lon0 = 41.39, 2.16              # Barcelona
+    step = 0.0018                          # ~200 m
+    latlon = np.array([[lat0 + i * step, lon0] for i in range(20)],
+                      np.float32)
+    k = 4
+    valid = np.ones(20, bool)
+    xyz = pk.location_to_unit_xyz(jnp.asarray(latlon))
+    got = np.asarray(pk.knn_adjacency_pallas(xyz, jnp.asarray(valid), k,
+                                             metric="chord3"))
+    # haversine oracle
+    hav = np.asarray(affinity.location_adjacency(jnp.asarray(latlon), k))
+    np.testing.assert_array_equal(got, hav > 0)

@@ -24,7 +24,9 @@ def test_tumbling_window_coverage(rng):
         seen.append(rows)
         st = swfd.update(st, jnp.asarray(rows), window=n, block_rows=block_rows)
         sketch, err, sq_fro, count = swfd.query(st, window=n, sketch_dim=ell)
-        assert int(count) == n * (w + 1)
+        # n_live_rows caps at the window (round 5: the old 4th value was
+        # the total ever absorbed, contradicting query()'s docstring)
+        assert int(count) == n
         window_rows = np.concatenate(seen)[-n:]
         bound = np.linalg.norm(window_rows, "fro") ** 2 / ell * 2.0  # block + final shrink
         assert window_cov_error(np.concatenate(seen), sketch, n) <= bound
