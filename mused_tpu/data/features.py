@@ -57,8 +57,9 @@ def multihot_tags(tag_lists: Sequence, dim: int) -> np.ndarray:
         return fast
     out = np.zeros((len(tag_lists), dim), np.float32)
     for i, tags in enumerate(tag_lists):
-        if tags is None:
-            continue
+        if tags is None or isinstance(tags, float):
+            continue          # None / pandas NaN cell: no tags (review r5:
+                              # iterating a float raised TypeError)
         if isinstance(tags, str):
             tags = [tags] if tags else []
         for t in tags:
@@ -199,7 +200,11 @@ def featurize_window(location: np.ndarray, times: np.ndarray,
         shift = tim64[t_valid].min(axis=0) - 1.0
         tim[t_valid] = (tim64[t_valid] - shift[None, :]).astype(np.float32)
     uids = hash_usernames([u[0] for u in usernames])
-    tag_cells_raw = [t[0] for t in tag_lists]
+    # normalize missing cells FIRST: a pandas NaN (float) tags cell crashed
+    # the tokenizers and counted as a VALID tags participant (review r5) —
+    # missing means the same as the reference's empty-string cell
+    tag_cells_raw = ["" if c is None or isinstance(c, float) else c
+                     for c in (t[0] for t in tag_lists)]
     # reference tags validity (ref :79): only the empty STRING is invalid
     tags_valid = np.array(
         [not (isinstance(c, str) and c == "") for c in tag_cells_raw], bool)

@@ -188,6 +188,8 @@ def mark_background(x: jax.Array, labels: jax.Array, *, k_max: int,
     unchanged, so the background id is globally stable by construction.
     """
     n = x.shape[0]
+    if n < 2:            # nothing to split (and argmax over the empty
+        return labels.astype(jnp.int32)   # split scores would not trace)
     xf = x.astype(jnp.float32)
     xn = xf / jnp.maximum(jnp.linalg.norm(xf, axis=1, keepdims=True), 1e-12)
     onehot = (labels[:, None] == jnp.arange(k_max)[None, :]).astype(

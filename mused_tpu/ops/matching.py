@@ -5,18 +5,15 @@ Reproduces reference matrix_operations.py:155-233 — overlap cost matrix
 either scipy Hungarian assignment or a Sinkhorn transport plan thresholded at
 half its maximum.
 
-The cost matrices are tiny (<= unique labels squared), so Hungarian runs on
-the host (scipy) exactly like the reference; the Sinkhorn iteration is pure
-JAX (it is just repeated row/column scaling) and jit-compiled — it also serves
-as the device-side matcher in the fully-jitted pipeline.
+The cost matrices are tiny (<= unique labels squared), so BOTH matchers run
+on the host exactly like the reference: scipy Hungarian, and a numpy
+Sinkhorn (round 5 — the jitted version recompiled for every distinct
+(uniques_prev, uniques_new) shape over the remote tunnel; 200 rescalings of
+a <= k^2 matrix are host-trivial).
 """
 from __future__ import annotations
 
-import functools
-
 import numpy as np
-import jax
-import jax.numpy as jnp
 from scipy.optimize import linear_sum_assignment
 
 
@@ -45,23 +42,24 @@ def is_feasible(cost: np.ndarray) -> bool:
     return True
 
 
-@functools.partial(jax.jit, static_argnames=("n_iters",))
-def sinkhorn(a: jax.Array, b: jax.Array, cost: jax.Array,
-             reg: float = 0.1, n_iters: int = 200) -> jax.Array:
+def sinkhorn(a, b, cost, reg: float = 0.1, n_iters: int = 200):
     """Entropy-regularized OT plan (POT ``ot.sinkhorn`` equivalent, ref :198).
 
     a: (p,) row marginals, b: (q,) col marginals, cost: (p, q) in [0, 1].
+    Host numpy (review r5): the only consumer is the host-side matcher on
+    a <= uniques^2 matrix, and the jitted version recompiled for every
+    distinct (p, q) — window-varying cluster counts turned microseconds
+    of scaling into a fresh remote compile per shape.  200 row/col
+    rescalings of a tiny matrix cost nothing on the host.
     """
-    kmat = jnp.exp(-cost / reg)
-
-    def body(uv, _):
-        u, v = uv
-        u = a / jnp.maximum(kmat @ v, 1e-30)
-        v = b / jnp.maximum(kmat.T @ u, 1e-30)
-        return (u, v), None
-
-    p, q = cost.shape
-    (u, v), _ = jax.lax.scan(body, (jnp.ones(p), jnp.ones(q)), None, length=n_iters)
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    kmat = np.exp(-np.asarray(cost, np.float64) / reg)
+    u = np.ones(kmat.shape[0])
+    v = np.ones(kmat.shape[1])
+    for _ in range(n_iters):
+        u = a / np.maximum(kmat @ v, 1e-30)
+        v = b / np.maximum(kmat.T @ u, 1e-30)
     return u[:, None] * kmat * v[None, :]
 
 
@@ -105,9 +103,8 @@ def match_clusters(prev_clusters, new_clusters, method: str = "hungarian",
         c = np.abs(c)
         c /= np.max(c)                           # ref :191-192
         p, q = c.shape
-        plan = np.asarray(sinkhorn(jnp.ones(p) / p, jnp.ones(q) / q,
-                                   jnp.asarray(c, jnp.float32),
-                                   reg=sinkhorn_reg, n_iters=sinkhorn_iters))
+        plan = sinkhorn(np.full(p, 1.0 / p), np.full(q, 1.0 / q), c,
+                        reg=sinkhorn_reg, n_iters=sinkhorn_iters)
         rows, cols = np.where(plan > plan.max() * 0.5)   # ref :201
         pairs = list(zip(rows, cols))
     else:
@@ -133,7 +130,13 @@ class CentroidMatcher:
     keeps IDs stable regardless of row order.
 
     Matched clusters inherit the registry ID (centroid refreshed to the new
-    window's mean); unmatched clusters get fresh globally-unique IDs.  The
+    window's mean); unmatched clusters get fresh globally-unique IDs.
+    "Unmatched" REQUIRES ``max_dist``: with the default None, the Hungarian
+    assignment always accepts the nearest registry entry however far, so a
+    genuinely new event inherits a stale ID whenever the registry has
+    spare entries (review r5) — production streams where events are born
+    and die should set ``centroid_max_dist`` to the feature-space scale
+    beyond which windows are different events.  The
     registry is bounded: beyond ``max_registry`` entries the least recently
     matched clusters are evicted (their IDs stay retired — `next_id` never
     reuses them).
@@ -150,17 +153,22 @@ class CentroidMatcher:
         self.window: int = 0
 
     def snapshot(self) -> dict:
-        return {"centroids": self.centroids, "ids": self.ids,
+        # copies, not views: match() mutates the registry IN PLACE, so an
+        # aliased snapshot held for rollback/deferred save silently drifts
+        # to post-snapshot state (review r5)
+        cp = lambda a: None if a is None else np.array(a)  # noqa: E731
+        return {"centroids": cp(self.centroids), "ids": cp(self.ids),
                 "next_id": self.next_id, "max_dist": self.max_dist,
                 "max_registry": self.max_registry,
-                "last_used": self.last_used, "window": self.window}
+                "last_used": cp(self.last_used), "window": self.window}
 
     @classmethod
     def from_snapshot(cls, snap: dict) -> "CentroidMatcher":
         m = cls(max_dist=snap.get("max_dist"),
                 max_registry=snap.get("max_registry", 4096))
-        m.centroids = snap.get("centroids")
-        m.ids = snap.get("ids")
+        m.centroids = (None if snap.get("centroids") is None
+                       else np.array(snap["centroids"]))
+        m.ids = None if snap.get("ids") is None else np.array(snap["ids"])
         m.next_id = int(snap.get("next_id", 0))
         m.window = int(snap.get("window", 0))
         m.last_used = snap.get("last_used")

@@ -81,6 +81,13 @@ def eigengap_k(reduced: jax.Array, *, k_max: int, k_min: int = 1,
     # sketch rows) make the relative gap at the RANK cutoff exactly 1.0,
     # which would always beat a real cluster gap and return k ~= rank.
     significant = e[:-1] >= 0.02 * e[0]
+    # ... and a gap INTO the numerically-zero padding tail is the rank-
+    # cutoff artifact itself, masked regardless of its leading energy
+    # (review r5: the leading-energy mask alone let the artifact win
+    # whenever the last real energy was >= 2% of e[0] — energies
+    # [100, 60, 55, 20, 18, 16, 0, ...] answered k=6 against the true
+    # structural gap at k=3)
+    significant = significant & (e[1:] > 1e-9 * e[0])
     gaps = jnp.where(significant, gaps, -1.0)
     if gaps.shape[0] > 1:
         strong_secondary = jnp.max(gaps[1:]) > theta
@@ -101,7 +108,13 @@ def svd_reduce(matrix: jax.Array, reduced_dim: int, key: jax.Array) -> jax.Array
     r = min(reduced_dim, d - 1)
     u, s, _ = randomized_svd(matrix, r, key)
     out = u * s[None, :]
-    if r < reduced_dim:
-        pad = jnp.zeros((matrix.shape[0], reduced_dim - r), matrix.dtype)
+    # pad relative to the ACTUAL factor width: randomized_svd can return
+    # fewer than r columns when the window has fewer rows than the clamped
+    # rank (n < reduced_dim), and padding by reduced_dim - r alone then
+    # broke the static-shape contract downstream jit consumers rely on
+    # (review r5: (5, 200) came back (5, 5) instead of (5, reduced_dim))
+    if out.shape[1] < reduced_dim:
+        pad = jnp.zeros((matrix.shape[0], reduced_dim - out.shape[1]),
+                        matrix.dtype)
         out = jnp.concatenate([out, pad], axis=1)
     return out

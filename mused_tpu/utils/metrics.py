@@ -145,10 +145,9 @@ def aligned_f1(true_labels, pred) -> float:
     t, p = np.asarray(true_labels), np.asarray(pred)
     if len(t) == 0:
         return 0.0
-    ut, ti = np.unique(t, return_inverse=True)
-    up, pi = np.unique(p, return_inverse=True)
-    c = np.zeros((len(up), len(ut)), np.float64)
-    np.add.at(c, (pi, ti), 1.0)
+    c = _contingency(p, t)                # rows: predicted, cols: truth
+    up = np.unique(p)
+    ut = np.unique(t)
     from scipy.optimize import linear_sum_assignment
     rows, cols = linear_sum_assignment(-c)
     remap = {}

@@ -102,3 +102,25 @@ def test_eigengap_k_structureless_stays_one():
                  + list(np.linspace(410, 300, 11)), np.float32)
     reduced = jnp.asarray(np.diag(np.sqrt(e)))
     assert int(reduction.eigengap_k(reduced, k_max=20)) == 1
+
+
+def test_svd_reduce_static_shape_small_windows(rng):
+    """The static-shape contract must hold even when the window has fewer
+    rows than the clamped rank (review r5: (5, 200) came back (5, 5))."""
+    import jax
+    from mused_tpu.ops.reduction import svd_reduce
+    for n, d, r in ((5, 200, 64), (5, 40, 30), (3, 8, 16)):
+        out = svd_reduce(jnp.asarray(rng.normal(size=(n, d)),
+                                     jnp.float32), r, jax.random.key(0))
+        assert out.shape == (n, r), (n, d, r, out.shape)
+
+
+def test_eigengap_ignores_rank_cutoff_artifact():
+    """A gap INTO the numerically-zero padding tail is the rank-cutoff
+    artifact, masked regardless of leading energy (review r5: energies
+    [100,60,55,20,18,16,0,...] answered k=6 against the true gap at 3)."""
+    from mused_tpu.ops.reduction import eigengap_k
+    e = np.array([100.0, 60.0, 55.0, 20.0, 18.0, 16.0, 0.0, 0.0])
+    reduced = jnp.asarray(np.sqrt(e)[None, :] * np.ones((4, 1), np.float32))
+    # column energies of `reduced` are 4*e — same profile
+    assert int(eigengap_k(reduced, k_max=7)) == 3
