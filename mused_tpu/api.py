@@ -61,18 +61,41 @@ def create_adjacency_matrix(data, modality_type, k_basis=50):
     elif modality_type == "time":
         adj = affinity.time_adjacency(jnp.asarray(data, jnp.float32), k_basis)
     elif modality_type == "username":
-        ids = feat.hash_usernames([row[0] if isinstance(row[0], str) else ""
-                                   for row in data])
-        adj = affinity.username_adjacency(jnp.asarray(ids))
+        # reference validity (ref :59): only the empty STRING is invalid;
+        # a non-str cell (pandas NaN) is VALID and — because every np.nan
+        # is the same object in the reference's dict grouping — ALL NaN
+        # rows share one username and form a clique (verified against the
+        # reference, review r5; the old mapping marked them invalid)
+        def _uid(cell):
+            if isinstance(cell, str):
+                return -1 if cell == "" else feat.stable_hash(cell)
+            return feat.stable_hash("\x00nan")     # shared NaN identity
+        ids = np.array([_uid(row[0]) for row in data], np.int64)
+        ids = np.where(ids < 0, ids, ids % np.int64(2**31 - 1))
+        adj = affinity.username_adjacency(jnp.asarray(ids, jnp.int32))
     elif modality_type == "tags":
-        mh = feat.multihot_tags([row[0] for row in data], fc.tags_hash_dim)
-        adj = affinity.tags_adjacency(jnp.asarray(mh), k_basis)
+        # reference validity (ref :79): only the empty STRING cell is
+        # invalid — an empty tag LIST participates with Jaccard 0 and
+        # still receives its k argsort-order edges
+        cells = [row[0] for row in data]
+        valid = np.array([not (isinstance(c, str) and c == "")
+                          for c in cells], bool)
+        mh = feat.multihot_tags(cells, fc.tags_hash_dim)
+        adj = affinity.tags_adjacency(jnp.asarray(mh), k_basis,
+                                      valid=jnp.asarray(valid))
     elif modality_type == "text":
+        # reference validity (ref :97): a row where EITHER raw cell is a
+        # non-empty string participates — even when its text yields no
+        # tokens (single-char words), it keeps an all-zero vector and
+        # receives k argsort-order zero-sim edges
+        valid = np.array([any(isinstance(c, str) and c != "" for c in row)
+                          for row in data], bool)
         joined = [((row[0] if isinstance(row[0], str) else "") + " " +
                    (row[1] if isinstance(row[1], str) else "")).strip()
                   for row in data]
         counts = feat.hash_text_counts(joined, fc.text_hash_dim)
-        adj = affinity.text_adjacency(jnp.asarray(counts), k_basis)
+        adj = affinity.text_adjacency(jnp.asarray(counts), k_basis,
+                                      valid=jnp.asarray(valid))
     else:
         adj = affinity.euclidean_adjacency(jnp.asarray(data, jnp.float32), k_basis)
     return np.asarray(adj)

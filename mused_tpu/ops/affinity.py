@@ -167,10 +167,20 @@ def tfidf_cosine_matrix(counts: jax.Array) -> jax.Array:
                    precision=jax.lax.Precision.HIGHEST)
 
 
-def text_adjacency(text_counts: jax.Array, k_basis: int) -> jax.Array:
-    """Top-k TF-IDF-cosine neighbors; blank text invalid (ref :91-110)."""
+def text_adjacency(text_counts: jax.Array, k_basis: int,
+                   valid: jax.Array | None = None) -> jax.Array:
+    """Top-k TF-IDF-cosine neighbors (ref :91-110).
+
+    Validity quirk (ref :97): the reference keeps every row where EITHER
+    raw cell is a non-empty STRING — a row whose text yields no tokens
+    (single-char words) still participates with an all-zero vector and
+    receives k argsort-order zero-sim edges, exactly like the tags quirk.
+    Pass ``valid`` computed from the raw cells to reproduce that
+    (api.create_adjacency_matrix does); the default falls back to
+    token-count validity (the engine's featurized-tensor convention)."""
     text_counts = text_counts.astype(jnp.float32)
-    valid = jnp.sum(text_counts, axis=1) > 0
+    if valid is None:
+        valid = jnp.sum(text_counts, axis=1) > 0
     sim = tfidf_cosine_matrix(text_counts)
     return knn_adjacency(sim, valid, k_basis)
 

@@ -8,7 +8,8 @@ fine to ~32k rows.  This variant rematerializes (B, n) distance blocks inside
   2. min-label propagation over the core-core eps-graph, one sweep per
      round + POINTER JUMPING (labels <- labels[labels], O(n) gathers) which
      compresses label paths so rounds ~ log(diameter) instead of diameter
-  3. border sweep  -> nearest core neighbor's root  (one sweep)
+  3. border sweep  -> the MINIMUM-LABELED core neighbor's root
+     within eps (matching the dense kernel; one sweep)
 
 Labels match the dense kernel exactly (same definition, same first-occurrence
 compaction); tested for equality.
@@ -66,10 +67,15 @@ def _propagate_once(x, labels, core, eps, *, block: int):
     _, mins = jax.lax.scan(body, None, (xs, core_blocks))
     new = jnp.minimum(labels, mins.reshape(n))
     # pointer jumping: labels are root row-indices, so composing the map
-    # halves path lengths per hop (clamp the "no label" sentinel n)
+    # halves path lengths per hop.  Restrict to CORE rows: the "no label"
+    # sentinel n clamps to row n-1, and non-core rows chasing that junk
+    # kept `changed` True for extra full sweeps after the core labels had
+    # converged (review r5 — output was unaffected, rounds were wasted)
+    is_core_label = new < n
     for _ in range(3):
-        new = jnp.minimum(new, new[jnp.clip(new, 0, n - 1)])
-    return new, jnp.any(new != labels)
+        jumped = jnp.minimum(new, new[jnp.clip(new, 0, n - 1)])
+        new = jnp.where(is_core_label, jumped, new)
+    return new, jnp.any((new != labels) & is_core_label)
 
 
 @functools.partial(jax.jit, static_argnames=("block",))

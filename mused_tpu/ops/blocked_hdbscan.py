@@ -73,13 +73,13 @@ def _min_outgoing(x, core, comp, *, block: int):
 
 def _mst_boruvka(x_np: np.ndarray, min_samples: int, block: int):
     """Edges (w, a, b) of an MST of the implicit mutual-reachability graph."""
+    from mused_tpu.ops.blocked_dbscan import _pad_rows
     n = len(x_np)
     block = min(block, n)
-    pad = (-n) % block
-    # pad rows far away but SAFE in f32: 1e30 would square to inf and poison
-    # row minima with NaN (inf - inf) in the expanded-norm distance form
-    xp = np.concatenate(
-        [x_np, np.full((pad, x_np.shape[1]), 1e15, np.float32)]) if pad else x_np
+    # shared far-but-f32-safe padding (blocked_dbscan._pad_rows — one home
+    # for the 1e15 constant and its inf-minus-inf rationale, review r5)
+    xp = np.asarray(_pad_rows(jnp.asarray(x_np), block))
+    pad = len(xp) - n
     xj = jnp.asarray(xp)
     core = _core_distances(xj, min_samples=min_samples, block=block,
                            n_real=n)

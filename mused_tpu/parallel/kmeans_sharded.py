@@ -7,9 +7,10 @@ k_max x d).  Matches ops.kmeans semantics (dynamic k masking, kmeans++ init,
 shift tolerance) so single-chip and multi-chip results agree up to fp
 reduction order.
 
-kmeans++ seeding needs global argmax-style sampling; here chip 0 computes the
-seeding on the gathered reduced matrix (n x d is small — it is the REDUCED
-space) and broadcasts — seeding is O(k*n*d), not the hot loop.
+kmeans++ seeding needs global argmax-style sampling; it runs REPLICATED
+on the (already replicated) reduced matrix OUTSIDE the shard_map body —
+no chip-0 gather/broadcast exists (every chip traces the identical
+computation) — seeding is O(k*n*d), not the hot loop.
 """
 from __future__ import annotations
 

@@ -30,7 +30,8 @@ shard_map = jax.shard_map
 
 
 def merge_stacked(sketches: jax.Array, out_ell: int):
-    """(p, ell, d) stacked sketches -> (out_ell, d) merged sketch (pure)."""
+    """(p, ell, d) stacked sketches -> ((out_ell, d) merged sketch, shrink
+    delta) — fd.shrink's 2-tuple, NOT the bare sketch (callers unpack)."""
     p, ell, d = sketches.shape
     return fd.shrink(sketches.reshape(p * ell, d), out_ell)
 

@@ -91,7 +91,7 @@ def log_averages(metrics: dict, independent_variable: str = "window_indices",
             vals = []
             for approach in approaches:
                 column = [v for v in metrics[approach].get(metric_name, [])
-                          if isinstance(v, (int, float, np.floating))]
+                          if isinstance(v, (int, float, np.floating, np.integer))]
                 vals.append(float(np.mean(column)) if column else float("nan"))
             row = metric_name.replace("_", " ").capitalize() + " & "
             row += " & ".join(f"{v:.4f}" for v in vals) + " \\\\\n"

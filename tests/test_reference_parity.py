@@ -343,3 +343,58 @@ def test_tags_and_time_adjacency_bitwise_parity(reference_modules,
         else:
             np.testing.assert_array_equal(ref_a, our_a, err_msg=t)
     capsys.readouterr()
+
+
+def test_api_adjacency_validity_quirks_match_reference(reference_modules,
+                                                       capsys):
+    """The api.create_adjacency_matrix surface must reproduce the
+    reference's raw-cell validity quirks (review r5, verified divergent
+    before the fix): empty-LIST tags participate with k zero-sim edges,
+    token-less-but-nonempty text participates with an all-zero vector,
+    and NaN usernames form one clique (every np.nan is the same object in
+    the reference's dict grouping)."""
+    import matrix_operations as ref_ops
+    from mused_tpu import api
+
+    # tags: rows 2 and 5 empty LIST (valid), row 4 empty STRING (invalid)
+    tags = np.empty((6, 1), object)
+    for i, cell in enumerate([["a", "b"], ["b"], [], ["a"], "", []]):
+        tags[i, 0] = cell
+    ref_a = ref_ops.create_adjacency_matrix(tags, "tags", 2)
+    our_a = api.create_adjacency_matrix(tags, "tags", 2)
+    assert int(np.asarray(ref_a).sum()) == int(np.asarray(our_a).sum())
+    # per-row edge PRESENCE matches (zero-sim tie ORDER is quicksort-
+    # arbitrary in the reference itself)
+    np.testing.assert_array_equal((np.asarray(ref_a) > 0).sum(1),
+                                  (np.asarray(our_a) > 0).sum(1))
+
+    # text: row 2 has only single-char tokens (no TF-IDF terms) but a
+    # non-empty cell -> participates; row 4 fully empty -> invalid
+    text = np.empty((5, 2), object)
+    rows = [("hello world", "x"), ("hello there", ""), ("a b c", ""),
+            ("world hello", "y"), ("", "")]
+    for i, (a, b) in enumerate(rows):
+        text[i, 0], text[i, 1] = a, b
+    ref_a = ref_ops.create_adjacency_matrix(text, "text", 1)
+    our_a = api.create_adjacency_matrix(text, "text", 1)
+    # PARTICIPATION parity is the quirk under test: the token-less row 2
+    # gets edges on both sides, the fully-empty row 4 on neither.  The
+    # zero-sim rows' exact edge COUNT differs by the self slot (the
+    # reference's argsort includes self, which for an all-zero vector is
+    # not the top hit and frees an extra slot) — a documented deviation.
+    np.testing.assert_array_equal((np.asarray(ref_a) > 0).any(1),
+                                  (np.asarray(our_a) > 0).any(1))
+    tokenful = [0, 1, 3]      # rows whose text has real terms: bit parity
+    np.testing.assert_array_equal(
+        (np.asarray(ref_a) > 0)[tokenful].sum(1),
+        (np.asarray(our_a) > 0)[tokenful].sum(1))
+
+    # username: NaN rows form a clique; "" rows are invalid
+    users = np.empty((6, 1), object)
+    for i, cell in enumerate(["bob", "", np.nan, np.nan, "bob", np.nan]):
+        users[i, 0] = cell
+    ref_a = ref_ops.create_adjacency_matrix(users, "username", 3)
+    our_a = api.create_adjacency_matrix(users, "username", 3)
+    np.testing.assert_array_equal(np.asarray(ref_a) > 0,
+                                  np.asarray(our_a) > 0)
+    capsys.readouterr()
