@@ -8,6 +8,7 @@ sketch for fold parity (same algorithm, psum summation order), and the FD
 error bound for honesty.
 """
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -140,7 +141,6 @@ def test_grid_fd_matches_singlechip(rng, mode):
     folds + one merge shrink.  The adjacency blocks are still bit-exact, so
     B^T B matches the single-chip binned fold to rounding plus the (bounded,
     accounted) merge delta; the honest bound holds with the merge delta in."""
-    from mused_tpu.parallel.mesh import make_mesh
     mesh_grid = make_mesh(n_data=2, n_model=4)
     wf = _standard_window(rng, n=512)
     cols = ba.standard_columns(wf)
@@ -171,7 +171,6 @@ def test_grid_pd1_equals_pure_columns(rng):
     """A (1, pm) grid mesh IS pure column sharding: no row groups, so no
     merge shrink may run (a degenerate single-group 'merge' would
     spuriously subtract the smallest retained eigenvalue)."""
-    from mused_tpu.parallel.mesh import make_mesh
     wf = _standard_window(rng, n=512)
     kw = dict(ell=16, block=64, k_basis=3, mode="eigh", nbins=128)
     sk_g, sq_g, loss_g = cs.colsharded_blocked_fd_sketch(
@@ -203,7 +202,7 @@ def test_sharded_blocked_svd_matches_singlechip(rng, mesh4):
     from mused_tpu.parallel import sharded
     wf = _standard_window(rng, n=512)
     cols = ba.standard_columns(wf)
-    key = __import__("jax").random.key(3)
+    key = jax.random.key(3)
     ours = np.asarray(sharded.sharded_blocked_svd_reduce(
         cols, key, rank=16, block=64, k_basis=3, mesh=mesh4), np.float64)
     ref = np.asarray(ba.blocked_svd_reduce(
@@ -220,7 +219,7 @@ def test_colsharded_blocked_svd_matches_singlechip(rng, mesh4):
     SVD to rounding."""
     wf = _standard_window(rng, n=512)
     cols = ba.standard_columns(wf)
-    key = __import__("jax").random.key(3)
+    key = jax.random.key(3)
     nbins = 128
     ours = np.asarray(cs.colsharded_blocked_svd_reduce(
         tuple(wf), ("standard",), key, rank=16, block=64, k_basis=3,
@@ -237,7 +236,6 @@ def test_colsharded_blocked_svd_matches_singlechip(rng, mesh4):
 def test_sharded_spectral_matches_singlechip(rng, mesh4):
     """Row-sharded spectral embedding + the shared NJW tail clusters like
     the single-chip blocked spectral (same sweeps, psum rounding)."""
-    import jax
     from mused_tpu.parallel import sharded
     from mused_tpu.ops import blocked_spectral as bspec
     from mused_tpu.utils.metrics import nmi
@@ -255,7 +253,6 @@ def test_sharded_spectral_matches_singlechip(rng, mesh4):
 
 @pytest.mark.slow
 def test_colsharded_spectral_runs(rng, mesh4):
-    import jax
     from mused_tpu.ops import blocked_spectral as bspec
     wf = _standard_window(rng, n=512)
     key = jax.random.key(5)
@@ -273,7 +270,6 @@ def test_spectral_eigengap_recovers_planted_count(rng):
     """Label-free cluster counts at huge windows: the Ritz spectrum the
     blocked sweep already computes recovers a planted cluster count via
     the normalized-cuts eigengap (closes the former k_max-cap fallback)."""
-    import jax
     from mused_tpu.ops import blocked_spectral as bspec
     # k_basis >= 6: a 3-NN graph (k_basis=4) fragments inside clusters and
     # the cluster eigenvalues drift off 1 — the measured ratio at the true
@@ -291,9 +287,8 @@ def test_spectral_eigengap_recovers_planted_count(rng):
 
 @pytest.mark.slow
 def test_colsharded_grid_svd_runs(rng):
-    from mused_tpu.parallel.mesh import make_mesh
     wf = _standard_window(rng, n=512)
-    key = __import__("jax").random.key(3)
+    key = jax.random.key(3)
     out = cs.colsharded_blocked_svd_reduce(
         tuple(wf), ("standard",), key, rank=16, block=64, k_basis=3,
         mesh=make_mesh(n_data=2, n_model=4), nbins=128)
@@ -301,7 +296,6 @@ def test_colsharded_grid_svd_runs(rng):
 
 
 def test_colsharded_rejects_bad_geometry(rng, mesh4):
-    import jax
     wf = _standard_window(rng, n=512)
     with pytest.raises(ValueError, match="block"):
         cs.colsharded_blocked_fd_sketch(tuple(wf), ("standard",), ell=8,
@@ -491,7 +485,6 @@ def test_grid_cand_fold(rng):
     dense adjacency (at this toy scale loss/sq ~ 0.75, so the retained
     signal is tiny and elementwise covariance closeness is dominated by
     probe rounding: measured cand 173.3 vs dense 178.9 at bound 852)."""
-    from mused_tpu.parallel.mesh import make_mesh
     mesh_grid = make_mesh(n_data=2, n_model=4)
     wf = _standard_window(rng, n=512)
     cols = ba.standard_columns(wf)
@@ -543,7 +536,6 @@ def test_raw_candidates_pair_plumbing_matches_emulation():
     The pairing/bookkeeping must reproduce the emulation branch exactly —
     tested off-mesh in interpret mode with an ODD modality count so both
     the pair and the leftover-single legs run."""
-    import jax.numpy as jnp
     from mused_tpu.parallel.colsharded import _raw_candidates
 
     rng = np.random.default_rng(7)
@@ -561,7 +553,7 @@ def test_raw_candidates_pair_plumbing_matches_emulation():
     tag_sums = jnp.asarray(tags.sum(1).astype(np.float32))
     sl = slice(start, start + block)
 
-    def build(items_only_shapes):
+    def build():
         return [
             ("chord3", xyzp, vL, None, 5, vL[sl], xyzp[sl], None),
             ("l1", timp, vT, None, 15, vT[sl], timp[sl], None),
@@ -569,10 +561,10 @@ def test_raw_candidates_pair_plumbing_matches_emulation():
              tag_sums[sl]),
         ]
 
-    kern = _raw_candidates(build(None), jnp.int32(start), nbins=nbins,
+    kern = _raw_candidates(build(), jnp.int32(start), nbins=nbins,
                            block=block, tn=tn, use_kernel=True,
                            interpret=True)
-    emul = _raw_candidates(build(None), jnp.int32(start), nbins=nbins,
+    emul = _raw_candidates(build(), jnp.int32(start), nbins=nbins,
                            block=block, tn=tn, use_kernel=False)
     assert len(kern) == len(emul) == 3
     for (vk, gk), (ve, ge) in zip(kern, emul):

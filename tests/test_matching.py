@@ -14,7 +14,7 @@ def test_cost_matrix_and_feasibility():
     assert cost[0, 0] == -3 and cost[1, 1] == -3
     assert np.isinf(cost[2, 2])  # overlap 1 < min_overlap
     assert not matching.is_feasible(np.full((2, 2), np.inf))
-    assert matching.is_feasible(cost) is False  # row 2 all-inf (ref :229)
+    assert not matching.is_feasible(cost)  # row 2 all-inf (ref :229)
 
 
 def test_hungarian_remaps_labels():

@@ -125,8 +125,10 @@ def test_sparse_reconstructs_dense(rng):
                                                  fc.text_hash_dim))
         got_tags = np.asarray(counts_from_tokens(jnp.asarray(tids), None,
                                                  fc.tags_hash_dim))
-        np.testing.assert_array_equal(got_text, dense_text), use_native
-        np.testing.assert_array_equal(got_tags, dense_tags)
+        np.testing.assert_array_equal(got_text, dense_text,
+                                      err_msg=f"use_native={use_native}")
+        np.testing.assert_array_equal(got_tags, dense_tags,
+                                      err_msg=f"use_native={use_native}")
 
 
 def test_sparse_native_matches_python(rng):

@@ -335,8 +335,7 @@ def test_tags_and_time_adjacency_bitwise_parity(reference_modules,
     for mod, t in zip(mods, mtypes):
         if t == "text":
             continue        # hashing-trick vocab: metric-level parity only
-        ref_a = ref_ops.create_adjacency_matrix(
-            np.concatenate([mod[i:i + 1] for i in range(n)]), t, kb)
+        ref_a = ref_ops.create_adjacency_matrix(mod[:n].copy(), t, kb)
         our_a = np.asarray(ours[t])
         if t == "tags":
             assert int(ref_a.sum()) == int(our_a.sum())

@@ -81,7 +81,7 @@ def test_prepare_modalities_on_fixture(dataset_dir):
     assert list(mods[1][:, 1]) == sorted(mods[1][:, 1])
 
 
-def test_prepare_modalities_sampling_determinism(dataset_dir):
+def test_prepare_modalities_sampling_determinism():
     """Same seed -> identical subsample (the reference's RNG discipline,
     data_loader.py:62-78)."""
     from mused_tpu.data.synthetic import synthetic_events_dataframe

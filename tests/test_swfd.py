@@ -175,7 +175,7 @@ def test_seq_based_swfd_headroom_improves_accuracy(rng):
         errs = []
         for i in range(0, len(stream), N):
             s.fit(stream[i:i + N])
-            errs.append(window_cov_error(stream[max(0, i + N - N):i + N],
+            errs.append(window_cov_error(stream[i:i + N],
                                          np.asarray(s.get()[0]), N))
         return float(np.mean(errs))
 
