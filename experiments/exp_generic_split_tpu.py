@@ -1,11 +1,13 @@
-"""TPU hardware check of the split-packed generic kinds (embedding/default).
+"""TPU hardware check of the bf16-packed generic kinds (embedding/default).
 
-generic_columns now stores bf16 [hi | lo] split-packed rows (see
-blocked_affinity.split_bf16): the strip path, the stride-binned kernel,
-and the CPU emulation all rank by the same ~16-bit-rounded sims.  The CPU
-tests pin semantic consistency; this probe checks the KERNEL route on the
-real chip (dot + chord metrics with split operands) and measures the
-strip-vs-binned block cost:
+generic_columns stores SINGLE bf16 tensors (blocked_affinity.bf16_pack;
+late round 5 — this same probe revalidated the switch from the 2x-width
+split_bf16 packing, whose positional dot has the same bf16-input accuracy
+class): the strip path, the stride-binned kernel, and the CPU emulation
+all rank by the same bf16-rounded sims.  The CPU tests pin semantic
+consistency; this probe checks the KERNEL route on the real chip (dot +
+chord metrics with bf16 operands) and measures the strip-vs-binned block
+cost:
 
   1. edge agreement strip vs binned at nbins == n (same sims, different
      selection engines — expect ~100%, residual is accumulation-order tie

@@ -163,10 +163,17 @@ def split_bf16(x: jax.Array) -> jax.Array:
     return bs.pad_features_128(jnp.concatenate([hi, lo], axis=1))
 
 
-def _split_value(packed: jax.Array, d: int):
-    """f32 rows represented by a split_bf16 packing (hi + lo)."""
-    return (packed[:, :d].astype(jnp.float32)
-            + packed[:, d:2 * d].astype(jnp.float32))
+def bf16_pack(x: jax.Array) -> jax.Array:
+    """SINGLE bf16 tensor of f32 rows, feature width padded to a 128
+    multiple — the packing generic_columns adopted in round 5 (the lever
+    split_bf16's docstring documents): the positional packed dot of two
+    split tensors is hi@hi' + lo@lo', whose accuracy ALREADY equals this
+    plain bf16-input dot, so the split spent 2x the width (and 2x the MXU
+    cost + panel bytes) buying nothing.  Backend independence is identical:
+    every backend upcasts the same bf16 values, so strip path, stride-binned
+    kernel, and CPU emulation still rank by the SAME sims."""
+    from mused_tpu.ops.pallas import blocked_select as bs
+    return bs.pad_features_128(x.astype(jnp.bfloat16))
 
 
 def generic_columns(mats, types) -> Columns:
@@ -178,9 +185,11 @@ def generic_columns(mats, types) -> Columns:
     HBM-bandwidth-bound (same rationale as the hoisted text idf/normalize
     and tags row sums: the O(n·d) pass is FLOP-trivial but its read+write
     traffic rivals the column-panel read the MXU actually needs).  Both
-    kinds store split-packed bf16 rows (see ``split_bf16``): identical
-    kNN ranking across the strip path, the stride-binned kernel, and the
-    CPU emulation, at half the strip path's former HIGHEST-dot cost."""
+    kinds store a SINGLE bf16 tensor (``bf16_pack``, round 5 — was the
+    2x-width split_bf16 packing, whose positional dot has the same
+    accuracy class; see split_bf16's correction note): identical kNN
+    ranking across the strip path, the stride-binned kernel, and the CPU
+    emulation, at HALF the split packing's dot cost and panel bytes."""
     tensors, valids, kinds = [], [], []
     for m, t in zip(mats, types):
         m = jnp.asarray(np.asarray(m, np.float32))
@@ -199,27 +208,22 @@ def generic_columns(mats, types) -> Columns:
             fin = jnp.all(jnp.isfinite(m), axis=1)
             safe = jnp.where(fin[:, None], m, 0.0)
             norm = jnp.linalg.norm(safe, axis=1, keepdims=True)
-            kinds.append("embedding_split")
+            kinds.append("embedding_bf16")
             valids.append(fin & (norm[:, 0] > 0))
-            tensors.append(split_bf16(safe / jnp.maximum(norm, 1e-12)))
+            tensors.append(bf16_pack(safe / jnp.maximum(norm, 1e-12)))
         elif t == "default":
             valid = jnp.all(jnp.isfinite(m), axis=1)
             safe = jnp.where(valid[:, None], m, 0.0)
-            packed = split_bf16(safe)
-            # squared norms CONSISTENT WITH THE PACKED DOT: the position-
-            # wise packed product is hi@hi' + lo@lo' (no cross terms — see
-            # split_bf16), so the hoisted norm must be |hi|^2 + |lo|^2,
-            # NOT |hi+lo|^2 (review r5: the mismatch made self-distance
-            # 4*hi.lo ~ 1e-3*|x|^2 instead of 0).  With this norm the
-            # chord cancellation is exact at self and d2 >= 0 holds to
-            # f32 rounding.
-            d_feat = m.shape[1]
-            hi = packed[:, :d_feat].astype(jnp.float32)
-            lo = packed[:, d_feat:2 * d_feat].astype(jnp.float32)
+            packed = bf16_pack(safe)
+            # squared norms CONSISTENT WITH THE PACKED DOT (review r5
+            # lineage): the hoisted norm is the dot's exact self-product
+            # |bf16(x)|^2 — computed from the PACKED tensor, not the f32
+            # original — so the chord cancellation is exact at self
+            # (self-distance 0) and d2 >= 0 holds to f32 rounding.
+            pf = packed.astype(jnp.float32)
             kinds.append("default_safe")
             valids.append(valid)
-            tensors.append((packed, jnp.sum(hi * hi, axis=1)
-                            + jnp.sum(lo * lo, axis=1)))
+            tensors.append((packed, jnp.sum(pf * pf, axis=1)))
         else:
             kinds.append(t)
             valids.append(jnp.all(jnp.isfinite(m), axis=1))
@@ -348,7 +352,7 @@ def _kind_cand_spec(kind: str, t, valid, k_basis: int, start, block: int,
                 else extra)
         return dict(t=t, tr=_rows(t, start, block), k=k_basis,
                     metric="jaccard", row_sums=sums)
-    if kind in ("text_bf16", "embedding_split"):
+    if kind in ("text_bf16", "embedding_bf16", "embedding_split"):
         if t.shape[1] % 128:
             return None
         return dict(t=t, tr=_rows(t, start, block), k=k_basis, metric="dot")
@@ -505,10 +509,12 @@ def fused_rowblock(cols: Columns, start, block: int,
             sim = jnp.dot(x_r, x_c.T, preferred_element_type=jnp.float32,
                           precision=jax.lax.Precision.HIGH)
             mats.append(knn_b(sim, vr, valid, k_basis, start, approx))
-        elif kind == "embedding_split":
-            # rows pre-normalized AND split-packed in generic_columns (see
-            # split_bf16: the 4-term bf16 product == f32 dot of ~16-bit-
-            # rounded inputs, identical ranking on strip/kernel/emulation)
+        elif kind in ("embedding_bf16", "embedding_split"):
+            # rows pre-normalized and bf16-packed in generic_columns (see
+            # bf16_pack; "embedding_split" is the legacy 2x-width [hi|lo]
+            # layout for hand-built Columns — its positional dot has the
+            # SAME bf16-input accuracy class, see split_bf16): one DEFAULT
+            # dot, identical ranking on strip/kernel/emulation
             sim = jnp.dot(tr, t.T, preferred_element_type=jnp.float32)
             mats.append(knn_b(sim, vr, valid, k_basis, start, approx))
         elif kind == "embedding_unit":
@@ -525,13 +531,12 @@ def fused_rowblock(cols: Columns, start, block: int,
                           precision=jax.lax.Precision.HIGHEST)
             mats.append(knn_b(sim, vr, valid, k_basis, start, approx))
         elif kind == "default_safe":
-            # masked split-packed rows + hoisted squared norms (see
+            # masked bf16-packed rows + hoisted squared norms (see
             # generic_columns); negative squared euclidean == the kernel's
             # "chord" metric, self included in k (ref :112-119).  The
-            # packed dot (hi@hi' + lo@lo' — bf16-input accuracy class,
-            # see split_bf16) keeps d2 IDENTICAL across strip/kernel/
-            # emulation, and the hoisted norms match the packed dot's
-            # self-product exactly, so self-distance is 0 and d2 >= 0
+            # bf16-operand dot keeps d2 IDENTICAL across strip/kernel/
+            # emulation, and the hoisted norms are the dot's exact
+            # self-product, so self-distance is 0 and d2 >= 0
             kk = max(1, k_basis) - 1
             d2 = (_rows(def_sq, start, block)[:, None] + def_sq[None, :]
                   - 2.0 * jnp.dot(tr, t.T,
@@ -589,7 +594,8 @@ def cand_fold_supported(kinds, tensors, nbins: int, n: int) -> bool:
         tt = t[0] if isinstance(t, tuple) else t
         if kind in ("location", "location_xyz", "time"):
             continue
-        if kind in ("tags", "text_bf16", "embedding_split", "default_safe"):
+        if kind in ("tags", "text_bf16", "embedding_bf16", "embedding_split",
+                    "default_safe"):
             if tt.shape[1] % 128:
                 return False
             continue

@@ -258,28 +258,26 @@ def _prep_generic(feat_shards: tuple, types: tuple, k_basis: int) -> list:
             mods.append(("l1", jnp.where(valid[:, None], x, 0.0), valid,
                          None, 3 * k_basis))
         elif t == "embedding":
-            # split-packed like blocked_affinity.generic_columns — the
-            # per-shard packing is elementwise per row, so shard tensors
-            # equal the single-chip packing's rows exactly (the colsharded
-            # fused blocks stay bit-equal to the single-chip binned path)
+            # single-bf16 packed like blocked_affinity.generic_columns
+            # (round 5, was split_bf16) — the per-shard packing is
+            # elementwise per row, so shard tensors equal the single-chip
+            # packing's rows exactly (the colsharded fused blocks stay
+            # bit-equal to the single-chip binned path)
             fin = jnp.all(jnp.isfinite(x), axis=1)
             safe = jnp.where(fin[:, None], x, 0.0)
             norm = jnp.linalg.norm(safe, axis=1, keepdims=True)
             unit = safe / jnp.maximum(norm, 1e-12)
-            mods.append(("dot", ba.split_bf16(unit),
+            mods.append(("dot", ba.bf16_pack(unit),
                          fin & (norm[:, 0] > 0), None, k_basis))
         else:   # default euclidean: k includes self (ref :112-119)
             valid = jnp.all(jnp.isfinite(x), axis=1)
             safe = jnp.where(valid[:, None], x, 0.0)
-            packed = ba.split_bf16(safe)
-            # norms consistent with the packed dot's self-product
-            # (|hi|^2 + |lo|^2, matching generic_columns — review r5),
-            # keeping the colsharded d2 bit-equal to the single-chip path
-            d_feat = x.shape[1]
-            hi = packed[:, :d_feat].astype(jnp.float32)
-            lo = packed[:, d_feat:2 * d_feat].astype(jnp.float32)
-            mods.append(("chord", packed, valid,
-                         jnp.sum(hi * hi, axis=1) + jnp.sum(lo * lo, axis=1),
+            packed = ba.bf16_pack(safe)
+            # norms = the packed dot's exact self-product |bf16(x)|^2
+            # (matching generic_columns — review r5 lineage), keeping the
+            # colsharded d2 bit-equal to the single-chip path
+            pf = packed.astype(jnp.float32)
+            mods.append(("chord", packed, valid, jnp.sum(pf * pf, axis=1),
                          max(1, k_basis) - 1))
     return mods
 

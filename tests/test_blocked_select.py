@@ -160,7 +160,7 @@ def test_fused_rowblock_generic_kinds_binned_exact():
     dflt = (rng.standard_normal((n, 24)) * 3).astype(np.float32)
     dflt[rng.random(n) < 0.05] = np.nan
     cols = ba.generic_columns([emb, dflt], ("embedding", "default"))
-    assert cols.kinds == ("embedding_split", "default_safe")
+    assert cols.kinds == ("embedding_bf16", "default_safe")
     assert cols.tensors[0].dtype == jnp.bfloat16
     assert cols.tensors[1][0].dtype == jnp.bfloat16
     for start in (0, 128):
@@ -170,19 +170,26 @@ def test_fused_rowblock_generic_kinds_binned_exact():
         np.testing.assert_array_equal(np.asarray(strip), np.asarray(binned))
 
 
-def test_split_packing_matches_exact_f32_ranking():
-    """The split-packed bf16 representation rounds inputs to ~16 mantissa
-    bits (~1.5e-5 relative) — kNN edges vs the exact-f32 legacy layout must
-    agree almost everywhere on unit embeddings, and the represented values
-    must be within the split's rounding of the originals."""
+def test_bf16_packing_matches_exact_f32_ranking():
+    """The single-bf16 representation (round 5 — replaced the 2x-width
+    split packing, whose positional dot has the same bf16-input accuracy
+    class) rounds inputs to 8 mantissa bits (~4e-3 relative) — kNN edges
+    vs the exact-f32 legacy layout must agree almost everywhere on unit
+    embeddings, and the represented values must be within bf16 rounding.
+    split_bf16 itself (the legacy layout, still supported for hand-built
+    Columns) must reconstruct to ~16-bit rounding."""
     from mused_tpu.ops import blocked_affinity as ba
     rng = np.random.default_rng(4)
     n, d, k = 512, 128, 5
     emb = rng.standard_normal((n, d)).astype(np.float32)
     unit = emb / np.linalg.norm(emb, axis=1, keepdims=True)
 
-    packed = np.asarray(ba.split_bf16(jnp.asarray(unit)))
-    recon = packed[:, :d].astype(np.float32) + packed[:, d:].astype(np.float32)
+    packed = np.asarray(ba.bf16_pack(jnp.asarray(unit)))
+    assert packed.shape[1] == d and packed.dtype == jnp.bfloat16
+    np.testing.assert_allclose(packed.astype(np.float32), unit, atol=4e-3)
+
+    split = np.asarray(ba.split_bf16(jnp.asarray(unit)))
+    recon = split[:, :d].astype(np.float32) + split[:, d:].astype(np.float32)
     np.testing.assert_allclose(recon, unit, atol=4e-5)
 
     cols_split = ba.generic_columns([emb], ("embedding",))
